@@ -1,0 +1,99 @@
+"""The flagship extraction job (SURVEY §3.1 Spark lifecycle).
+
+  read span table
+    → resume anti-join against committed output       (O5/J1)
+    → validation / routing / SSR-metric column exprs  (O1-O4, O14; codegen)
+    → byte-salted repartition                         (skew, §4.1)
+    → mapInPandas extraction with in-UDF fallback     (F4-F7, §2.12)
+    → output append + per-partition lineage append    (S7/S8)
+
+The reference's two HTTP hops and thread pool (§3.1 boundaries)
+collapse into Spark's executor↔Python-worker Arrow channels.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, EngineConfig
+from ..functions import columns as C
+from ..operators.extract import extract_spans, strip_metrics
+from ..operators.lineage import lineage_rollup
+from ..operators.resume import remaining_documents
+from ..operators.skew import partitions_for, salted_repartition, with_doc_bytes
+from ..sources.catalog import TableCatalog
+
+EXTRACTED_TABLE = "extracted"
+LINEAGE_TABLE = "_lineage"
+
+
+def validated(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Attach the cheap Column-expr predicates BEFORE the expensive UDF
+    (Catalyst can't reorder across a UDF black box — SURVEY §4)."""
+    out = with_doc_bytes(df)
+    if "url" in df.columns:
+        out = (
+            out.withColumn("url", C.transform_url_expr(F.col("url")))
+            .withColumn("valid_url", C.is_valid_url_expr(F.col("url")))
+        )
+    if "host" in df.columns:
+        out = out.withColumn("host_private", C.host_is_private_expr(F.col("host"))).withColumn(
+            "route_tag", C.route_tag_expr(F.col("host"))
+        )
+    # Oversize docs route to quarantine instead of killing tasks (S2).
+    return out.withColumn("oversize", F.col("n_bytes") > cfg.max_html_bytes)
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    extracted: DataFrame
+    lineage: DataFrame
+
+
+def run_extraction(
+    spark: SparkSession,
+    src: DataFrame,
+    catalog: TableCatalog | None = None,
+    cfg: EngineConfig = DEFAULT,
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+) -> RunResult:
+    """Execute the flagship pipeline. With a catalog, commits output +
+    lineage and resumes from whatever is already committed."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    df = validated(src, cfg)
+
+    done = None
+    if catalog is not None and catalog.exists(EXTRACTED_TABLE):
+        done = catalog.read(EXTRACTED_TABLE)
+    todo = remaining_documents(df, done)
+
+    quarantined = todo.filter(F.col("oversize"))
+    todo = todo.filter(~F.col("oversize"))
+
+    nparts = num_partitions or partitions_for(todo, cfg)
+    todo = salted_repartition(todo, nparts, cfg)
+
+    with_metrics = extract_spans(todo, cfg)
+
+    if catalog is not None:
+        # Materialize once; lineage aggregates the same rows that were
+        # committed (no recompute, no drift between output and metrics).
+        with_metrics = with_metrics.persist()
+        catalog.append(strip_metrics(with_metrics), EXTRACTED_TABLE)
+        lineage = lineage_rollup(with_metrics, run_id)
+        catalog.append(lineage, LINEAGE_TABLE)
+        with_metrics.unpersist()
+        extracted = catalog.read(EXTRACTED_TABLE)
+    else:
+        lineage = lineage_rollup(with_metrics, run_id)
+        extracted = strip_metrics(with_metrics)
+
+    _ = quarantined  # surfaced via validated()'s oversize column; callers may sink it
+    return RunResult(run_id=run_id, extracted=extracted, lineage=lineage)

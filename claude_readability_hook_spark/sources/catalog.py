@@ -1,0 +1,62 @@
+"""Table-format seam: Iceberg when available, partitioned Parquet fallback.
+
+The design target is Iceberg (`df.writeTo(...).append()` with atomic
+snapshot commits — the durability the reference's in-memory LRU lacks,
+SURVEY §4). The sandbox has no iceberg-spark-runtime jar, so the same
+API is served by a Parquet directory + an idempotent overwrite mode;
+the pipeline code never forks on the format (SURVEY §7.2 watch-list).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+class TableCatalog:
+    """Thin writer/reader seam keyed by logical table name."""
+
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool | None = None):
+        self.spark = spark
+        self.root = root
+        self.use_iceberg = iceberg_available(spark) if use_iceberg is None else use_iceberg
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(name)
+        path = self._path(name)
+        return os.path.exists(os.path.join(path, "_SUCCESS")) or (
+            os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+        )
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(name)
+        return self.spark.read.parquet(self._path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        """Atomic-enough append: Spark's parquet committer writes to a
+        staging dir and renames on success; _SUCCESS marks the commit.
+        With Iceberg this is a snapshot append."""
+        if self.use_iceberg:
+            df.writeTo(name).append()
+        else:
+            df.write.mode("append").parquet(self._path(name))
+
+    def overwrite(self, df: DataFrame, name: str) -> None:
+        if self.use_iceberg:
+            df.writeTo(name).createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(self._path(name))

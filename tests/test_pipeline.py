@@ -1,0 +1,119 @@
+"""End-to-end Spark pipeline tests: golden span-sequence equality
+(the north_rule invariant) plus resume and lineage behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from claude_readability_hook_spark.config import EngineConfig
+from claude_readability_hook_spark.operators.extract import extract_spans, strip_metrics
+from claude_readability_hook_spark.plans.pipeline import run_extraction
+from claude_readability_hook_spark.sources.catalog import TableCatalog
+from claude_readability_hook_spark.sources.corpus import fixtures_df
+
+
+def _spans_of(rows, doc_id):
+    row = next(r for r in rows if r["doc_id"] == doc_id)
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]], row
+
+
+@pytest.fixture(scope="module")
+def extracted_rows(spark):
+    df = strip_metrics(extract_spans(fixtures_df(spark)))
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def test_simple_article_golden(extracted_rows):
+    spans, row = _spans_of(extracted_rows, "simple")
+    assert row["success"]
+    assert row["title"] == "Test Article"
+    assert spans == [
+        (
+            "text",
+            "Simple Article\n\nThis is a simple test article with some content "
+            "that should be extracted properly.",
+            "",
+            0,
+        )
+    ]
+    # default threshold 50 > A1 max ⇒ recall engine wins (reference contract)
+    assert row["engine"] == "recall"
+    assert row["score"] == pytest.approx(len(spans[0][1]) * 0.8)
+
+
+def test_code_block_spans_golden(extracted_rows):
+    spans, row = _spans_of(extracted_rows, "with_code_block")
+    assert row["success"]
+    kinds = [s[0] for s in spans]
+    assert kinds == ["text", "code", "text"]
+    code = spans[1]
+    assert code[2].startswith("__CODEBLOCK_0__")
+    assert ":python" in code[2]
+    # 250 lines → 200 kept + truncation marker
+    assert code[1].endswith("... [truncated 50 lines] ...")
+    assert code[1].count("\n") == 200
+    assert [s[3] for s in spans] == [0, 1, 2]
+
+
+def test_interleaved_media_order_preserved(extracted_rows):
+    spans, row = _spans_of(extracted_rows, "interleaved_media")
+    assert row["success"]
+    assert [(s[0], s[2]) for s in spans] == [
+        ("text", ""),
+        ("media", "img:1"),
+        ("text", ""),
+        ("media", "img:2"),
+        ("text", ""),
+    ]
+    assert [s[3] for s in spans] == [0, 1, 2, 3, 4]
+
+
+def test_spa_shell_flagged_and_low_content(extracted_rows):
+    spans, row = _spans_of(extracted_rows, "spa_markers")
+    assert row["needs_ssr"] is True
+    # an SPA shell has no extractable prose: either failure or near-empty
+    text = " ".join(s[1] for s in spans if s[0] == "text")
+    assert len(text) < 50
+
+
+def test_empty_whitespace_quarantined(extracted_rows):
+    spans, row = _spans_of(extracted_rows, "empty_whitespace")
+    assert row["success"] is False
+    assert row["error"]
+    assert spans == []
+
+
+def test_precision_engine_wins_at_low_threshold(spark):
+    cfg = EngineConfig(score_threshold=3.0)
+    df = strip_metrics(extract_spans(fixtures_df(spark), cfg))
+    row = df.filter("doc_id = 'simple'").collect()[0]
+    assert row["engine"] == "precision"
+    assert row["score"] >= 3.0
+
+
+def test_resume_anti_join_skips_done(spark, tmp_path):
+    catalog = TableCatalog(spark, str(tmp_path), use_iceberg=False)
+    src = fixtures_df(spark)
+
+    first = run_extraction(spark, src, catalog=catalog, num_partitions=2, run_id="r1")
+    n1 = first.extracted.count()
+    assert n1 == src.count()
+
+    # Second run: everything already committed → nothing re-extracted.
+    second = run_extraction(spark, src, catalog=catalog, num_partitions=2, run_id="r2")
+    assert second.extracted.count() == n1  # no duplicates appended
+
+    lineage = catalog.read("_lineage")
+    r2 = [r.asDict() for r in lineage.filter("run_id = 'r2'").collect()]
+    assert sum(r["docs_in"] for r in r2) == 0
+
+
+def test_lineage_accounts_for_every_doc(spark, tmp_path):
+    catalog = TableCatalog(spark, str(tmp_path), use_iceberg=False)
+    src = fixtures_df(spark)
+    result = run_extraction(spark, src, catalog=catalog, num_partitions=2, run_id="rX")
+    rows = [r.asDict() for r in result.lineage.collect()]
+    assert sum(r["docs_in"] for r in rows) == src.count()
+    assert sum(r["failures"] for r in rows) == 2  # empty_whitespace + spa shell
+    assert all(r["run_id"] == "rX" for r in rows)
+    assert sum(r["engine_recall"] for r in rows) >= 3
