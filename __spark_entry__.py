@@ -1,38 +1,630 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship extraction pipeline over an interleaved-span
+                 corpus synthesized deterministically from sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 the training-data-pipeline operators).
+oracle_sql()   — DuckDB twins. Where outputs are floating-point, both
+                 sides round to 6dp; where sums could depend on
+                 accumulation order, both sides sum exact decimals and
+                 cast to double afterwards. Extraction itself (DOM
+                 parsing) is not SQL-expressible → rows-only entries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NUM_MINHASHES = 12
+BAND_SIZE = 3
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.5
+JACCARD_NGRAM = 3
+MAX_SHINGLE_DF = 100
+ANN_K = 10
+LSH_PLANES = 6
+EMBED_DIMS = 64
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted clones: every doc_id % 10 == 0 reappears as
+    doc_id+1000000 with ' extra token' appended — guarantees the dedup
+    operators have true positives to find. DuckDB twin: _DUP_SQL."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        )
+    )
+    exact_clones = (
+        base.filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), F.col("text"))
+    )
+    return base.unionByName(clones).unionByName(exact_clones)
+
+
+_DUP_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' extra token' AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _shingles_sql(n: int = JACCARD_NGRAM) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full extraction pipeline over the synthesized
+    interleaved-span corpus (DOM parse not SQL-expressible)."""
+    from claude_readability_hook_spark.plans.pipeline import run_extraction
+    from claude_readability_hook_spark.sources.corpus import corpus_from_flat
+
+    corpus = corpus_from_flat(spark, sf_dir)
+    result = run_extraction(spark, corpus, catalog=None, num_partitions=8)
+    return result.extracted.select(
+        "doc_id", "title", "engine", F.round("score", 4).alias("score"),
+        "success", "needs_ssr", F.size("spans").alias("n_spans"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_with_planted_dups(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs_with_planted_dups(spark, sf_dir),
+        num_hashes=NUM_MINHASHES,
+        band_size=BAND_SIZE,
+        n=JACCARD_NGRAM,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_planted_dups(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        n=JACCARD_NGRAM,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_quality_score_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.functions.columns import quality_score_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(quality_score_expr(F.lit(None).cast("string"), F.col("text")), 6).alias(
+            "score"
+        ),
+    )
+
+
+def q_readability_score_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.functions.columns import readability_score_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(readability_score_expr(F.col("text")), 6).alias("score")
+    )
+
+
+def q_url_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3 over synthesized URLs exercising amp/mobile/print paths.
+    Oracle constructs expected outputs independently (string concat)."""
+    from claude_readability_hook_spark.functions.columns import transform_url_expr
+
+    url = F.concat(
+        F.lit("https://m.example.com/articles/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/amp?print=1&q="),
+        F.col("doc_id").cast("string"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", transform_url_expr(url).alias("clean_url")
+    )
+
+
+def q_ssrf_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2/O4 over a deterministic host/url matrix keyed by doc_id."""
+    from claude_readability_hook_spark.functions.columns import (
+        host_is_private_expr,
+        is_valid_url_expr,
+        route_tag_expr,
+    )
+
+    host = (
+        F.when(F.col("doc_id") % 8 == 0, F.lit("stackoverflow.com"))
+        .when(F.col("doc_id") % 8 == 1, F.lit("www.reddit.com"))
+        .when(F.col("doc_id") % 8 == 2, F.lit("127.0.0.1"))
+        .when(F.col("doc_id") % 8 == 3, F.lit("192.168.1.10"))
+        .when(F.col("doc_id") % 8 == 4, F.lit("example.com"))
+        .when(F.col("doc_id") % 8 == 5, F.lit("localhost"))
+        .when(F.col("doc_id") % 8 == 6, F.lit("redd.it"))
+        .otherwise(F.lit("8.8.8.8"))
+    )
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("https://example.com:3306/x/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(F.lit("https://example.com/x/"), F.col("doc_id").cast("string")))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        is_valid_url_expr(url).alias("valid_url"),
+        host_is_private_expr(host).alias("host_private"),
+        route_tag_expr(host).alias("route_tag"),
+    )
+
+
+def q_ssr_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14/A5 over deterministically synthesized page shells; oracle
+    derives expected score/flag from the case analysis."""
+    from claude_readability_hook_spark.functions.columns import (
+        needs_ssr_expr,
+        needs_ssr_score_expr,
+    )
+
+    html = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<div id="root"></div><script>boot()</script>'), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("<article>"), F.col("text"), F.lit("</article>")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(needs_ssr_score_expr(html), 2).alias("ssr_score"),
+        needs_ssr_expr(html).alias("needs_ssr"),
+    )
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/J1: the committed-output anti-join with a deterministic done
+    set (doc_id % 10 < 3)."""
+    from claude_readability_hook_spark.operators.resume import remaining_documents
+
+    src = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    done = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    return remaining_documents(src, done)
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-analog: top-5 events by value per event_type (deterministic
+    tiebreak on event_id)."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style rollup; decimal-exact sums cast to double so the
+    result is independent of accumulation order."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-style: orders ⋈ broadcast(customer) rollup by market segment."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, query_vec_id=0, k=ANN_K)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.similarity import (
+        signed_projection_lsh_buckets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return signed_projection_lsh_buckets(emb, num_planes=LSH_PLANES, dims=EMBED_DIMS)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk(emb, query_vec_id=0, k=ANN_K, num_planes=LSH_PLANES, dims=EMBED_DIMS)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the interleaved-span corpus from sf0.001 and
+    run the full extraction pipeline (resume/salting/lineage included)."""
+    return q_extract_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_flagship": q_extract_flagship,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "token_stats": q_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "quality_score_a1": q_quality_score_a1,
+        "readability_score_a2": q_readability_score_a2,
+        "url_transforms": q_url_transforms,
+        "ssrf_route": q_ssrf_route,
+        "ssr_detector": q_ssr_detector,
+        "resume_anti_join": q_resume_anti_join,
+        "topk_per_group": q_topk_per_group,
+        "pricing_summary": q_pricing_summary,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _simhash_terms_sql() -> str:
+    terms = []
+    for b in range(SIMHASH_BITS):
+        char_idx = b // 4 + 1
+        power = 2 ** (3 - (b % 4))
+        bit = (
+            f"((strpos('0123456789abcdef', substr(md5(tk), {char_idx}, 1)) - 1) "
+            f"// {power}) % 2"
+        )
+        vote = (
+            f"COALESCE(list_sum(list_transform(toks, "
+            f"tk -> CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)), 0)"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _lsh_bucket_sql() -> str:
+    """bucket = Σ_p 2^p · [Σ_d emb[d]·sign(p,d) > 0]."""
+    terms = []
+    for p in range(LSH_PLANES):
+        proj = (
+            f"COALESCE(list_sum(list_transform(range(1, {EMBED_DIMS} + 1), "
+            f"d -> embedding[d]::DOUBLE * "
+            f"(CASE WHEN strpos('02468ace', substr(md5('{p}-' || (d - 1)::VARCHAR), 1, 1)) > 0 "
+            f"THEN 1.0 ELSE -1.0 END))), 0)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+_COSINE_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingles = _shingles_sql()
+    return {
+        # extract_flagship: rows-only (DOM extraction not SQL-expressible)
+        "dedup_exact": f"""
+            WITH src AS ({_DUP_SQL})
+            SELECT md5({_NORM_SQL}) AS dup_hash,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keeper_doc_id
+            FROM src GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH src AS ({_DUP_SQL}),
+            tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM src),
+            sh AS (SELECT doc_id, {shingles} AS shingles FROM tok),
+            ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+            sig AS (SELECT doc_id, list_transform(range(0, {NUM_MINHASHES}),
+                      i -> list_aggregate(list_transform(shingles,
+                             s -> md5(i::VARCHAR || '|' || s)), 'min')) AS sig
+                    FROM ne),
+            bands AS (SELECT doc_id, b AS band_idx,
+                        md5(array_to_string(sig[b*{BAND_SIZE}+1 : b*{BAND_SIZE}+{BAND_SIZE}], '|')) AS band_key
+                      FROM sig, (SELECT unnest(range(0, {NUM_MINHASHES // BAND_SIZE})) AS b))
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            SELECT doc_id, CAST({_simhash_terms_sql()} AS BIGINT) AS simhash FROM tok
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH src AS ({_DUP_SQL}),
+            tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM src),
+            sh AS (SELECT doc_id, {shingles} AS shingles FROM tok),
+            ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+            sizes AS (SELECT doc_id, len(shingles) AS n FROM ne),
+            ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM ne),
+            hot AS (SELECT shingle FROM ex GROUP BY 1 HAVING count(*) > {MAX_SHINGLE_DF}),
+            pr AS (SELECT * FROM ex WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              CAST(count(*) AS BIGINT) AS shared
+                       FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(shared / (sa.n + sb.n - shared), 6) >= {JACCARD_THRESHOLD}
+        """,
+        "token_stats": f"""
+            WITH tok AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual,
+                   round(CASE WHEN len(toks) > 0
+                         THEN COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+                              / len(toks)
+                         ELSE 0.0 END, 6) AS mean_token_len
+            FROM tok
+        """,
+        "text_quality": f"""
+            WITH tok AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+            feat AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS alpha_ratio,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) AS punct_ratio,
+                     CASE WHEN len(toks) > 0
+                          THEN length(text)::DOUBLE / len(toks) ELSE 0.0 END AS mean_word_len,
+                     CAST(len(list_filter(toks, t -> lower(t) IN
+                       ('the','a','of','and','to','in','is','it','that','for'))) AS BIGINT)
+                       AS stopword_hits
+              FROM tok)
+            SELECT doc_id, n_tokens,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   stopword_hits,
+                   (n_tokens >= 5 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                    AND alpha_ratio >= 0.6) AS keep
+            FROM feat
+        """,
+        "lang_id": f"""
+            WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            hits AS (
+              SELECT doc_id,
+                len(list_filter(toks, t -> lower(t) IN
+                  ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+                len(list_filter(toks, t -> lower(t) IN
+                  ('der','die','das','und','ist','ein','eine','zu','den','nicht'))) AS de,
+                len(list_filter(toks, t -> lower(t) IN
+                  ('le','la','les','et','est','un','une','que','pour','dans'))) AS fr,
+                len(list_filter(toks, t -> lower(t) IN
+                  ('el','la','los','y','es','un','una','que','por','para'))) AS es
+              FROM tok)
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                        WHEN de >= fr AND de >= es THEN 'de'
+                        WHEN fr >= es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM hits
+        """,
+        "fingerprint": f"""
+            SELECT doc_id,
+                   md5({_NORM_SQL}) AS fp_full,
+                   substr(md5({_NORM_SQL}), 1, 16) AS fp_prefix64
+            FROM documents
+        """,
+        "quality_score_a1": f"""
+            WITH tok AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+            SELECT doc_id,
+                   round(CASE WHEN length(text) > 0 THEN
+                     log10(length(text) + 1.0) * 0.8
+                     + log10(len(toks) + 1.0) * 0.2
+                   ELSE 0.0 END, 6) AS score
+            FROM tok
+        """,
+        "readability_score_a2": """
+            SELECT doc_id, round(length(text) * 0.8, 6) AS score FROM documents
+        """,
+        "url_transforms": """
+            SELECT doc_id,
+                   'https://www.example.com/articles/' || doc_id || '?q=' || doc_id
+                     AS clean_url
+            FROM documents
+        """,
+        "ssrf_route": """
+            SELECT doc_id,
+                   (doc_id % 3 <> 0) AS valid_url,
+                   (doc_id % 8 IN (2, 3, 5)) AS host_private,
+                   CASE WHEN doc_id % 8 = 0 THEN 'so'
+                        WHEN doc_id % 8 IN (1, 6) THEN 'reddit'
+                        ELSE 'html' END AS route_tag
+            FROM documents
+        """,
+        "ssr_detector": """
+            -- case analysis of the synthesized shells (see q_ssr_detector):
+            -- %3=0: no article, small size (+3.0), 1 executable script on a
+            --       sub-10KB page (ratio > 0.1, +2.0), SPA root div (+2.5)
+            --       => 7.5 >= 4.0 => needs_ssr
+            -- %3=1: <article> present + small => short-circuit false; score
+            --       itself is small-size only (3.0)
+            -- %3=2: bare text => small-size only (3.0) < 4.0 => false
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 7.5 ELSE 3.0 END AS ssr_score,
+                   (doc_id % 3 = 0) AS needs_ssr
+            FROM documents
+        """,
+        "resume_anti_join": """
+            SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 >= 3
+        """,
+        "topk_per_group": """
+            SELECT event_type, event_id, round(value, 6) AS value, rn FROM (
+              SELECT event_type, event_id, value,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC, event_id) AS BIGINT) AS rn
+              FROM events) t
+            WHERE rn <= 5
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "broadcast_join_agg": """
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "ann_cosine_topk": f"""
+            SELECT e.vec_id, round({_COSINE_SQL}, 6) AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT {ANN_K}
+        """,
+        "ann_lsh_buckets": f"""
+            SELECT vec_id, CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket FROM embeddings
+        """,
+        "ann_lsh_topk": f"""
+            WITH buckets AS (
+              SELECT vec_id, CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket FROM embeddings
+            ),
+            qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+            q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, round({_COSINE_SQL}, 6) AS cosine
+            FROM embeddings e
+            JOIN buckets be ON be.vec_id = e.vec_id
+            JOIN qb ON be.bucket = qb.bucket, q
+            WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT {ANN_K}
+        """,
+    }

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as the scale ladder demands:
+
+  cosine_topk        brute-force exact top-k against one query vector —
+                     a single narrow projection + global top-k; the
+                     correctness baseline and the right tool when the
+                     query set is small (broadcastable)
+  signed_projection_lsh_buckets
+                     deterministic random-hyperplane LSH: docs hash to
+                     a bucket id from the signs of projections onto
+                     pseudo-random ±1 hyperplanes (derived from md5 so
+                     any engine reproduces them). ANN = brute-force
+                     within the probe's bucket only — turns a 10^12-row
+                     scan into a bucket-local one
+
+All arithmetic is double-precision in-row array math
+(F.aggregate/zip_with → whole-stage codegen, no Python); scores are
+rounded to 6dp so cross-engine value hashes agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, query_vec_id: int = 0, k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine to the embedding of query_vec_id.
+
+    The single query row is crossJoin-broadcast (1 row — Catalyst
+    broadcasts it for free); candidates never shuffle, the top-k is a
+    TakeOrdered on (score desc, vec_id). At cluster scale this plan is
+    scan + local top-k + driver merge — optimal for exact ANN."""
+    query = df.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+    return (
+        df.crossJoin(F.broadcast(query))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col(vec_col), F.col("query_vec")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def hyperplane_sign_expr(vec: Column, plane: int, dims: int) -> Column:
+    """Sign of the projection onto pseudo-random hyperplane `plane`,
+    whose component d is +1 if the first hex char of md5('<plane>-<d>')
+    is even, else -1 — deterministic and engine-portable.
+
+    DuckDB twin of the component sign:
+      CASE WHEN strpos('02468ace', substr(md5(p||'-'||d), 1, 1)) > 0
+           THEN 1 ELSE -1 END
+    """
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda d: F.when(
+                    F.instr(
+                        F.lit("02468ace"),
+                        F.substring(
+                            F.md5(F.concat(F.lit(str(plane)), F.lit("-"), d.cast("string"))),
+                            1,
+                            1,
+                        ),
+                    )
+                    > 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda x, s: x.cast("double") * s,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (proj > 0).cast("int")
+
+
+def signed_projection_lsh_buckets(
+    df: DataFrame, num_planes: int = 8, dims: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, bucket) where bucket = Σ sign_p · 2^p over num_planes
+    hyperplanes. Same-bucket vectors are ANN candidates."""
+    bucket = None
+    for p in range(num_planes):
+        term = hyperplane_sign_expr(F.col(vec_col), p, dims).cast("long") * F.lit(
+            2**p
+        ).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return df.select("vec_id", bucket.alias("bucket"))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    num_planes: int = 8,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: brute-force cosine only within the query's LSH bucket.
+
+    Recall < 1.0 by construction (single-probe); at scale one adds
+    multi-probe by flipping low-confidence bits. The candidate scan is
+    |bucket| ≈ N / 2^num_planes rows instead of N."""
+    buckets = signed_projection_lsh_buckets(df, num_planes, dims, vec_col)
+    with_buckets = df.join(buckets, "vec_id")
+    query_bucket = buckets.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("bucket").alias("qb")
+    )
+    query_vec = df.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+    return (
+        with_buckets.join(F.broadcast(query_bucket), F.col("bucket") == F.col("qb"))
+        .crossJoin(F.broadcast(query_vec))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col(vec_col), F.col("query_vec")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,115 @@
+"""Text analysis for training-data curation: token counts, quality
+scoring, language ID, fingerprinting.
+
+All pure Column expressions (whole-stage codegen; zero Python) with
+exact DuckDB twins — these run in the same scan as extraction output
+filtering, so at 100 TB they are free riders on a pass the pipeline
+already makes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textcommon import norm_text_expr, tokens_expr
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic.
+# Deliberately small and frozen: the oracle SQL embeds the same lists.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que", "por", "para"),
+}
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars_actual, mean_token_len)."""
+    tokens = tokens_expr(F.col(text_col))
+    n_tokens = F.size(tokens)
+    total_token_chars = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
+        F.round(
+            F.when(n_tokens > 0, total_token_chars / n_tokens).otherwise(F.lit(0.0)), 6
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + keep/drop flag (Gopher-rule style):
+    length bounds, mean word length bounds, alpha ratio, stopword hits.
+
+    DuckDB twin uses identical arithmetic; ratios rounded to 6dp."""
+    text = F.col(text_col)
+    tokens = tokens_expr(text)
+    n_tokens = F.size(tokens)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    punct_chars = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    mean_wl = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(tokens, lambda t: F.array_contains(en_stops, F.lower(t))))
+    keep = (
+        (n_tokens >= 5)
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 12.0)
+        & (alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)) >= 0.6)
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "alpha_ratio"
+        ),
+        F.round(punct_chars.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        keep.alias("keep"),
+    )
+
+
+def _lang_hits(tokens: Column, lang: str) -> Column:
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(stops, F.lower(t))))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred) — argmax of stopword hits across {en,de,fr,es},
+    'und' (undetermined) when all-zero. Ties break by fixed language
+    order en>de>fr>es (greatest-with-struct trick; oracle mirrors it)."""
+    tokens = tokens_expr(F.col(text_col))
+    scored = F.greatest(
+        *[
+            F.struct(
+                _lang_hits(tokens, lang).alias("hits"),
+                F.lit(rank).alias("rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for rank, lang in [(4, "en"), (3, "de"), (2, "fr"), (1, "es")]
+        ]
+    )
+    return df.select(
+        "doc_id",
+        F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp_full, fp_prefix64) — md5 of normalized text, plus the
+    first 16 hex chars as a compact 64-bit-equivalent key for joins."""
+    fp = F.md5(norm_text_expr(F.col(text_col)))
+    return df.select(
+        "doc_id", fp.alias("fp_full"), F.substring(fp, 1, 16).alias("fp_prefix64")
+    )
