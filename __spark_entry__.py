@@ -379,6 +379,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_H32_SQL = (
+    "CAST(list_sum(list_transform(range(1, 9), "
+    "j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1) "
+    "* CAST(16**(8-j) AS BIGINT))) AS BIGINT)"
+)
+
+
+def _minhash_oracle_sql() -> str:
+    from claude_readability_hook_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    A, B = minhash_params(NUM_MINHASHES)
+    mins = ", ".join(
+        f"min(({A[i]} * h32 + {B[i]}) % {MINHASH_PRIME}) AS s{i}"
+        for i in range(NUM_MINHASHES)
+    )
+    nbands = NUM_MINHASHES // BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"s{i}::VARCHAR" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+            ),
+        )
+        for b in range(nbands)
+    )
+    return f"""
+        WITH src AS ({_DUP_SQL}),
+        tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM src),
+        sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM tok),
+        ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM ne),
+        h AS (SELECT doc_id, {_H32_SQL} AS h32 FROM ex),
+        sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+        bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """
+
+
 def _simhash_terms_sql() -> str:
     terms = []
     for b in range(SIMHASH_BITS):
@@ -429,23 +473,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_doc_id
             FROM src GROUP BY 1 HAVING count(*) >= 2
         """,
-        "dedup_minhash_lsh": f"""
-            WITH src AS ({_DUP_SQL}),
-            tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM src),
-            sh AS (SELECT doc_id, {shingles} AS shingles FROM tok),
-            ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
-            sig AS (SELECT doc_id, list_transform(range(0, {NUM_MINHASHES}),
-                      i -> list_aggregate(list_transform(shingles,
-                             s -> md5(i::VARCHAR || '|' || s)), 'min')) AS sig
-                    FROM ne),
-            bands AS (SELECT doc_id, b AS band_idx,
-                        md5(array_to_string(sig[b*{BAND_SIZE}+1 : b*{BAND_SIZE}+{BAND_SIZE}], '|')) AS band_key
-                      FROM sig, (SELECT unnest(range(0, {NUM_MINHASHES // BAND_SIZE})) AS b))
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-        """,
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": f"""
             WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
             SELECT doc_id, CAST({_simhash_terms_sql()} AS BIGINT) AS simhash FROM tok

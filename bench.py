@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The authoritative target metric (BASELINE.json) is documents/sec
+extraction throughput — reported as docs_per_sec alongside the
+per-query wall times. Scaling-efficiency evidence (local[8] vs
+local[32]) lives in BENCH/scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_session(cpus: str, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    n = int(cpus)
+    return (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName("crh-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * n, 16)))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.log.level", "ERROR")
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> None:
+    """Force full execution without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
+    import __spark_entry__ as entrymod
+    from claude_readability_hook_spark.plans.pipeline import run_extraction
+    from claude_readability_hook_spark.sources.corpus import corpus_from_flat
+
+    qs = entrymod.queries()
+    headline = [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "token_stats",
+        "lang_id",
+        "ann_cosine_topk",
+        "ann_lsh_buckets",
+        "topk_per_group",
+        "pricing_summary",
+        "broadcast_join_agg",
+    ]
+
+    times: dict[str, float] = {}
+
+    # warmup: spin up executors + python workers outside the clock
+    spark.range(1000).selectExpr("sum(id)").collect()
+    materialize(corpus_from_flat(spark, sf_dir).limit(8))
+
+    # flagship extraction: corpus synthesis is pre-materialized so the
+    # measured time is extraction, not generation
+    corpus = corpus_from_flat(spark, sf_dir).persist()
+    n_docs = corpus.count()
+    t0 = time.monotonic()
+    result = run_extraction(spark, corpus, catalog=None)
+    materialize(result.extracted)
+    times["extract_flagship"] = round(time.monotonic() - t0, 3)
+    extract_sec = times["extract_flagship"]
+    corpus.unpersist()
+
+    for name in headline:
+        t0 = time.monotonic()
+        materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+
+    return times, extract_sec, n_docs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    spark = build_session(cpus)
+    try:
+        times, extract_sec, n_docs = run_bench(spark, sf_dir)
+    finally:
+        spark.stop()
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "documents/sec extraction throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "docs": n_docs,
+                "docs_per_sec": round(n_docs / extract_sec, 2) if extract_sec else None,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -57,24 +57,72 @@ def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
     )
 
 
+# Universal-hash family over the 32-bit prefix of md5: hash_i(s) =
+# (A[i]·h32(s) + B[i]) mod P. P is the first prime > 2^32; A[i] < 2^30
+# keeps A·h32 + B < 2^63 so the arithmetic is exact int64 in ANY engine
+# (DuckDB errors on overflow; Spark would wrap silently).
+MINHASH_PRIME = 4_294_967_311
+
+
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    a = [(((i + 1) * 2_654_435_761 + 1_013_904_223) % ((1 << 30) - 1)) | 1 for i in range(num_hashes)]
+    b = [((i + 1) * 1_013_904_223 + 12_345) % MINHASH_PRIME for i in range(num_hashes)]
+    return a, b
+
+
+def h32_expr(s):
+    """First 8 hex chars of md5 as int64 — engine-portable.
+    DuckDB twin: list_sum(list_transform(range(1,9), j ->
+      (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+      * CAST(16**(8-j) AS BIGINT)))"""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _expand_pairs(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Bucket rows (… , ids: sorted array) → distinct (doc_a, doc_b)
+    pairs, expanded in-row (no self-join, so the bucket pipeline is
+    computed exactly once)."""
+    m = F.size(F.col(ids_col))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.struct(
+                    F.element_at(F.col(ids_col), i).alias("doc_a"),
+                    F.element_at(F.col(ids_col), j).alias("doc_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_signature(
     df: DataFrame, num_hashes: int = 12, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """In-row minhash signature: sig[i] = min(md5(i || '|' || shingle)).
+    """Minhash signature as num_hashes columns s0..s{k-1}.
 
-    Lexicographic min over hex strings is a valid minhash (uniform hash
-    family indexed by seed) and is reproducible in any engine with md5
-    — no Python, no UDF, no shuffle."""
-    shingled = doc_shingles(df, text_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: seeded_md5_expr(i, s))
-        ),
+    Plan: explode shingles → ONE md5 per (doc, shingle) → k affine
+    hashes (codegen arithmetic) → groupBy(doc_id) min-agg. The partial
+    (map-side) min makes the shuffle one tiny row per doc — at 10^12
+    docs the shuffled payload is signatures, never text."""
+    A, B = minhash_params(num_hashes)
+    shingled = doc_shingles(df, text_col, n).filter(F.size("shingles") > 0)
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", h32_expr(F.col("s")).alias("h32")
     )
-    return shingled.filter(F.size("shingles") > 0).select(
-        "doc_id", sig.alias("signature")
-    )
+    mins = [
+        F.min((F.lit(A[i]) * F.col("h32") + F.lit(B[i])) % F.lit(MINHASH_PRIME)).alias(
+            f"s{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_candidates(
@@ -84,70 +132,78 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) sharing >= 1 LSH band.
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥ 1 LSH band.
 
-    Plan shape: in-row signature → posexplode bands (num_hashes/band_size
-    rows per doc, ~30 bytes each) → shuffle on (band_idx, band_key) →
-    self-join within buckets → distinct pairs. The shuffled payload is
-    signatures, not documents — at 10^12 docs this is the only join
-    that still fits."""
+    signature agg → band keys (md5 of '|'-joined band values) → stack to
+    (band_idx, band_key) rows → groupBy bucket, collect sorted doc ids →
+    in-row pair expansion → distinct. Two small shuffles; expected
+    bucket size is O(1) for non-duplicates so the expansion output is
+    ~linear in true near-dup pairs."""
     nbands = num_hashes // band_size
     sig = minhash_signature(df, num_hashes, text_col, n)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nbands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws("|", F.slice(F.col("signature"), b * band_size + 1, band_size))
-                ),
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"s{i}").cast("string")
+                    for i in range(b * band_size, (b + 1) * band_size)
+                ],
             )
-        ).alias("band_idx", "band_key"),
+        ).alias(f"b{b}")
+        for b in range(nbands)
+    ]
+    with_bands = sig.select("doc_id", *band_cols)
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(nbands))
+    bands = with_bands.selectExpr(
+        "doc_id", f"stack({nbands}, {stack_args}) AS (band_idx, band_key)"
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    grouped = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    return _expand_pairs(grouped)
 
 
 def simhash(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
     """Per-doc simhash over whitespace tokens.
 
-    Token bit b comes from the b-th bit of the md5 hex digest (hex char
-    b//4, bit 3-(b%4) of its value — arithmetic only, so the identical
-    formula runs in DuckDB). Signature bit b is the sign of the ±1 vote
-    sum. Computed fully in-row; one narrow projection, no shuffle."""
+    Token bit b is bit (3 − b%4) of hex char b//4 of md5(token) —
+    arithmetic only, so the identical formula runs in DuckDB.
+    Signature bit b is the sign of the ±1 vote sum.
+
+    Plan: explode tokens → ONE md5 per (doc, token) → `bits` vote sums
+    in a codegen'd hash aggregate (map-side partial ⇒ the shuffle is one
+    short row per doc). Tokenless docs are restored with simhash 0 via
+    the left join."""
     tokens = tokens_expr(F.col(text_col))
+    exploded = df.select("doc_id", F.explode(tokens).alias("tok")).select(
+        "doc_id", F.md5(F.col("tok")).alias("h")
+    )
 
-    def hex_val(tok, b):  # value of hex char b//4 of md5(tok)
-        c = F.substring(F.md5(tok), b // 4 + 1, 1)
-        return F.instr(F.lit("0123456789abcdef"), c) - 1
-
-    def bit(tok, b):  # bit (3 - b%4) of that value, MSB-first within the char
+    def bit(b):
+        c = F.substring(F.col("h"), b // 4 + 1, 1)
+        val = F.instr(F.lit("0123456789abcdef"), c) - 1
         shift = 3 - (b % 4)
-        return F.floor(hex_val(tok, b) / F.lit(2**shift)).cast("long") % 2
+        return F.floor(val / F.lit(2**shift)).cast("long") % 2
 
-    def bit_vote(b):  # Σ over tokens of (bit ? +1 : -1)
-        return F.aggregate(
-            tokens,
-            F.lit(0).cast("long"),
-            lambda acc, tok: acc + F.when(bit(tok, b) == 1, 1).otherwise(-1),
-        )
-
+    votes = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}") for b in range(bits)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*votes)
     sig = None
     for b in range(bits):
-        term = F.when(bit_vote(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = term if sig is None else sig + term
-
-    return df.select("doc_id", sig.alias("simhash"))
+    agg = agg.select("doc_id", sig.alias("simhash"))
+    return (
+        df.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -163,33 +219,56 @@ def ngram_jaccard_pairs(
     The max_shingle_df cap drops boilerplate shingles before the
     self-join — fanout control, same role as skew-salting."""
     shingled = doc_shingles(df, text_col, n).filter(F.size("shingles") > 0)
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n_shingles"))
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
 
-    hot = (
-        exploded.groupBy("shingle")
-        .agg(F.count("*").alias("df_count"))
-        .filter(F.col("df_count") > max_shingle_df)
-        .select("shingle")
+    # Carry each doc's shingle-set size THROUGH the bucket expansion so
+    # no per-doc size join (which would re-derive the whole shingle
+    # pipeline per join side) is needed afterwards. The (doc_id, size)
+    # pair is packed into one bigint — struct collect/sort/compare is
+    # interpreted per element and measured 8× slower than bigint ops.
+    # Capacity: doc_id < 2^41 (2·10^12, the design point) and
+    # shingle count < 2^22 (a 10 MB doc caps out around 2M tokens).
+    #
+    # groupBy + in-row pair expansion instead of a self-join: the
+    # shingle pipeline is computed once, and the hot-shingle cap is a
+    # plain size filter on the collected bucket (df > max ⇒ dropped).
+    shift = 1 << 22
+    exploded = shingled.select(
+        (F.col("doc_id") * shift + F.size("shingles")).alias("dk"),
+        F.explode("shingles").alias("shingle"),
     )
-    pruned = exploded.join(hot, "shingle", "left_anti")
-
-    a = pruned.alias("a")
-    b = pruned.alias("b")
+    grouped = (
+        exploded.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("dk")).alias("ks"))
+        .filter((F.size("ks") >= 2) & (F.size("ks") <= max_shingle_df))
+    )
+    m = F.size("ks")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.struct(
+                    F.element_at(F.col("ks"), i).alias("a"),
+                    F.element_at(F.col("ks"), j).alias("b"),
+                ),
+            ),
+        )
+    )
+    # project struct fields to flat columns BEFORE the groupBy: struct
+    # field access used directly as grouping keys defeats codegen and
+    # re-evaluates the expansion expression (measured 4×).
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("ka"), F.col("p.b").alias("kb"))
+        .groupBy("ka", "kb")
         .agg(F.count("*").alias("shared"))
     )
-    return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return shared.select(
+        F.floor(F.col("ka") / shift).cast("long").alias("doc_a"),
+        F.floor(F.col("kb") / shift).cast("long").alias("doc_b"),
+        F.round(
+            F.col("shared")
+            / ((F.col("ka") % shift) + (F.col("kb") % shift) - F.col("shared")),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -71,35 +71,32 @@ def cosine_topk(
     )
 
 
-def hyperplane_sign_expr(vec: Column, plane: int, dims: int) -> Column:
-    """Sign of the projection onto pseudo-random hyperplane `plane`,
-    whose component d is +1 if the first hex char of md5('<plane>-<d>')
-    is even, else -1 — deterministic and engine-portable.
+def hyperplane_components(plane: int, dims: int) -> list[float]:
+    """±1 components of pseudo-random hyperplane `plane`: +1 if the
+    first hex char of md5('<plane>-<d>') is even, else −1. Computed
+    driver-side with hashlib (bit-identical to any engine's md5) so the
+    runtime expression is pure literal arithmetic — no per-row hashing.
 
     DuckDB twin of the component sign:
       CASE WHEN strpos('02468ace', substr(md5(p||'-'||d), 1, 1)) > 0
            THEN 1 ELSE -1 END
     """
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{plane}-{d}".encode()).hexdigest()[0] in "02468ace" else -1.0
+        for d in range(dims)
+    ]
+
+
+def hyperplane_sign_expr(vec: Column, plane: int, dims: int) -> Column:
+    """Sign of the projection onto hyperplane `plane`: zip_with against
+    the literal sign array + aggregate. (A flat 64-term sum per plane
+    was measured 6× slower — the generated method blows past the JIT
+    inlining budget and drops to interpreted evaluation.)"""
+    signs = F.array(*[F.lit(s) for s in hyperplane_components(plane, dims)])
     proj = F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dims - 1)),
-                lambda d: F.when(
-                    F.instr(
-                        F.lit("02468ace"),
-                        F.substring(
-                            F.md5(F.concat(F.lit(str(plane)), F.lit("-"), d.cast("string"))),
-                            1,
-                            1,
-                        ),
-                    )
-                    > 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda x, s: x.cast("double") * s,
-        ),
+        F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

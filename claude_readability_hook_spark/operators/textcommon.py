@@ -38,17 +38,28 @@ def shingles_expr(tokens: Column, n: int = 3) -> Column:
         range(1, greatest(len(tokens) - {n-1}, 0) + 1),
         i -> array_to_string(tokens[i:i+{n-1}], ' ')))
     """
-    # NB: Spark's sequence(1, 0) generates a DESCENDING [1, 0] instead of
-    # an empty array, so short docs need the explicit guard.
-    return F.when(
-        F.size(tokens) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Two subtleties:
+    #  - Spark's sequence(1, 0) generates a DESCENDING [1, 0] instead of
+    #    an empty array, so short docs need the explicit guard.
+    #  - Catalyst's CollapseProject would inline the `tokens` expression
+    #    into the per-index lambda, re-splitting the text once per
+    #    shingle (O(tokens²) per doc — measured 8× slowdown). Binding
+    #    tokens as a lambda variable via the array+transform let-trick
+    #    forces single evaluation regardless of projection collapse.
+    def make(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + k) for k in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(F.array(tokens), make))
 
 
 def seeded_md5_expr(seed: Column | int, value: Column) -> Column:
