@@ -163,6 +163,7 @@ def _html_pass(
 def _extract_from_tree(root, blocks: dict[str, CodeBlock], settings) -> Optional[list[dict]]:
     """Run the readability scorer on an already-parsed (and code-lifted)
     tree, returning interleaved text/code spans, or None on failure."""
+    from .dom import annotate
     from .readability import (  # local import keeps module init light
         assemble_text,
         best_candidate,
@@ -171,18 +172,19 @@ def _extract_from_tree(root, blocks: dict[str, CodeBlock], settings) -> Optional
     )
 
     strip_boilerplate(root)
-    candidates = score_candidates(root, settings)
-    best = best_candidate(candidates, settings)
+    ann = annotate(root)
+    candidates = score_candidates(root, settings, ann)
+    best = best_candidate(candidates, settings, ann)
     text: str = ""
     if best is not None:
         top, top_score = best
-        text = normalize_text(assemble_text(top, candidates, top_score, settings))
+        text = normalize_text(assemble_text(top, candidates, top_score, settings, ann))
     if not text and settings.body_fallback:
         from .readability import _serialize
 
         pieces: list[str] = []
         body = next(root.iter_elements("body"), root)
-        _serialize(body, settings, pieces)
+        _serialize(body, settings, pieces, ann)
         text = normalize_text("\n\n".join(pieces))
     if not text:
         return None

@@ -30,7 +30,14 @@ import re
 from dataclasses import dataclass
 from typing import Optional
 
-from .dom import BLOCK_TAGS, Node, link_density, parse_html
+from .dom import (
+    BLOCK_TAGS,
+    Annotations,
+    Node,
+    ann_link_density,
+    annotate,
+    parse_html,
+)
 from .textnorm import normalize_text
 
 # Tags never part of main content.
@@ -183,8 +190,12 @@ def _initial_score(node: Node) -> float:
     return TAG_WEIGHTS.get(node.tag or "", 0.0) + _class_weight(node)
 
 
-def score_candidates(root: Node, settings: ExtractorSettings) -> dict[int, tuple[Node, float]]:
-    """Return {id(node): (node, score)} for every candidate container."""
+def score_candidates(
+    root: Node, settings: ExtractorSettings, ann: Annotations
+) -> dict[int, tuple[Node, float]]:
+    """Return {id(node): (node, score)} for every candidate container.
+    All text statistics come from the one-pass annotations — no
+    per-candidate subtree walks."""
     candidates: dict[int, tuple[Node, float]] = {}
 
     def credit(node: Optional[Node], points: float) -> None:
@@ -198,16 +209,14 @@ def score_candidates(root: Node, settings: ExtractorSettings) -> dict[int, tuple
     for para in root.iter():
         if para.tag not in PARAGRAPH_TAGS:
             continue
-        text = para.text_content()
-        n = len(text.strip())
-        if n == 0:
+        n, _link, commas, has_placeholder, nonws = ann[id(para)]
+        if not nonws and not has_placeholder:
             continue
         # Placeholders count as content anchors: a paragraph holding a
         # lifted code block must keep its neighborhood alive.
-        has_placeholder = bool(_PLACEHOLDER_RE.search(text))
         if n < settings.min_paragraph_chars and not has_placeholder:
             continue
-        points = 1.0 + text.count(",") + text.count("、") + min(n / 100.0, 3.0)
+        points = 1.0 + commas + min(n / 100.0, 3.0)
         if has_placeholder:
             points += 2.0
         credit(para.parent, points)
@@ -217,17 +226,19 @@ def score_candidates(root: Node, settings: ExtractorSettings) -> dict[int, tuple
 
 
 def best_candidate(
-    candidates: dict[int, tuple[Node, float]], settings: ExtractorSettings
+    candidates: dict[int, tuple[Node, float]],
+    settings: ExtractorSettings,
+    ann: Annotations,
 ) -> Optional[tuple[Node, float]]:
     best: Optional[tuple[Node, float]] = None
     for node, raw in candidates.values():
-        adjusted = raw * (1.0 - link_density(node))
+        adjusted = raw * (1.0 - ann_link_density(ann, node))
         if best is None or adjusted > best[1]:
             best = (node, adjusted)
     if best is None:
         return None
     node, score = best
-    if link_density(node) > settings.max_link_density:
+    if ann_link_density(ann, node) > settings.max_link_density:
         return None
     return node, score
 
@@ -239,8 +250,12 @@ def best_candidate(
 _SKIP_SERIALIZE = frozenset({"ul", "ol", "dl"})
 
 
-def _serialize(node: Node, settings: ExtractorSettings, out: list[str]) -> None:
-    """Emit paragraph strings from a subtree in document order."""
+def _serialize(
+    node: Node, settings: ExtractorSettings, out: list[str], ann: Annotations
+) -> None:
+    """Emit paragraph strings from a subtree in document order. Cheap
+    skip decisions come from the annotations; text is only materialized
+    for nodes actually emitted."""
     if node.tag is None:
         text = node.text.strip()
         if text:
@@ -248,29 +263,27 @@ def _serialize(node: Node, settings: ExtractorSettings, out: list[str]) -> None:
         return
     if node.tag in _SKIP_SERIALIZE and not settings.keep_lists:
         return
-    if node.tag == "a" and not settings.keep_lists:
-        # Bare link clusters are navigation debris in precision mode;
-        # anchor text inside paragraphs is handled by the paragraph branch.
-        pass
     if node.tag in PARAGRAPH_TAGS:
+        _n, _link, _commas, has_placeholder, nonws = ann[id(node)]
+        if not nonws and not has_placeholder:
+            return
         text = " ".join(node.text_content().split())
-        has_placeholder = bool(_PLACEHOLDER_RE.search(text))
         if has_placeholder:
             # Keep placeholders on their own line so splice-back produces
             # clean fenced blocks.
             out.append(text)
             return
         if len(text) >= settings.min_paragraph_chars or "," in text:
-            if link_density(node) <= settings.max_link_density:
+            if ann_link_density(ann, node) <= settings.max_link_density:
                 out.append(text)
         return
     for child in node.children:
-        _serialize(child, settings, out)
+        _serialize(child, settings, out, ann)
 
 
 def assemble_text(
     top: Node, candidates: dict[int, tuple[Node, float]], top_score: float,
-    settings: ExtractorSettings,
+    settings: ExtractorSettings, ann: Annotations,
 ) -> str:
     """Serialize the winning candidate plus qualifying siblings
     (Readability's sibling-merge step, re-derived)."""
@@ -279,7 +292,7 @@ def assemble_text(
     threshold = max(10.0, top_score * settings.sibling_score_ratio)
     for sib in siblings:
         if sib is top:
-            _serialize(sib, settings, pieces)
+            _serialize(sib, settings, pieces, ann)
             continue
         if sib.tag is None:
             text = sib.text.strip()
@@ -289,9 +302,9 @@ def assemble_text(
         sib_entry = candidates.get(id(sib))
         sib_score = sib_entry[1] if sib_entry else 0.0
         if sib_score >= threshold:
-            _serialize(sib, settings, pieces)
+            _serialize(sib, settings, pieces, ann)
         elif sib.tag == "p":
-            _serialize(sib, settings, pieces)
+            _serialize(sib, settings, pieces, ann)
     return "\n\n".join(p for p in pieces if p)
 
 
@@ -315,26 +328,27 @@ def extract_main_content(
     root = parse_html(html)
     title = extract_title(root)
     strip_boilerplate(root)
-    candidates = score_candidates(root, settings)
-    best = best_candidate(candidates, settings)
+    ann = annotate(root)
+    candidates = score_candidates(root, settings, ann)
+    best = best_candidate(candidates, settings, ann)
 
     if best is None:
         if settings.body_fallback:
             pieces: list[str] = []
             body = next(root.iter_elements("body"), root)
-            _serialize(body, settings, pieces)
+            _serialize(body, settings, pieces, ann)
             text = normalize_text("\n\n".join(pieces))
             if text:
                 return ExtractionResult(title, text, True)
         return ExtractionResult(title, "", False, "no content candidate")
 
     top, top_score = best
-    text = normalize_text(assemble_text(top, candidates, top_score, settings))
+    text = normalize_text(assemble_text(top, candidates, top_score, settings, ann))
     if not text:
         if settings.body_fallback:
             pieces = []
             body = next(root.iter_elements("body"), root)
-            _serialize(body, settings, pieces)
+            _serialize(body, settings, pieces, ann)
             text = normalize_text("\n\n".join(pieces))
         if not text:
             return ExtractionResult(title, "", False, "no content candidate")

@@ -96,13 +96,86 @@ def make_extract_fn(cfg: EngineConfig = DEFAULT):
     return extract_batches
 
 
-def extract_spans(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def _extract_one(doc_id: str, span_records: list[dict], partition_id: int, cfg) -> dict:
+    bytes_in = sum(len(s.get("text") or "") for s in span_records)
+    try:
+        result = extract_document(doc_id, span_records, cfg)
+        row = {
+            "doc_id": result.doc_id,
+            "title": result.title,
+            "engine": result.engine,
+            "score": float(result.score),
+            "success": bool(result.success),
+            "error": result.error,
+            "needs_ssr": bool(result.needs_ssr),
+            "spans": result.spans,
+        }
+    except Exception as exc:  # noqa: BLE001 — poison-row isolation
+        row = {
+            "doc_id": doc_id,
+            "title": None,
+            "engine": "recall",
+            "score": 0.0,
+            "success": False,
+            "error": f"extractor crash: {type(exc).__name__}: {exc}",
+            "needs_ssr": False,
+            "spans": [],
+        }
+    row["partition_id"] = partition_id
+    row["bytes_in"] = bytes_in
+    return row
+
+
+def make_extract_arrow_fn(cfg: EngineConfig = DEFAULT):
+    """mapInArrow variant: RecordBatch → list-of-dicts → RecordBatch,
+    all through pyarrow's C conversion paths. The pandas route
+    materializes every nested span struct as Python objects through
+    pandas' block manager twice (in and out); arrow→pylist→arrow skips
+    that entirely (measured ~30% of UDF wall)."""
+
+    def extract_batches(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        arrow_schema = _arrow_output_schema()
+        ctx = TaskContext.get()
+        partition_id = ctx.partitionId() if ctx is not None else -1
+
+        for batch in batches:
+            t0 = time.monotonic()
+            rows = batch.to_pylist()
+            records = [
+                _extract_one(str(r["doc_id"]), r["spans"], partition_id, cfg)
+                for r in rows
+            ]
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            n = max(len(records), 1)
+            for i, r in enumerate(records):
+                r["udf_wall_ms"] = wall_ms // n + (1 if i < wall_ms % n else 0)
+            yield pa.RecordBatch.from_pylist(records, schema=arrow_schema)
+
+    return extract_batches
+
+
+def _arrow_output_schema():
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(EXTRACTED_WITH_METRICS)
+
+
+def extract_spans(
+    df: DataFrame, cfg: EngineConfig = DEFAULT, engine: str = "arrow"
+) -> DataFrame:
     """documents(doc_id, spans, ...) → EXTRACTED_WITH_METRICS rows.
 
     Selects only (doc_id, spans) first so Catalyst prunes every other
     column out of the scan — the batch analog of the reference's
-    renderer resource-blocking (SURVEY §4)."""
+    renderer resource-blocking (SURVEY §4). engine='arrow' (default)
+    uses mapInArrow; 'pandas' keeps the mapInPandas route (retained
+    for differential testing)."""
     narrow = df.select("doc_id", "spans")
+    if engine == "arrow":
+        return narrow.mapInArrow(make_extract_arrow_fn(cfg), schema=EXTRACTED_WITH_METRICS)
     return narrow.mapInPandas(make_extract_fn(cfg), schema=EXTRACTED_WITH_METRICS)
 
 

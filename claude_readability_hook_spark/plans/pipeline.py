@@ -62,9 +62,19 @@ def run_extraction(
     cfg: EngineConfig = DEFAULT,
     num_partitions: int | None = None,
     run_id: str | None = None,
+    repartition: str = "auto",
 ) -> RunResult:
     """Execute the flagship pipeline. With a catalog, commits output +
-    lineage and resumes from whatever is already committed."""
+    lineage and resumes from whatever is already committed.
+
+    repartition: 'auto' shuffles only when the source partitioning is
+    unusable; 'force'/'skip' override. Rationale: a parquet/Iceberg
+    scan already yields byte-bounded splits (maxPartitionBytes), so
+    re-shuffling every HTML byte before the UDF doubles the stage's
+    I/O for nothing (measured: the shuffle cost 2-4× the extraction
+    compute). The salted shuffle earns its cost only when the input
+    arrives in few/skewed partitions (a handful of giant files, or a
+    filter that gutted most partitions)."""
     run_id = run_id or uuid.uuid4().hex[:12]
 
     df = validated(src, cfg)
@@ -78,7 +88,12 @@ def run_extraction(
     todo = todo.filter(~F.col("oversize"))
 
     nparts = num_partitions or partitions_for(todo, cfg)
-    todo = salted_repartition(todo, nparts, cfg)
+    src_parts = todo.rdd.getNumPartitions()
+    needs_shuffle = repartition == "force" or (
+        repartition == "auto" and (src_parts < max(nparts // 2, 1) or src_parts > nparts * 4)
+    )
+    if needs_shuffle:
+        todo = salted_repartition(todo, nparts, cfg)
 
     with_metrics = extract_spans(todo, cfg)
 
