@@ -84,9 +84,13 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
     corpus.unpersist()
 
     for name in headline:
-        t0 = time.monotonic()
-        materialize(qs[name](spark, sf_dir))
-        times[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: first call pays whole-stage codegen JIT
+            t0 = time.monotonic()
+            materialize(qs[name](spark, sf_dir))
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     return times, extract_sec, n_docs
 

@@ -36,7 +36,8 @@ def with_doc_bytes(df: DataFrame) -> DataFrame:
     should be a stored top-level column (scan pushdown, SURVEY §4);
     computing it here is the fallback for raw span tables."""
     if "n_bytes" in df.columns:
-        return df
+        # column may exist but be unpopulated (raw ingest) — fill nulls
+        return df.withColumn("n_bytes", F.coalesce(F.col("n_bytes"), span_bytes_expr()))
     return df.withColumn("n_bytes", span_bytes_expr())
 
 

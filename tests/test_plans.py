@@ -1,0 +1,91 @@
+"""Physical-plan audits: the properties that matter at 100 TB must be
+visible in .explain() output — column pruning into the scan, predicate
+pushdown, broadcast selection, and no shuffle before the extraction UDF
+when the scan partitioning is usable."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from claude_readability_hook_spark.operators.extract import extract_spans
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_extraction_scan_prunes_to_doc_id_and_spans(spark, tmp_path):
+    """The UDF input selects narrowly → parquet ReadSchema must contain
+    only doc_id + spans even when the table has more columns."""
+    from claude_readability_hook_spark.sources.corpus import fixtures_df
+
+    path = str(tmp_path / "docs")
+    fixtures_df(spark).write.parquet(path)
+    src = spark.read.parquet(path)
+
+    plan = _plan(extract_spans(src))
+    read_schema = re.search(r"ReadSchema: (.+)", plan).group(1)
+    assert "doc_id" in read_schema and "spans" in read_schema
+    assert "url" not in read_schema and "host" not in read_schema
+    assert "n_bytes" not in read_schema
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(docs.filter(F.col("n_chars") > 100).select("doc_id"))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*GreaterThan\(n_chars,100\)", plan)
+
+
+def test_small_dim_join_broadcasts(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    joined = orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    )
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_resume_anti_join_shape(spark):
+    from claude_readability_hook_spark.operators.resume import remaining_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    done = docs.filter("doc_id % 2 = 0").select("doc_id")
+    plan = _plan(remaining_documents(docs, done))
+    assert "LeftAnti" in plan
+
+
+def test_no_shuffle_before_udf_on_well_partitioned_source(spark):
+    """run_extraction(repartition='auto') must not insert an Exchange
+    between a well-partitioned source and the extraction UDF."""
+    from claude_readability_hook_spark.plans.pipeline import run_extraction
+    from claude_readability_hook_spark.sources.corpus import fixtures_df
+
+    src = fixtures_df(spark).repartition(8)  # already fine-grained
+    result = run_extraction(spark, src, catalog=None, num_partitions=8)
+    plan = _plan(result.extracted)
+    # one Exchange is the pre-existing repartition(8) of the input; the
+    # pipeline itself must not add a second one before the UDF
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, plan
+
+
+def test_whole_stage_codegen_covers_column_exprs(spark):
+    """Formatted explain marks codegen'd operators with '*'. The A2
+    score is pure arithmetic → its Project must be codegen'd. (A1
+    contains a higher-order filter() for Python-split word counting,
+    which Catalyst evaluates outside codegen — known and acceptable:
+    it's one expression, not a per-row Python call.)"""
+    from claude_readability_hook_spark.functions.columns import readability_score_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.select(readability_score_expr(F.col("text")).alias("score"))
+    assert re.search(r"\* Project", _plan(df))
