@@ -342,6 +342,141 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, query_vec_id=0, k=ANN_K, num_planes=LSH_PLANES, dims=EMBED_DIMS)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup_pairs(emb, threshold=0.35, num_planes=LSH_PLANES, dims=EMBED_DIMS)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.sessions import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events, gap_seconds=1800)
+
+
+def _so_json_expr() -> F.Column:
+    """Deterministic SO-API-shaped JSON built from doc_id: question by
+    'asker<id>' plus (doc_id % 8) answers by authors u0..u2 cycling."""
+    n = F.col("doc_id") % 8
+    answers = F.when(
+        n > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n.cast("int")),
+                lambda i: F.concat(
+                    F.lit('{"title":"A","score":'),
+                    (i % 5).cast("string"),
+                    F.lit(',"owner":{"display_name":"u'),
+                    (i % 3).cast("string"),
+                    F.lit('"}}'),
+                ),
+            ),
+            ",",
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit('{"items":[{"title":"Q'),
+        F.col("doc_id").cast("string"),
+        F.lit('","owner":{"display_name":"asker'),
+        F.col("doc_id").cast("string"),
+        F.lit('"}}'),
+        F.when(n > 0, F.concat(F.lit(","), answers)).otherwise(F.lit("")),
+        F.lit('],"has_more":false}'),
+    )
+
+
+def q_so_parse_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20/W1/A3 Spark-native: from_json with the declared StructType,
+    in-row top-5 slice + distinct-author count + composite score —
+    no explode, no shuffle (SURVEY §2.4 A3 'prefer array fns')."""
+    from pyspark.sql.types import ArrayType
+
+    from claude_readability_hook_spark.schemas import SO_ITEM, SO_RESPONSE
+
+    parsed = _docs(spark, sf_dir).select(
+        "doc_id", F.from_json(_so_json_expr(), SO_RESPONSE).alias("so")
+    )
+    items = F.col("so.items")
+    question = F.element_at(items, 1)
+    answers = F.when(F.size(items) > 1, F.slice(items, 2, F.size(items) - 1)).otherwise(
+        F.array().cast(ArrayType(SO_ITEM))
+    )
+    top = F.slice(answers, 1, 5)
+    authors = F.array_distinct(
+        F.transform(
+            items,
+            lambda it: F.coalesce(
+                it["owner"]["display_name"], it["owner"]["user_id"].cast("string")
+            ),
+        )
+    )
+    score = (
+        F.when(F.size(items) > 0, F.lit(200.0)).otherwise(0.0)
+        + F.size(top) * 180.0
+        + F.size(F.filter(authors, lambda a: a.isNotNull())) * 120.0
+    )
+    return parsed.select(
+        "doc_id",
+        question["title"].alias("title"),
+        F.size(answers).cast("long").alias("n_answers"),
+        F.size(top).cast("long").alias("n_top"),
+        F.round(score, 2).alias("so_score"),
+    )
+
+
+def _reddit_json_expr() -> F.Column:
+    """Comments listing with (doc_id % 25) comments — exercises the
+    top-20 slice (W2) and vote clamping (A4)."""
+    n = F.col("doc_id") % 25
+    comments = F.when(
+        n > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n.cast("int")),
+                lambda i: F.concat(
+                    F.lit('{"kind":"t1","data":{"body":"c'),
+                    i.cast("string"),
+                    F.lit('","score":'),
+                    (i - 3).cast("string"),  # some negative → clamp path
+                    F.lit(',"author":"a'),
+                    i.cast("string"),
+                    F.lit('"}}'),
+                ),
+            ),
+            ",",
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.lit('{"data":{"children":['), comments, F.lit("]}}"))
+
+
+def q_reddit_parse_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21/W2/A4 Spark-native: from_json on the listing StructType,
+    top-20 slice, vote-sum with greatest(0,·), distinct authors."""
+    from claude_readability_hook_spark.schemas import REDDIT_COMMENTS_LISTING
+
+    parsed = _docs(spark, sf_dir).select(
+        "doc_id", F.from_json(_reddit_json_expr(), REDDIT_COMMENTS_LISTING).alias("r")
+    )
+    comments = F.transform(F.col("r.data.children"), lambda c: c["data"])
+    top = F.slice(comments, 1, 20)
+    votes = F.aggregate(
+        top,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + F.greatest(F.coalesce(c["score"], F.lit(0)), F.lit(0)),
+    )
+    authors = F.size(F.array_distinct(F.transform(top, lambda c: c["author"])))
+    score = F.size(top) * 100.0 + votes * 2.0 + authors * 80.0
+    return parsed.select(
+        "doc_id",
+        F.size(top).cast("long").alias("n_comments"),
+        votes.alias("total_votes"),
+        authors.cast("long").alias("n_authors"),
+        F.round(score, 2).alias("reddit_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -376,6 +511,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_semantic": q_dedup_semantic,
+        "sessionize": q_sessionize,
+        "so_parse_score": q_so_parse_score,
+        "reddit_parse_score": q_reddit_parse_score,
     }
 
 
@@ -654,5 +793,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cosine DESC, e.vec_id
             LIMIT {ANN_K}
+        """,
+        "dedup_semantic": f"""
+            WITH buckets AS (
+              SELECT vec_id, CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket FROM embeddings
+            ),
+            wb AS (SELECT e.vec_id, e.embedding, b.bucket
+                   FROM embeddings e JOIN buckets b USING (vec_id))
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(
+                     list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                     (sqrt(list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+                      sqrt(list_sum(list_transform(range(1, 65),
+                       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6
+                   ) AS cosine
+            FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(
+                     list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                     (sqrt(list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+                      sqrt(list_sum(list_transform(range(1, 65),
+                       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6
+                   ) >= 0.35
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN ts - lag(ts) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id)
+                               > INTERVAL 1800 SECONDS
+                          THEN 1 ELSE 0 END AS ns
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(ns) + 1 AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        # independent arithmetic derivation of the from_json pipelines
+        "so_parse_score": """
+            SELECT doc_id,
+                   'Q' || doc_id AS title,
+                   CAST(doc_id % 8 AS BIGINT) AS n_answers,
+                   CAST(least(doc_id % 8, 5) AS BIGINT) AS n_top,
+                   round(200 + least(doc_id % 8, 5) * 180.0
+                         + (1 + least(doc_id % 8, 3)) * 120.0, 2) AS so_score
+            FROM documents
+        """,
+        "reddit_parse_score": """
+            WITH t AS (SELECT doc_id, least(doc_id % 25, 20) AS k FROM documents)
+            SELECT doc_id,
+                   CAST(k AS BIGINT) AS n_comments,
+                   CAST(CASE WHEN k >= 4 THEN (k-3)*(k-2)/2 ELSE 0 END AS BIGINT)
+                     AS total_votes,
+                   CAST(k AS BIGINT) AS n_authors,
+                   round(k * 100.0
+                         + (CASE WHEN k >= 4 THEN (k-3)*(k-2)/2 ELSE 0 END) * 2.0
+                         + k * 80.0, 2) AS reddit_score
+            FROM t
         """,
     }

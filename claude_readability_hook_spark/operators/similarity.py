@@ -117,6 +117,41 @@ def signed_projection_lsh_buckets(
     return df.select("vec_id", bucket.alias("bucket"))
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    num_planes: int = 6,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-gated.
+
+    Brute-force all-pairs cosine is quadratic — a non-starter at scale.
+    Candidates are restricted to pairs sharing an LSH bucket (recall
+    tunable via num_planes; multi-probe extends it), then verified by
+    exact cosine ≥ threshold. At 10^12 rows the bucket table would be
+    materialized once and bucket-local joins run per bucket."""
+    buckets = signed_projection_lsh_buckets(df, num_planes, dims, vec_col)
+    with_buckets = df.select("vec_id", vec_col).join(buckets, "vec_id")
+    a = with_buckets.alias("a")
+    b = with_buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_vec_id: int = 0,
