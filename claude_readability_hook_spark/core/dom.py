@@ -106,6 +106,10 @@ class Node:
         return self.attrs.get("id", "")
 
     def class_and_id(self) -> str:
+        attrs = self.attrs
+        signal = getattr(attrs, "class_id_signal", None)
+        if signal is not None:
+            return signal()
         return f"{self.class_attr} {self.id_attr}"
 
     # -- text ----------------------------------------------------------

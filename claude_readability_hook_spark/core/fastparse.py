@@ -115,6 +115,15 @@ class LazyAttrs(dict):
         self._load()
         return super().values()
 
+    def class_id_signal(self) -> str:
+        """Fast path for the boilerplate stripper: '' without parsing
+        when the raw attr string cannot contain class/id (the stripper
+        reads class+id of EVERY element, which would defeat laziness)."""
+        raw = self._raw
+        if raw is not None and "class" not in raw and "id" not in raw:
+            return " "
+        return f"{self.get('class', '')} {self.get('id', '')}"
+
 
 def _add_text(parent: Node, text: str) -> None:
     if not text:

@@ -28,7 +28,9 @@ def transform_amp_expr(url: Column) -> Column:
     first delimiter, so the lookaheads keep query/fragment intact."""
     # trailing /amp or /amp/ at end-of-path (before ?, # or end)
     stripped = F.regexp_replace(url, r"/amp/?(?=[?#]|$)", "")
-    # a bare-host result like https://x.com?q=1 is fine; restore '/' root
+    # a root-path strip leaves a bare host — restore the '/' the URL
+    # object would serialize (usecase.ts:306 `|| '/'`)
+    stripped = F.regexp_replace(stripped, r"^(https?://[^/?#]+)($|\?|#)", r"$1/$2")
     return F.when(url.rlike(r"^[^?#]*/amp(/)?([?#]|$)"), stripped).otherwise(url)
 
 
