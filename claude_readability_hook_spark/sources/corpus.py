@@ -256,6 +256,40 @@ FIXTURE_SPA_HTML = (
     "<script>hydrate()</script></body></html>"
 )
 
+FIXTURE_SIMPLE_ARTICLE_HTML = (
+    "<html><head><title>Example Title</title></head><body><article>"
+    "<h1>Example Title</h1><p>Hello world. This is a sample content.</p>"
+    "</article></body></html>"
+)
+
+FIXTURE_AMP_HTML = (
+    '<html amp><head><title>AMP Page</title></head><body>'
+    '<amp-img src="x.jpg" width="100" height="100"></amp-img>'
+    "<h1>AMP Article</h1><p>Real article content on an AMP page, long enough "
+    "to extract, with commas, and more words following.</p></body></html>"
+)
+
+FIXTURE_NOSCRIPT_HTML = (
+    "<html><head><title>Noscript Heavy</title></head><body><noscript>"
+    + "".join("<p>Content line</p>" for _ in range(100))
+    + "</noscript><script>boot()</script></body></html>"
+)
+
+FIXTURE_BOILERPLATE_HTML = (
+    "<html><head><title>Boilerplate Rich</title></head><body>"
+    '<nav class="main-nav"><a href="/">Home</a><a href="/b">Blog</a></nav>'
+    '<div class="advertisement"><a href="#ad">Click this amazing offer now</a></div>'
+    '<article class="post-body"><h1>The Actual Story</h1>'
+    "<p>First real paragraph of the story, with commas, and substance enough.</p>"
+    '<script>trackPageView()</script>'
+    "<p>Second real paragraph continuing the argument, also long enough.</p>"
+    "</article>"
+    '<aside class="sidebar"><ul><li><a href="/r1">Related A</a></li></ul></aside>'
+    '<div class="comments"><p>First! Great post!!</p></div>'
+    '<footer class="site-footer"><p>Copyright 2025. All rights reserved.</p></footer>'
+    "</body></html>"
+)
+
 
 def fixture_rows() -> list[dict]:
     """Span-encoded fixture documents for golden tests."""
@@ -321,6 +355,151 @@ def fixture_rows() -> list[dict]:
             "host": "www.example.com",
             "n_bytes": 10,
             "spans": [{"kind": "html", "text": "   \n  \t  ", "media_ref": "", "offset": 0}],
+        },
+        {
+            "doc_id": "simple_article",
+            "url": "https://www.example.com/simple-article",
+            "host": "www.example.com",
+            "n_bytes": len(FIXTURE_SIMPLE_ARTICLE_HTML),
+            "spans": [
+                {"kind": "html", "text": FIXTURE_SIMPLE_ARTICLE_HTML, "media_ref": "", "offset": 0}
+            ],
+        },
+        {
+            "doc_id": "amp_page",
+            "url": "https://www.example.com/story/amp",
+            "host": "www.example.com",
+            "n_bytes": len(FIXTURE_AMP_HTML),
+            "spans": [{"kind": "html", "text": FIXTURE_AMP_HTML, "media_ref": "", "offset": 0}],
+        },
+        {
+            "doc_id": "heavy_noscript",
+            "url": "https://www.example.com/noscript",
+            "host": "www.example.com",
+            "n_bytes": len(FIXTURE_NOSCRIPT_HTML),
+            "spans": [
+                {"kind": "html", "text": FIXTURE_NOSCRIPT_HTML, "media_ref": "", "offset": 0}
+            ],
+        },
+        {
+            "doc_id": "boilerplate_rich",
+            "url": "https://www.example.com/story",
+            "host": "www.example.com",
+            "n_bytes": len(FIXTURE_BOILERPLATE_HTML),
+            "spans": [
+                {"kind": "html", "text": FIXTURE_BOILERPLATE_HTML, "media_ref": "", "offset": 0}
+            ],
+        },
+        {
+            "doc_id": "so_thread",
+            "url": "https://stackoverflow.com/questions/42/how-to-foo",
+            "host": "stackoverflow.com",
+            "n_bytes": 400,
+            "spans": [
+                {
+                    "kind": "so_json",
+                    "text": json.dumps(
+                        {
+                            "question": {
+                                "items": [
+                                    {
+                                        "title": "How to foo in bar?",
+                                        "body_markdown": "I want to foo.",
+                                        "owner": {"display_name": "asker01", "user_id": 111},
+                                    }
+                                ],
+                                "has_more": False,
+                            },
+                            "answers": {
+                                "items": [
+                                    {
+                                        "body_markdown": "Use foo().",
+                                        "owner": {"display_name": "answerer1"},
+                                        "score": 5,
+                                    },
+                                    {
+                                        "body": "<p>Another HTML answer</p>",
+                                        "owner": {"user_id": 222},
+                                        "score": 2,
+                                    },
+                                ],
+                                "has_more": False,
+                            },
+                        }
+                    ),
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ],
+        },
+        {
+            "doc_id": "reddit_thread",
+            "url": "https://www.reddit.com/r/test/comments/abc123/sample/",
+            "host": "www.reddit.com",
+            "n_bytes": 500,
+            "spans": [
+                {
+                    "kind": "reddit_json",
+                    "text": json.dumps(
+                        [
+                            {
+                                "data": {
+                                    "children": [
+                                        {
+                                            "kind": "t3",
+                                            "data": {
+                                                "title": "Sample Reddit Thread",
+                                                "selftext": "Top post body",
+                                                "author": "op",
+                                                "subreddit": "test",
+                                            },
+                                        }
+                                    ]
+                                }
+                            },
+                            {
+                                "data": {
+                                    "children": [
+                                        {
+                                            "kind": "t1",
+                                            "data": {
+                                                "body": "Top comment 1",
+                                                "score": 10,
+                                                "author": "u1",
+                                                "replies": "",
+                                            },
+                                        },
+                                        {
+                                            "kind": "t1",
+                                            "data": {
+                                                "body": "Top comment 2",
+                                                "score": 5,
+                                                "author": "u2",
+                                                "replies": {
+                                                    "data": {
+                                                        "children": [
+                                                            {
+                                                                "kind": "t1",
+                                                                "data": {
+                                                                    "body": "reply A",
+                                                                    "score": 2,
+                                                                    "author": "u3",
+                                                                },
+                                                            }
+                                                        ]
+                                                    }
+                                                },
+                                            },
+                                        },
+                                    ]
+                                }
+                            },
+                        ]
+                    ),
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ],
         },
     ]
 
