@@ -114,6 +114,8 @@ def test_lineage_accounts_for_every_doc(spark, tmp_path):
     result = run_extraction(spark, src, catalog=catalog, num_partitions=2, run_id="rX")
     rows = [r.asDict() for r in result.lineage.collect()]
     assert sum(r["docs_in"] for r in rows) == src.count()
-    assert sum(r["failures"] for r in rows) == 2  # empty_whitespace + spa shell
+    # empty_whitespace + spa shell + heavy_noscript (all content inside
+    # stripped <noscript>) are genuine no-content documents
+    assert sum(r["failures"] for r in rows) == 3
     assert all(r["run_id"] == "rX" for r in rows)
     assert sum(r["engine_recall"] for r in rows) >= 3
