@@ -160,6 +160,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.textstats import bpe_token_count
+
+    return bpe_token_count(_docs(spark, sf_dir))
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir))
+
+
 def q_quality_score_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.functions.columns import quality_score_expr
 
@@ -513,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
+        "token_bpe": q_token_bpe,
+        "fingerprint_winnow": q_fingerprint_winnow,
         "so_parse_score": q_so_parse_score,
         "reddit_parse_score": q_reddit_parse_score,
     }
@@ -591,6 +605,45 @@ def _lsh_bucket_sql() -> str:
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
     return " + ".join(terms)
+
+
+def _bpe_sql_pattern() -> str:
+    from claude_readability_hook_spark.operators.textstats import BPE_TOKEN_PATTERN
+
+    return BPE_TOKEN_PATTERN.replace("'", "''")
+
+
+_BPE_SQL_PATTERN = _bpe_sql_pattern()
+
+
+def _winnow_oracle_sql() -> str:
+    from claude_readability_hook_spark.operators.textstats import (
+        _POWS,
+        WINNOW_K,
+        WINNOW_MOD,
+        WINNOW_WINDOW,
+    )
+
+    terms = " + ".join(
+        f"(unicode(substr(nt, i + {j}, 1))::BIGINT * {_POWS[j]}) % {WINNOW_MOD}"
+        for j in range(WINNOW_K)
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {_NORM_SQL.format(col="text") if "{col}" in _NORM_SQL else _NORM_SQL} AS nt
+          FROM documents
+        ),
+        ok AS (SELECT * FROM base WHERE length(nt) >= {WINNOW_K}),
+        pos AS (SELECT doc_id, nt, unnest(range(1, length(nt) - {WINNOW_K - 2})) AS i
+                FROM ok),
+        h AS (SELECT doc_id, i, ({terms}) % {WINNOW_MOD} AS h FROM pos),
+        mins AS (SELECT doc_id,
+                        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp
+                 FROM h)
+        SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM mins
+    """
 
 
 _COSINE_SQL = (
@@ -831,6 +884,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(ns) + 1 AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
         """,
+        "token_bpe": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "fingerprint_winnow": _winnow_oracle_sql(),
         # independent arithmetic derivation of the from_json pipelines
         "so_parse_score": """
             SELECT doc_id,

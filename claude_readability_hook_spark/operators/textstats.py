@@ -106,6 +106,79 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-flavoured pretokenizer shape: contractions, letter runs, digit
+# runs, punctuation runs, whitespace collapsed away. ASCII classes only
+# so Java (Spark) and RE2 (DuckDB) agree.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace count plus the
+    BPE-ish regex count (closer to real tokenizer budgets: punctuation
+    and digit runs count separately).
+
+    DuckDB twin: len(regexp_extract_all(text, pattern))."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+# Winnowing parameters (Schleimer et al., MOSS — public algorithm):
+# k-gram rolling hashes, keep each window's minimum.
+WINNOW_K = 8
+WINNOW_WINDOW = 4
+WINNOW_BASE = 257
+WINNOW_MOD = 1_000_000_007
+_POWS = [pow(WINNOW_BASE, WINNOW_K - 1 - j, WINNOW_MOD) for j in range(WINNOW_K)]
+
+
+def winnowing_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing:
+    h(i) = Σ_j code(c_{i+j})·B^{k-1-j} mod M over k-gram windows of the
+    normalized text, then the min of each w-hash window, deduplicated →
+    (doc_id, fp) rows.
+
+    Plan: explode k-gram start positions (narrow ints), codegen'd hash
+    arithmetic, sliding-window min via a ROWS BETWEEN frame, distinct.
+    At 10^12 docs the explode is the cost — in production you'd fuse
+    this into the extraction UDF; the relational form here doubles as
+    the cross-engine oracle.
+
+    DuckDB twin mirrors each stage (unicode() == ascii() on ASCII)."""
+    from pyspark.sql import Window
+
+    norm = norm_text_expr(F.col(text_col))
+    base = df.select("doc_id", norm.alias("nt")).filter(
+        F.length("nt") >= WINNOW_K
+    )
+    positions = base.select(
+        "doc_id",
+        F.col("nt"),
+        F.explode(F.sequence(F.lit(1), F.length("nt") - (WINNOW_K - 1))).alias("i"),
+    )
+    h = None
+    for j in range(WINNOW_K):
+        term = (
+            F.ascii(F.substring(F.col("nt"), F.col("i") + j, 1)).cast("long")
+            * F.lit(_POWS[j])
+        ) % WINNOW_MOD
+        h = term if h is None else (h + term) % WINNOW_MOD
+    hashed = positions.select("doc_id", F.col("i"), h.alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(0, WINNOW_WINDOW - 1)
+    )
+    return (
+        hashed.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp_full, fp_prefix64) — md5 of normalized text, plus the
     first 16 hex chars as a compact 64-bit-equivalent key for joins."""

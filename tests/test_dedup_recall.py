@@ -1,0 +1,60 @@
+"""Recall checks for the dedup family: the planted duplicates in
+_docs_with_planted_dups must actually be FOUND (oracle parity alone
+would accept a uselessly-strict operator that finds nothing)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = [r["doc_id"] for r in em._docs(spark, SF_DIR).select("doc_id").collect()]
+    near = {d for d in base if d % 10 == 0}  # + ' extra token' clones at +1000000
+    exact = {d for d in base if d % 20 == 0}  # verbatim clones at +2000000
+    return near, exact
+
+
+def test_exact_dedup_finds_all_planted_clones(spark, planted):
+    _, exact = planted
+    rows = em.q_dedup_exact(spark, SF_DIR).collect()
+    keepers = {r["keeper_doc_id"] for r in rows}
+    assert exact <= keepers
+    assert all(r["n_docs"] == 2 for r in rows)
+
+
+def test_minhash_finds_near_dups(spark, planted):
+    near, exact = planted
+    pairs = {(r["doc_a"], r["doc_b"]) for r in em.q_dedup_minhash_lsh(spark, SF_DIR).collect()}
+    # verbatim clones share every band — all must surface
+    missing_exact = {d for d in exact if (d, d + 2000000) not in pairs}
+    assert not missing_exact
+    # ' extra token' clones share most shingles — high recall expected
+    found_near = {d for d in near if (d, d + 1000000) in pairs}
+    assert len(found_near) >= 0.8 * len(near)
+
+
+def test_jaccard_verifies_near_dups(spark, planted):
+    near, exact = planted
+    rows = em.q_dedup_ngram_jaccard(spark, SF_DIR).collect()
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    for d in exact:
+        assert jac.get((d, d + 2000000)) == pytest.approx(1.0)
+    found = [jac[(d, d + 1000000)] for d in near if (d, d + 1000000) in jac]
+    assert len(found) >= 0.9 * len(near)
+    assert all(j >= 0.5 for j in found)
+
+
+def test_simhash_exact_clones_collide(spark):
+    # verbatim text ⇒ identical simhash; check via the planted-dup view
+    from claude_readability_hook_spark.operators.dedup import simhash
+
+    df = em._docs_with_planted_dups(spark, SF_DIR)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    for d in list(sh):
+        if d >= 2000000:
+            assert sh[d] == sh[d - 2000000]
