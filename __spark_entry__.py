@@ -94,7 +94,9 @@ def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.plans.pipeline import run_extraction
     from claude_readability_hook_spark.sources.corpus import corpus_from_flat
 
-    corpus = corpus_from_flat(spark, sf_dir)
+    # persist: the pipeline reads the corpus twice (partition sizing +
+    # extraction); without the cache the synthesis UDF would rerun
+    corpus = corpus_from_flat(spark, sf_dir, repartition=8).persist()
     result = run_extraction(spark, corpus, catalog=None, num_partitions=8)
     return result.extracted.select(
         "doc_id", "title", "engine", F.round("score", 4).alias("score"),
