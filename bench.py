@@ -81,6 +81,25 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
     materialize(result.extracted)
     times["extract_flagship"] = round(time.monotonic() - t0, 3)
     extract_sec = times["extract_flagship"]
+
+    # token-thrift ratio (reference claims a 40-70% cut, README.md:17):
+    # bytes of surviving span text vs raw input bytes — outside the clock
+    from pyspark.sql import functions as F
+
+    bytes_in = corpus.agg(F.sum("n_bytes")).collect()[0][0] or 0
+    bytes_out = (
+        result.extracted.select(
+            F.aggregate(
+                "spans",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.coalesce(F.length(s["text"]).cast("long"), F.lit(0)),
+            ).alias("b")
+        )
+        .agg(F.sum("b"))
+        .collect()[0][0]
+        or 0
+    )
+    reduction = round(1.0 - bytes_out / bytes_in, 4) if bytes_in else None
     corpus.unpersist()
 
     for name in headline:
@@ -92,7 +111,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
 
-    return times, extract_sec, n_docs
+    return times, extract_sec, n_docs, reduction
 
 
 def main() -> None:
@@ -102,7 +121,7 @@ def main() -> None:
 
     spark = build_session(cpus)
     try:
-        times, extract_sec, n_docs = run_bench(spark, sf_dir)
+        times, extract_sec, n_docs, reduction = run_bench(spark, sf_dir)
     finally:
         spark.stop()
 
@@ -117,6 +136,7 @@ def main() -> None:
                 "sf": float(sf),
                 "docs": n_docs,
                 "docs_per_sec": round(n_docs / extract_sec, 2) if extract_sec else None,
+                "byte_reduction": reduction,
                 "cpus": int(cpus),
             }
         )

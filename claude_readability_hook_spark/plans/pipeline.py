@@ -29,6 +29,7 @@ from ..sources.catalog import TableCatalog
 
 EXTRACTED_TABLE = "extracted"
 LINEAGE_TABLE = "_lineage"
+QUARANTINE_TABLE = "_quarantine"
 
 
 def validated(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
@@ -106,9 +107,19 @@ def run_extraction(
         catalog.append(lineage, LINEAGE_TABLE)
         with_metrics.unpersist()
         extracted = catalog.read(EXTRACTED_TABLE)
+        # Oversize docs (S2 byte cap) go to a quarantine table instead of
+        # killing tasks — metadata only, never the giant payload.
+        catalog.append(
+            quarantined.select(
+                F.lit(run_id).alias("run_id"),
+                "doc_id",
+                "n_bytes",
+                F.lit("oversize").alias("reason"),
+            ),
+            QUARANTINE_TABLE,
+        )
     else:
         lineage = lineage_rollup(with_metrics, run_id)
         extracted = strip_metrics(with_metrics)
 
-    _ = quarantined  # surfaced via validated()'s oversize column; callers may sink it
     return RunResult(run_id=run_id, extracted=extracted, lineage=lineage)

@@ -108,6 +108,32 @@ def test_resume_anti_join_skips_done(spark, tmp_path):
     assert sum(r["docs_in"] for r in r2) == 0
 
 
+def test_oversize_docs_quarantined_not_extracted(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from claude_readability_hook_spark.config import EngineConfig
+    from claude_readability_hook_spark.schemas import DOCUMENTS
+
+    cfg = EngineConfig(max_html_bytes=1000)
+    big = "<p>" + "x" * 5000 + "</p>"
+    small = "<article><p>Small enough document, with a comma, kept fine.</p></article>"
+    src = spark.createDataFrame(
+        [
+            {"doc_id": "big", "url": None, "host": None, "n_bytes": None,
+             "spans": [{"kind": "html", "text": big, "media_ref": "", "offset": 0}]},
+            {"doc_id": "small", "url": None, "host": None, "n_bytes": None,
+             "spans": [{"kind": "html", "text": small, "media_ref": "", "offset": 0}]},
+        ],
+        schema=DOCUMENTS,
+    )
+    catalog = TableCatalog(spark, str(tmp_path), use_iceberg=False)
+    result = run_extraction(spark, src, catalog=catalog, cfg=cfg, num_partitions=2, run_id="q1")
+    assert [r["doc_id"] for r in result.extracted.collect()] == ["small"]
+    quarantined = catalog.read("_quarantine").collect()
+    assert [(r["doc_id"], r["reason"]) for r in quarantined] == [("big", "oversize")]
+    assert quarantined[0]["n_bytes"] > 1000
+
+
 def test_lineage_accounts_for_every_doc(spark, tmp_path):
     catalog = TableCatalog(spark, str(tmp_path), use_iceberg=False)
     src = fixtures_df(spark)
