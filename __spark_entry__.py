@@ -333,6 +333,61 @@ def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style: pure filter + aggregate — the shape whose entire
+    predicate set pushes into the parquet scan (verified in test_plans)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * F.col("l_discount").cast("decimal(18,4)")
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: 3-way join (broadcast dims) + agg + global top-k."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (
+                        F.lit(1).cast("decimal(18,4)")
+                        - F.col("l_discount").cast("decimal(18,4)")
+                    )
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import cosine_topk
 
@@ -531,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": q_fingerprint_winnow,
         "so_parse_score": q_so_parse_score,
         "reddit_parse_score": q_reddit_parse_score,
+        "filter_agg_pushdown": q_filter_agg_pushdown,
+        "join3_topk": q_join3_topk,
     }
 
 
@@ -824,6 +881,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "filter_agg_pushdown": """
+            SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(28,8)))
+                       AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "join3_topk": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "ann_cosine_topk": f"""
             SELECT e.vec_id, round({_COSINE_SQL}, 6) AS cosine
