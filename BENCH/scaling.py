@@ -31,6 +31,8 @@ sys.path.insert(0, ROOT)
 AMPLIFY = 32  # replicate the corpus so UDF work ≫ fixed overheads
 PARTITIONS = 128  # fixed for all runs: identical work decomposition
 LEVELS = (2, 8, 32)  # N, 4N, 16N — efficiency reported per 4× step
+REPEATS = 3  # best-of-N per level: the shared host has noisy neighbors
+# (single runs measured ±2× wall-clock swings from external load)
 
 
 def build_corpus(spark, sf_dir: str):
@@ -74,15 +76,19 @@ def run_at(cpus: int, sf_dir: str) -> dict:
         corpus = build_corpus(spark, sf_dir).persist()
         n_docs = corpus.count()
 
-        t0 = time.monotonic()
-        result = run_extraction(spark, corpus, catalog=None, num_partitions=PARTITIONS)
-        materialize(result.extracted)
-        wall = time.monotonic() - t0
+        walls = []
+        for _ in range(REPEATS):
+            t0 = time.monotonic()
+            result = run_extraction(spark, corpus, catalog=None, num_partitions=PARTITIONS)
+            materialize(result.extracted)
+            walls.append(time.monotonic() - t0)
+        wall = min(walls)
         corpus.unpersist()
         return {
             "cpus": cpus,
             "docs": n_docs,
             "wall_sec": round(wall, 3),
+            "all_walls": [round(w, 2) for w in walls],
             "docs_per_sec": round(n_docs / wall, 2),
         }
     finally:
@@ -143,7 +149,10 @@ deterministic interleaved-span corpus synthesized from
 {PARTITIONS} partitions in every run so the work decomposition is
 identical and only parallelism changes. Python workers are warmed
 outside the clock (one extraction task per core) so cold imports don't
-pollute the measurement; each level runs in a fresh JVM.
+pollute the measurement; each level runs in a fresh JVM and reports the
+best of {REPEATS} repetitions (the shared sandbox host has noisy
+neighbors that showed ±2× single-run swings; min-wall filters external
+interference, which can only slow a run down).
 
 | parallelism | documents | wall (s) | docs/sec |
 |---|---|---|---|
