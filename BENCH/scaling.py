@@ -133,6 +133,8 @@ def main() -> None:
         "passes": eff_2_8 >= 0.8,
     }
     print(json.dumps(report))
+    with open(os.path.join(ROOT, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f)
     small, large, xlarge = results[2], results[8], results[32]
 
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence

@@ -114,6 +114,17 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
     return times, extract_sec, n_docs, reduction
 
 
+def _latest_scaling_efficiency():
+    """Surface the most recent BENCH/scaling.py result (a 10-minute
+    multi-JVM measurement — not rerun per bench invocation)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    try:
+        with open(path) as f:
+            return json.load(f).get("efficiency_N_to_4N")
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -137,6 +148,7 @@ def main() -> None:
                 "docs": n_docs,
                 "docs_per_sec": round(n_docs / extract_sec, 2) if extract_sec else None,
                 "byte_reduction": reduction,
+                "scaling_efficiency_n_to_4n": _latest_scaling_efficiency(),
                 "cpus": int(cpus),
             }
         )

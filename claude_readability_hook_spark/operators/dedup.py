@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textcommon import norm_text_expr, seeded_md5_expr, shingles_expr, tokens_expr
+from .textcommon import norm_text_expr, shingles_expr, tokens_expr
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:

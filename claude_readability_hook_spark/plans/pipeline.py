@@ -99,14 +99,18 @@ def run_extraction(
     with_metrics = extract_spans(todo, cfg)
 
     if catalog is not None:
-        # Materialize once; lineage aggregates the same rows that were
-        # committed (no recompute, no drift between output and metrics).
-        with_metrics = with_metrics.persist()
+        # Materialize ONCE via localCheckpoint, not persist: appending to
+        # the output table refreshes Spark's cache for every plan that
+        # scans that path — a persisted plan containing the resume
+        # anti-join would be invalidated by its own commit and silently
+        # recompute to zero rows. The checkpoint truncates lineage, so
+        # the materialized rows have no file-scan dependency to refresh,
+        # and extraction runs exactly once per run.
+        with_metrics = with_metrics.localCheckpoint(eager=True)
         catalog.append(strip_metrics(with_metrics), EXTRACTED_TABLE)
-        lineage = lineage_rollup(with_metrics, run_id)
-        catalog.append(lineage, LINEAGE_TABLE)
-        with_metrics.unpersist()
+        catalog.append(lineage_rollup(with_metrics, run_id), LINEAGE_TABLE)
         extracted = catalog.read(EXTRACTED_TABLE)
+        lineage = catalog.read(LINEAGE_TABLE).filter(F.col("run_id") == run_id)
         # Oversize docs (S2 byte cap) go to a quarantine table instead of
         # killing tasks — metadata only, never the giant payload.
         catalog.append(

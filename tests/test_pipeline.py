@@ -134,6 +134,31 @@ def test_oversize_docs_quarantined_not_extracted(spark, tmp_path):
     assert quarantined[0]["n_bytes"] > 1000
 
 
+def test_partial_write_resume_converges(spark, tmp_path):
+    """Kill-after-partial-write semantics (SURVEY §5.3.4): if only a
+    subset of docs was committed before a crash, the rerun extracts
+    exactly the remainder and the union equals a single clean run."""
+    catalog = TableCatalog(spark, str(tmp_path), use_iceberg=False)
+    src = fixtures_df(spark)
+
+    # simulate the partial commit: extract 2 docs and write them as if a
+    # run died after their task committed
+    from claude_readability_hook_spark.operators.extract import extract_spans
+
+    partial = strip_metrics(
+        extract_spans(src.filter("doc_id in ('simple', 'with_code_block')"))
+    )
+    catalog.append(partial, "extracted")
+
+    result = run_extraction(spark, src, catalog=catalog, num_partitions=2, run_id="r2")
+    lineage = [r.asDict() for r in result.lineage.collect()]
+    assert sum(r["docs_in"] for r in lineage) == src.count() - 2  # only remainder ran
+
+    final = catalog.read("extracted")
+    assert final.count() == src.count()  # no dupes, no gaps
+    assert final.select("doc_id").distinct().count() == src.count()
+
+
 def test_lineage_accounts_for_every_doc(spark, tmp_path):
     catalog = TableCatalog(spark, str(tmp_path), use_iceberg=False)
     src = fixtures_df(spark)
