@@ -57,13 +57,24 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
+        "dedup_semantic",
         "token_stats",
+        "token_bpe",
         "lang_id",
+        "text_quality",
+        "fingerprint",
+        "fingerprint_winnow",
         "ann_cosine_topk",
         "ann_lsh_buckets",
+        "ann_lsh_topk",
+        "sessionize",
         "topk_per_group",
         "pricing_summary",
         "broadcast_join_agg",
+        "filter_agg_pushdown",
+        "join3_topk",
+        "so_parse_score",
+        "reddit_parse_score",
     ]
 
     times: dict[str, float] = {}

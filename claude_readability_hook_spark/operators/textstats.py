@@ -149,34 +149,43 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     the cross-engine oracle.
 
     DuckDB twin mirrors each stage (unicode() == ascii() on ASCII)."""
-    from pyspark.sql import Window
-
     norm = norm_text_expr(F.col(text_col))
-    base = df.select("doc_id", norm.alias("nt")).filter(
-        F.length("nt") >= WINNOW_K
+    base = df.select("doc_id", norm.alias("nt")).filter(F.length("nt") >= WINNOW_K)
+
+    # Everything in-row (zero shuffles before the final explode): codes
+    # array → rolling hashes → sliding minima → distinct. The codes
+    # array is let-bound via the array+transform trick so CollapseProject
+    # cannot inline the char-split into every per-position lambda.
+    def hashes_from(codes):
+        def hash_at(i):
+            h = None
+            for j in range(WINNOW_K):
+                term = (F.element_at(codes, i + j) * F.lit(_POWS[j])) % WINNOW_MOD
+                h = term if h is None else (h + term) % WINNOW_MOD
+            return h
+
+        return F.transform(
+            F.sequence(F.lit(1), F.size(codes) - (WINNOW_K - 1)), hash_at
+        )
+
+    codes_expr = F.transform(
+        F.filter(F.split(F.col("nt"), ""), lambda c: c != F.lit("")),
+        lambda c: F.ascii(c).cast("long"),
     )
-    positions = base.select(
-        "doc_id",
-        F.col("nt"),
-        F.explode(F.sequence(F.lit(1), F.length("nt") - (WINNOW_K - 1))).alias("i"),
-    )
-    h = None
-    for j in range(WINNOW_K):
-        term = (
-            F.ascii(F.substring(F.col("nt"), F.col("i") + j, 1)).cast("long")
-            * F.lit(_POWS[j])
-        ) % WINNOW_MOD
-        h = term if h is None else (h + term) % WINNOW_MOD
-    hashed = positions.select("doc_id", F.col("i"), h.alias("h"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(0, WINNOW_WINDOW - 1)
-    )
-    return (
-        hashed.select("doc_id", F.min("h").over(w).alias("fp"))
-        .distinct()
-    )
+    hashes = F.flatten(F.transform(F.array(codes_expr), hashes_from)).alias("hs")
+
+    def minima(hs):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hs)),
+                lambda i: F.array_min(F.slice(hs, i, WINNOW_WINDOW)),
+            )
+        )
+
+    fps = F.flatten(F.transform(F.array(hashes), minima))
+    # per-doc dedup already happened in-row (array_distinct) and doc_ids
+    # are unique, so no row-level distinct — the plan has NO shuffle.
+    return base.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
