@@ -15,9 +15,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True only when an Iceberg catalog is actually CONFIGURED —
+    classes on the classpath are not enough (a stock distribution can
+    ship the jar while `writeTo(name)` still has no catalog to resolve
+    the table against)."""
+    conf = spark.conf
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: SLF001
-        return True
+        if "iceberg" in conf.get("spark.sql.catalog.spark_catalog", "").lower():
+            return True
+    except Exception:
+        pass
+    try:
+        extensions = conf.get("spark.sql.extensions", "") or ""
+        if "IcebergSparkSessionExtensions" not in extensions:
+            return False
+        # any named catalog configured as Iceberg?
+        all_conf = spark.sparkContext.getConf().getAll()
+        return any(
+            k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+            for k, v in all_conf
+        )
     except Exception:
         return False
 

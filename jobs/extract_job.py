@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction pipeline (north_rule:
+'run via spark-submit --py-files on a multi-executor cluster').
+
+Packaging + launch:
+
+    cd /root/repo && zip -qr /tmp/crh_spark.zip claude_readability_hook_spark
+    spark-submit --py-files /tmp/crh_spark.zip \
+        jobs/extract_job.py \
+        --input  /path/to/span-table.parquet-or-flat-documents-dir \
+        --output /path/to/warehouse \
+        [--partitions 4096] [--run-id run42] [--from-flat]
+
+No master/session config is set here — spark-submit owns cluster
+sizing; the job only states the logical plan. The run is resumable:
+re-submitting with the same --output anti-joins committed doc_ids.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument("--run-id", default=None)
+    parser.add_argument(
+        "--from-flat",
+        action="store_true",
+        help="input is a flat documents table dir; synthesize the span corpus",
+    )
+    args = parser.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("crh-spark-extract").getOrCreate()
+
+    from claude_readability_hook_spark.plans.pipeline import run_extraction
+    from claude_readability_hook_spark.sources.catalog import TableCatalog
+    from claude_readability_hook_spark.sources.corpus import corpus_from_flat
+
+    if args.from_flat:
+        src = corpus_from_flat(spark, args.input)
+    else:
+        src = spark.read.parquet(args.input)
+
+    catalog = TableCatalog(spark, args.output)
+    result = run_extraction(
+        spark,
+        src,
+        catalog=catalog,
+        num_partitions=args.partitions,
+        run_id=args.run_id,
+    )
+
+    summary = (
+        result.lineage.groupBy()
+        .sum("docs_in", "docs_out", "failures", "bytes_in")
+        .collect()[0]
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": result.run_id,
+                "docs_in": summary[0] or 0,
+                "docs_out": summary[1] or 0,
+                "failures": summary[2] or 0,
+                "bytes_in": summary[3] or 0,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
