@@ -93,10 +93,25 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
     times["extract_flagship"] = round(time.monotonic() - t0, 3)
     extract_sec = times["extract_flagship"]
 
-    # token-thrift ratio (reference claims a 40-70% cut, README.md:17):
-    # bytes of surviving span text vs raw input bytes — outside the clock
+    # steady-state throughput: the 5k-doc corpus is overhead-dominated;
+    # an 8× replica shows the sustained rate (cf. BENCH/BASELINE.md)
     from pyspark.sql import functions as F
 
+    big = corpus
+    for i in range(3):
+        big = big.unionByName(
+            corpus.withColumn("doc_id", F.concat(F.lit(f"s{i}-"), F.col("doc_id")))
+        )
+    big = big.repartition(128).persist()
+    n_big = big.count()
+    t0 = time.monotonic()
+    materialize(run_extraction(spark, big, catalog=None, num_partitions=128).extracted)
+    steady_sec = time.monotonic() - t0
+    docs_per_sec_steady = round(n_big / steady_sec, 2)
+    big.unpersist()
+
+    # token-thrift ratio (reference claims a 40-70% cut, README.md:17):
+    # bytes of surviving span text vs raw input bytes — outside the clock
     bytes_in = corpus.agg(F.sum("n_bytes")).collect()[0][0] or 0
     bytes_out = (
         result.extracted.select(
@@ -122,7 +137,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
 
-    return times, extract_sec, n_docs, reduction
+    return times, extract_sec, n_docs, reduction, docs_per_sec_steady, n_big
 
 
 def _latest_scaling_efficiency():
@@ -143,7 +158,7 @@ def main() -> None:
 
     spark = build_session(cpus)
     try:
-        times, extract_sec, n_docs, reduction = run_bench(spark, sf_dir)
+        times, extract_sec, n_docs, reduction, steady, n_big = run_bench(spark, sf_dir)
     finally:
         spark.stop()
 
@@ -158,6 +173,8 @@ def main() -> None:
                 "sf": float(sf),
                 "docs": n_docs,
                 "docs_per_sec": round(n_docs / extract_sec, 2) if extract_sec else None,
+                "docs_per_sec_steady": steady,
+                "steady_docs": n_big,
                 "byte_reduction": reduction,
                 "scaling_efficiency_n_to_4n": _latest_scaling_efficiency(),
                 "cpus": int(cpus),

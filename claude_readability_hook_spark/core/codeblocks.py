@@ -59,15 +59,18 @@ def detect_language(node: Node) -> Optional[str]:
     return node.attrs.get("data-lang") or node.attrs.get("data-language") or None
 
 
-def lift_code_blocks(root: Node) -> dict[str, CodeBlock]:
+def lift_code_blocks(root: Node, start: int = 0) -> dict[str, CodeBlock]:
     """Replace <pre> (then inline <code>) elements with placeholder text
     nodes, returning the side table of lifted blocks.
 
     Mutates the tree in place. Placeholder ids are assigned in DOM
     order — the ordinal that becomes the span `offset` downstream.
-    """
+    ``start`` continues the per-DOCUMENT counter across multiple html
+    spans so placeholder ids stay unique within a document (the
+    reference's counter lives on the per-request preserver instance,
+    code-block-preserver.ts:10-12)."""
     blocks: dict[str, CodeBlock] = {}
-    counter = 0
+    counter = start
 
     pres = list(root.iter_elements("pre"))
     for pre in pres:

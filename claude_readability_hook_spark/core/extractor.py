@@ -121,6 +121,7 @@ def _html_pass(
     title: Optional[str] = None
     any_content = False
     any_html = False
+    block_counter = 0  # per-document: placeholder ids unique across spans
 
     for span in ordered:
         kind = span["kind"]
@@ -130,7 +131,8 @@ def _html_pass(
             root = parse_html(text)
             if title is None:
                 title = extract_title(root)
-            blocks = lift_code_blocks(root)
+            blocks = lift_code_blocks(root, start=block_counter)
+            block_counter += len(blocks)
             # Re-serialize is unnecessary: extraction runs on the mutated
             # tree directly (placeholders are text nodes already).
             result = _extract_from_tree(root, blocks, settings)
