@@ -71,13 +71,31 @@ def _spans_to_segments(
 ) -> list[dict[str, Any]]:
     """Split extracted prose on placeholder tokens into alternating
     text / code spans, preserving first-appearance order (the analog of
-    restoreInText's indexOf sort, code-block-preserver.ts:56-58)."""
+    restoreInText's indexOf sort, code-block-preserver.ts:56-58).
+
+    Inline code splices back into the surrounding prose as `` `x` ``
+    (the reference's isInline branch, code-block-preserver.ts:60-61) —
+    only block-level code becomes its own span."""
     out: list[dict[str, Any]] = []
+    buffer: list[str] = []
+
+    def flush() -> None:
+        if buffer:
+            text = normalize_text("".join(buffer))
+            if text:
+                out.append(_mk_span("text", text, "", 0))
+            buffer.clear()
+
     for piece in _PLACEHOLDER_SPLIT.split(extracted_text):
         if not piece:
             continue
         block = blocks.get(piece)
-        if block is not None:
+        if block is None:
+            buffer.append(piece)
+        elif block.is_inline:
+            buffer.append(f"`{block.content}`")
+        else:
+            flush()
             out.append(
                 _mk_span(
                     "code",
@@ -86,10 +104,7 @@ def _spans_to_segments(
                     0,
                 )
             )
-        else:
-            text = normalize_text(piece)
-            if text:
-                out.append(_mk_span("text", text, "", 0))
+    flush()
     return out
 
 
