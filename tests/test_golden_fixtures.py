@@ -62,6 +62,24 @@ def test_boilerplate_rich(rows):
         assert debris not in text, debris
 
 
+def test_inline_code_spliced_into_prose(spark):
+    """Inline <code> rejoins the sentence as `backticks`; block-level
+    <pre> stays a span (code-block-preserver.ts:60-63 semantics)."""
+    from claude_readability_hook_spark.core.extractor import extract_document
+
+    html = (
+        "<article><p>Call <code>fetch()</code> before you parse, always.</p>"
+        "<pre><code>const x = 1;</code></pre>"
+        "<p>Then use <code>json()</code> on the result, finally.</p></article>"
+    )
+    r = extract_document("inline", [{"kind": "html", "text": html, "media_ref": "", "offset": 0}])
+    kinds = [s["kind"] for s in r.spans]
+    assert kinds == ["text", "code", "text"]
+    assert "`fetch()`" in r.spans[0]["text"]
+    assert r.spans[1]["text"] == "const x = 1;"
+    assert "`json()`" in r.spans[2]["text"]
+
+
 def test_so_thread_golden(rows):
     row = rows["so_thread"]
     assert row["success"]

@@ -134,6 +134,18 @@ def test_oversize_docs_quarantined_not_extracted(spark, tmp_path):
     assert quarantined[0]["n_bytes"] > 1000
 
 
+def test_cache_hits_complement(spark):
+    from claude_readability_hook_spark.operators.resume import cache_hits, remaining_documents
+
+    src = fixtures_df(spark)
+    done = src.filter("doc_id in ('simple', 'spa_markers')").select("doc_id")
+    hits = cache_hits(src, done)
+    todo = remaining_documents(src, done)
+    assert hits.count() == 2
+    assert all(r["cached"] for r in hits.collect())
+    assert hits.count() + todo.count() == src.count()
+
+
 def test_partial_write_resume_converges(spark, tmp_path):
     """Kill-after-partial-write semantics (SURVEY §5.3.4): if only a
     subset of docs was committed before a crash, the rerun extracts
