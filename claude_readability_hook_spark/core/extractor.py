@@ -32,11 +32,12 @@ from . import scoring
 from .codeblocks import CodeBlock, lift_code_blocks, render_code_block, truncate_code_body
 from .dom import parse_html
 from .formatters import format_reddit_json, format_so_json
+from .medialift import MediaItem, lift_media
 from .readability import PRECISION, RECALL, ExtractorSettings, extract_main_content, extract_title
 from .ssr import needs_ssr
 from .textnorm import normalize_text
 
-_PLACEHOLDER_SPLIT = re.compile(r"(__CODEBLOCK_\d+__)")
+_PLACEHOLDER_SPLIT = re.compile(r"(__CODEBLOCK_\d+__|__MEDIA_\d+__)")
 
 ENGINE_PRECISION = "precision"
 ENGINE_RECALL = "recall"
@@ -67,7 +68,9 @@ def _renumber(spans: list[dict[str, Any]]) -> list[dict[str, Any]]:
 
 
 def _spans_to_segments(
-    extracted_text: str, blocks: dict[str, CodeBlock]
+    extracted_text: str,
+    blocks: dict[str, CodeBlock],
+    media: dict[str, MediaItem] | None = None,
 ) -> list[dict[str, Any]]:
     """Split extracted prose on placeholder tokens into alternating
     text / code spans, preserving first-appearance order (the analog of
@@ -86,24 +89,30 @@ def _spans_to_segments(
                 out.append(_mk_span("text", text, "", 0))
             buffer.clear()
 
+    media = media or {}
     for piece in _PLACEHOLDER_SPLIT.split(extracted_text):
         if not piece:
             continue
         block = blocks.get(piece)
-        if block is None:
-            buffer.append(piece)
-        elif block.is_inline:
-            buffer.append(f"`{block.content}`")
-        else:
-            flush()
-            out.append(
-                _mk_span(
-                    "code",
-                    truncate_code_body(block.content),
-                    block.id if not block.language else f"{block.id}:{block.language}",
-                    0,
+        item = media.get(piece)
+        if block is not None:
+            if block.is_inline:
+                buffer.append(f"`{block.content}`")
+            else:
+                flush()
+                out.append(
+                    _mk_span(
+                        "code",
+                        truncate_code_body(block.content),
+                        block.id if not block.language else f"{block.id}:{block.language}",
+                        0,
+                    )
                 )
-            )
+        elif item is not None:
+            flush()
+            out.append(_mk_span("media", item.alt, item.media_ref, 0))
+        else:
+            buffer.append(piece)
     flush()
     return out
 
@@ -137,6 +146,7 @@ def _html_pass(
     any_content = False
     any_html = False
     block_counter = 0  # per-document: placeholder ids unique across spans
+    media_counter = 0
 
     for span in ordered:
         kind = span["kind"]
@@ -148,9 +158,11 @@ def _html_pass(
                 title = extract_title(root)
             blocks = lift_code_blocks(root, start=block_counter)
             block_counter += len(blocks)
+            media = lift_media(root, start=media_counter)
+            media_counter += len(media)
             # Re-serialize is unnecessary: extraction runs on the mutated
             # tree directly (placeholders are text nodes already).
-            result = _extract_from_tree(root, blocks, settings)
+            result = _extract_from_tree(root, blocks, settings, media)
             if result is not None:
                 out.extend(result)
                 any_content = True
@@ -177,7 +189,9 @@ def _html_pass(
     return title, _renumber(out), True, None
 
 
-def _extract_from_tree(root, blocks: dict[str, CodeBlock], settings) -> Optional[list[dict]]:
+def _extract_from_tree(
+    root, blocks: dict[str, CodeBlock], settings, media: dict[str, MediaItem] | None = None
+) -> Optional[list[dict]]:
     """Run the readability scorer on an already-parsed (and code-lifted)
     tree, returning interleaved text/code spans, or None on failure."""
     from .dom import annotate
@@ -205,7 +219,7 @@ def _extract_from_tree(root, blocks: dict[str, CodeBlock], settings) -> Optional
         text = normalize_text("\n\n".join(pieces))
     if not text:
         return None
-    return _spans_to_segments(text, blocks)
+    return _spans_to_segments(text, blocks, media)
 
 
 def extract_document(
