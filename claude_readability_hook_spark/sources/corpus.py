@@ -177,10 +177,16 @@ def build_html_doc(doc_id: int, text: str) -> list[dict]:
     if doc_id % 7 == 0:
         lines = "\n".join(f"value_{doc_id} = step({i})" for i in range(doc_id % 260 + 3))
         code = f'<pre><code class="language-python">{lines}</code></pre>'
+    inline_img = ""
+    if doc_id % 11 == 0:  # in-HTML media → exercises medialift at scale
+        inline_img = (
+            f'<img src="https://cdn.example.com/im/{doc_id}.jpg" '
+            f'alt="Figure for document {doc_id}"/>'
+        )
 
     article = (
         f"<article class=\"post-content\"><h1>{title}</h1>"
-        + (body_paras + code) * repeat
+        + (body_paras + inline_img + code) * repeat
         + "</article>"
     )
     html = (
