@@ -55,36 +55,10 @@ def make_extract_fn(cfg: EngineConfig = DEFAULT):
 
         for batch in batches:
             t0 = time.monotonic()
-            records: list[dict] = []
-            for doc_id, spans in zip(batch["doc_id"], batch["spans"]):
-                span_records = _spans_to_records(spans)
-                bytes_in = sum(len(s.get("text") or "") for s in span_records)
-                try:
-                    result = extract_document(str(doc_id), span_records, cfg)
-                    row = {
-                        "doc_id": result.doc_id,
-                        "title": result.title,
-                        "engine": result.engine,
-                        "score": float(result.score),
-                        "success": bool(result.success),
-                        "error": result.error,
-                        "needs_ssr": bool(result.needs_ssr),
-                        "spans": result.spans,
-                    }
-                except Exception as exc:  # noqa: BLE001 — poison-row isolation
-                    row = {
-                        "doc_id": str(doc_id),
-                        "title": None,
-                        "engine": "recall",
-                        "score": 0.0,
-                        "success": False,
-                        "error": f"extractor crash: {type(exc).__name__}: {exc}",
-                        "needs_ssr": False,
-                        "spans": [],
-                    }
-                row["partition_id"] = partition_id
-                row["bytes_in"] = bytes_in
-                records.append(row)
+            records = [
+                _extract_one(str(doc_id), _spans_to_records(spans), partition_id, cfg)
+                for doc_id, spans in zip(batch["doc_id"], batch["spans"])
+            ]
             wall_ms = int((time.monotonic() - t0) * 1000)
             # amortize batch wall time over rows so the lineage rollup
             # can sum it back without double counting
