@@ -7,9 +7,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
 
 The authoritative target metric (BASELINE.json) is documents/sec
-extraction throughput — reported as docs_per_sec alongside the
-per-query wall times. Scaling-efficiency evidence (local[8] vs
-local[32]) lives in BENCH/scaling.py → BENCH/BASELINE.md.
+extraction throughput — reported as docs_per_sec (small corpus) and
+docs_per_sec_steady (8× corpus) alongside the per-query wall times.
+Scaling-efficiency evidence (2/8/32 cores, best-of-3, fresh JVMs)
+lives in BENCH/scaling.py → BENCH/BASELINE.md; its latest result is
+surfaced here as scaling_efficiency_n_to_4n.
 """
 
 from __future__ import annotations
