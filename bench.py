@@ -89,11 +89,15 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
     # measured time is extraction, not generation
     corpus = corpus_from_flat(spark, sf_dir).persist()
     n_docs = corpus.count()
-    t0 = time.monotonic()
-    result = run_extraction(spark, corpus, catalog=None)
-    materialize(result.extracted)
-    times["extract_flagship"] = round(time.monotonic() - t0, 3)
-    extract_sec = times["extract_flagship"]
+    result = None
+    extract_sec = None
+    for _ in range(2):  # min-of-2: host has noisy neighbors
+        t0 = time.monotonic()
+        result = run_extraction(spark, corpus, catalog=None)
+        materialize(result.extracted)
+        dt = time.monotonic() - t0
+        extract_sec = dt if extract_sec is None else min(extract_sec, dt)
+    times["extract_flagship"] = round(extract_sec, 3)
 
     # steady-state throughput: the 5k-doc corpus is overhead-dominated;
     # an 8× replica shows the sustained rate (cf. BENCH/BASELINE.md)
@@ -106,9 +110,12 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         )
     big = big.repartition(128).persist()
     n_big = big.count()
-    t0 = time.monotonic()
-    materialize(run_extraction(spark, big, catalog=None, num_partitions=128).extracted)
-    steady_sec = time.monotonic() - t0
+    steady_sec = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        materialize(run_extraction(spark, big, catalog=None, num_partitions=128).extracted)
+        dt = time.monotonic() - t0
+        steady_sec = dt if steady_sec is None else min(steady_sec, dt)
     docs_per_sec_steady = round(n_big / steady_sec, 2)
     big.unpersist()
 
