@@ -176,6 +176,22 @@ def _html_pass(
             any_content = True
         elif kind == "media":
             out.append(_mk_span("media", text, span["media_ref"] or "", 0))
+        elif kind == "pdf":
+            # payload arrives base64 in the text field (spans are
+            # string-typed); decode is stubbed, layout parse is real
+            # (core/pdflayout.py)
+            import base64
+
+            from .pdflayout import pdf_to_text
+
+            try:
+                payload = base64.b64decode(text or "")
+            except Exception:
+                payload = b""
+            pdf_text, _status = pdf_to_text(payload)
+            if pdf_text:
+                out.append(_mk_span("text", normalize_text(pdf_text), "", 0))
+                any_content = True
         else:  # unknown / json kinds reaching the html pass: treat as text
             norm = normalize_text(text)
             if norm:
