@@ -333,6 +333,14 @@ def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-source char-count quantiles.
+    pandas' linear interpolation is DuckDB's quantile_cont — exact twin."""
+    from claude_readability_hook_spark.operators.grouped import per_source_stats
+
+    return per_source_stats(_docs(spark, sf_dir))
+
+
 def q_filter_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6-style: pure filter + aggregate — the shape whose entire
     predicate set pushes into the parquet scan (verified in test_plans)."""
@@ -588,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reddit_parse_score": q_reddit_parse_score,
         "filter_agg_pushdown": q_filter_agg_pushdown,
         "join3_topk": q_join3_topk,
+        "per_source_stats": q_per_source_stats,
     }
 
 
@@ -881,6 +890,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "per_source_stats": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS chars_p90,
+                   CAST(max(n_chars) AS BIGINT) AS chars_max
+            FROM documents GROUP BY source
         """,
         "filter_agg_pushdown": """
             SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))

@@ -162,6 +162,19 @@ def build_html_doc(doc_id: int, text: str) -> list[dict]:
         ]
         return [{"kind": "reddit_json", "text": json.dumps(reddit), "media_ref": "", "offset": 0}]
 
+    if doc_id % 83 == 0 and doc_id > 0:  # PDF span — exercises the layout parse
+        import base64
+
+        payload = bytes((doc_id + i * 13) % 256 for i in range(64))
+        return [
+            {
+                "kind": "pdf",
+                "text": base64.b64encode(payload).decode(),
+                "media_ref": "",
+                "offset": 0,
+            }
+        ]
+
     if doc_id % 31 == 0:  # SPA shell — triggers needs_ssr + recall/failure path
         html = (
             f"<html><head><title>{title}</title></head><body>"
