@@ -714,6 +714,154 @@ def _winnow_oracle_sql() -> str:
     """
 
 
+def _pdf_len_sql() -> str:
+    """Length of the deterministic PDF fake-layout text per doc_id
+    (core/pdflayout.py:_fake_decode + the layout pipeline).
+
+    n_pages = payload[0] %% 3 + 1 where payload[0] = doc_id %% 256.
+    Per page: 4 content blocks (2 cols × 2 rows); running header kept
+    only when n_pages < 3 (strip_running_furniture needs ≥3 pages);
+    page numbers always stripped. Block text = 'p{p} c{c} r{r}: ' +
+    12 words 'w{(seed+k)%%97}' + '.' → 58 − #(values < 10) chars
+    (2-digit words are the base case). Blocks joined '\\n\\n'."""
+
+    def small(p: int, c: int, r: int) -> str:
+        idx = (p * 7 + c * 3 + r) % 64
+        return (
+            f"len(list_filter(range(0,12), k -> "
+            f"((((doc_id + {idx}*13)%256)%97) + k)%97 < 10))"
+        )
+
+    cases = []
+    for npg in (1, 2, 3):
+        blocks = [
+            f"(58 - {small(p, c, r)})"
+            for p in range(npg)
+            for (c, r) in ((0, 0), (1, 0), (0, 1), (1, 1))
+        ]
+        n_blocks = npg * 4 + (npg if npg < 3 else 0)
+        headers = 34 * npg if npg < 3 else 0
+        total = f"({headers} + {' + '.join(blocks)} + {2 * (n_blocks - 1)})"
+        cases.append(f"WHEN {npg} THEN {total}")
+    return f"(CASE ((doc_id%256)%3 + 1) {' '.join(cases)} END)"
+
+
+def _flagship_oracle_sql() -> str:
+    """Arithmetic twin of the full extraction pipeline over the
+    doc_id-deterministic synthetic corpus (sources/corpus.py
+    build_html_doc + core/extractor.py extract_document).
+
+    Derivation, per corpus case (validated 0-mismatch against the pure
+    Python extractor on every doc at sf0.001/0.01/0.1):
+
+    - paragraphs: text.split() → chunks of 12 words + '.'; extracted
+      text = h1 'Document {id}' + paras joined '\\n\\n'; the RECALL
+      serializer drops a trailing para shorter than
+      min_paragraph_chars=10 (corpus paras have no commas).
+    - code (%7): L = id%260+3 lines 'value_{id} = step({i})'; fenced
+      render adds 8 chars (lang is not re-split from the media_ref, so
+      the fence is bare); >200 lines truncates to 200 + a
+      '\\n... [truncated N lines] ...' suffix (27+len(N) chars).
+    - media (%11 in-HTML img, %5 span media + caption), giants (%97)
+      repeat (paras+img+code) 40×; rendered length joins every
+      text/code piece with '\\n\\n' (media contributes only spans).
+    - SO (%53): 920 + 0.45·len(text); text = fixed format strings +
+      first/last para chunk (formatters.py format_stackoverflow).
+    - Reddit (%59): 540 + 2·(id%23 + id%11 + 2) + 0.3·len(text)
+      (3 comments, 3 authors, all votes non-negative).
+    - PDF (%83, id>0): 0.8·len(fake-layout text) — see _pdf_len_sql.
+    - SPA (%31): no content candidate → success=false, score 0.
+    Scores are computed in DOUBLE to match Spark's arithmetic."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, toks,
+         len(toks) AS nw,
+         COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS swl,
+         CAST(ceil(len(toks) / 12.0) AS BIGINT) AS np,
+         length(doc_id::VARCHAR) AS idl
+  FROM base
+),
+parts AS (
+  SELECT doc_id, nw, swl, np, idl,
+         CASE WHEN nw > 0 THEN
+           COALESCE(list_sum(list_transform(toks[1:12], t -> length(t))), 0)
+           + least(nw, 12)
+         ELSE 0 END AS p0,
+         CASE WHEN nw > 0 THEN
+           COALESCE(list_sum(list_transform(toks[(12*(np-1)+1):nw], t -> length(t))), 0)
+           + (nw - 12*(np-1))
+         ELSE 0 END AS plast
+  FROM m
+),
+calc AS (
+  SELECT *,
+    CASE WHEN doc_id % 97 = 0 THEN 40 ELSE 1 END AS rep,
+    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS has_code,
+    CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS has_img,
+    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS has_media,
+    doc_id % 260 + 3 AS cl
+  FROM parts
+),
+k AS (
+  SELECT *,
+    CASE WHEN cl <= 200
+      THEN cl*(15+idl) + (cl + greatest(cl-10,0) + greatest(cl-100,0)) + (cl-1)
+      ELSE 200*(15+idl) + 490 + 199 + 27 + length((cl-200)::VARCHAR)
+    END AS kk
+  FROM calc
+),
+dropped AS (
+  SELECT *,
+    CASE WHEN nw > 0 AND plast < 10 THEN 1 ELSE 0 END AS dr
+  FROM k
+),
+html AS (
+  SELECT *,
+    (9+idl) + rep*(swl+nw-dr*plast) + has_code*rep*(kk+8) + has_media*(50+idl)
+      + 2*(rep*(np-dr) + rep*has_code + has_media) AS rl,
+    (CASE WHEN has_code = 1 OR has_img = 1 THEN rep ELSE 1 END)
+      + has_code*rep + has_img*rep + 2*has_media AS nsp
+  FROM dropped
+)
+SELECT
+  doc_id::VARCHAR AS doc_id,
+  CASE WHEN doc_id % 53 = 0 THEN 'How to process doc ' || doc_id || '?'
+       WHEN doc_id % 59 = 0 THEN 'Thread ' || doc_id
+       WHEN doc_id % 83 = 0 AND doc_id > 0 THEN CAST(NULL AS VARCHAR)
+       ELSE 'Document ' || doc_id END AS title,
+  CASE WHEN doc_id % 53 = 0 THEN 'so-api'
+       WHEN doc_id % 59 = 0 THEN 'reddit-json'
+       ELSE 'recall' END AS engine,
+  CASE WHEN doc_id % 53 = 0
+         THEN round(920.0::DOUBLE + 0.45::DOUBLE*(111 + 3*idl + p0 + plast)::DOUBLE, 4)
+       WHEN doc_id % 59 = 0 THEN round(
+           (540 + (doc_id%23 + doc_id%11 + 2)*2)::DOUBLE
+           + 0.3::DOUBLE*(168 + 8*idl + length((doc_id%23)::VARCHAR)
+                  + length((doc_id%11)::VARCHAR)
+                  + CASE WHEN nw > 0 THEN p0 ELSE 10 END)::DOUBLE, 4)
+       WHEN doc_id % 83 = 0 AND doc_id > 0
+         THEN round(0.8::DOUBLE*{_pdf_len_sql()}::DOUBLE, 4)
+       WHEN doc_id % 31 = 0 THEN 0.0::DOUBLE
+       ELSE round(0.8::DOUBLE*rl::DOUBLE, 4) END AS score,
+  CASE WHEN doc_id % 53 <> 0 AND doc_id % 59 <> 0
+            AND NOT (doc_id % 83 = 0 AND doc_id > 0)
+            AND doc_id % 31 = 0 THEN false ELSE true END AS success,
+  CASE WHEN doc_id % 53 <> 0 AND doc_id % 59 <> 0
+            AND NOT (doc_id % 83 = 0 AND doc_id > 0)
+            AND doc_id % 31 = 0 THEN true ELSE false END AS needs_ssr,
+  CASE WHEN doc_id % 53 = 0 OR doc_id % 59 = 0 THEN 1
+       WHEN doc_id % 83 = 0 AND doc_id > 0 THEN 1
+       WHEN doc_id % 31 = 0 THEN 0
+       ELSE nsp END AS n_spans
+FROM html
+"""
+
+
 _COSINE_SQL = (
     "list_sum(list_transform(range(1, 65), "
     "i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) / "
@@ -725,7 +873,10 @@ _COSINE_SQL = (
 def oracle_sql() -> dict[str, str]:
     shingles = _shingles_sql()
     return {
-        # extract_flagship: rows-only (DOM extraction not SQL-expressible)
+        # The DOM parse itself isn't SQL-expressible, but every output
+        # column IS an arithmetic function of the doc_id-deterministic
+        # corpus synthesis — derived independently in _flagship_oracle_sql.
+        "extract_flagship": _flagship_oracle_sql(),
         "dedup_exact": f"""
             WITH src AS ({_DUP_SQL})
             SELECT md5({_NORM_SQL}) AS dup_hash,
