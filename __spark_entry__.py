@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 NUM_MINHASHES = 12
 BAND_SIZE = 3
+MAX_LSH_BUCKET = 50
 SIMHASH_BITS = 16
 JACCARD_THRESHOLD = 0.5
 JACCARD_NGRAM = 3
@@ -118,6 +119,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_MINHASHES,
         band_size=BAND_SIZE,
         n=JACCARD_NGRAM,
+        max_bucket_size=MAX_LSH_BUCKET,
+        exact_dedup_first=True,
     )
 
 
@@ -630,15 +633,26 @@ def _minhash_oracle_sql() -> str:
     )
     return f"""
         WITH src AS ({_DUP_SQL}),
-        tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM src),
+        keep AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                                      ORDER BY doc_id) AS rn
+            FROM src) t WHERE rn = 1
+        ),
+        tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM keep),
         sh AS (SELECT doc_id, {_shingles_sql()} AS shingles FROM tok),
         ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
         ex AS (SELECT doc_id, unnest(shingles) AS s FROM ne),
         h AS (SELECT doc_id, {_H32_SQL} AS h32 FROM ex),
         sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
-        bands AS ({band_selects})
+        bands AS ({band_selects}),
+        ok AS (SELECT band_idx, band_key FROM bands
+               GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {MAX_LSH_BUCKET})
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands a
+        JOIN ok USING (band_idx, band_key)
+        JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     """

@@ -25,7 +25,7 @@ Scale notes (the design point is 10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textcommon import norm_text_expr, shingles_expr, tokens_expr
@@ -47,6 +47,24 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+def exact_dedup_keepers(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one representative (min doc_id) per exact-duplicate group.
+
+    The mandatory pre-pass before minhash LSH: verbatim clones share
+    EVERY band, so at web scale a popular boilerplate page would put
+    its whole clone set into one bucket (quadratic pair output, OOM on
+    the collect). Removing exact dups first — one window shuffle on the
+    16-byte hash, never the text — leaves LSH only the near-dup work it
+    is built for; the clones themselves are reported by
+    exact_duplicates on the same hash."""
+    w = Window.partitionBy(F.md5(norm_text_expr(F.col(text_col)))).orderBy("doc_id")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -125,20 +143,18 @@ def minhash_signature(
     return exploded.groupBy("doc_id").agg(*mins)
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     df: DataFrame,
     num_hashes: int = 12,
     band_size: int = 3,
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥ 1 LSH band.
+    """(band_idx, band_key, ids) LSH buckets with ≥ 2 members.
 
     signature agg → band keys (md5 of '|'-joined band values) → stack to
-    (band_idx, band_key) rows → groupBy bucket, collect sorted doc ids →
-    in-row pair expansion → distinct. Two small shuffles; expected
-    bucket size is O(1) for non-duplicates so the expansion output is
-    ~linear in true near-dup pairs."""
+    (band_idx, band_key) rows → groupBy bucket, collect sorted doc ids.
+    Two small shuffles; expected bucket size is O(1) for non-duplicates."""
     nbands = num_hashes // band_size
     sig = minhash_signature(df, num_hashes, text_col, n)
     band_cols = [
@@ -158,12 +174,64 @@ def minhash_lsh_candidates(
     bands = with_bands.selectExpr(
         "doc_id", f"stack({nbands}, {stack_args}) AS (band_idx, band_key)"
     )
-    grouped = (
+    return (
         bands.groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    text_col: str = "text",
+    n: int = 3,
+    max_bucket_size: int | None = 50,
+    exact_dedup_first: bool = True,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing ≥ 1 LSH band.
+
+    Bucket → in-row pair expansion → distinct; the expansion output is
+    ~linear in true near-dup pairs. Two guards bound the worst case
+    (the same fanout control as the jaccard operator's max_shingle_df):
+
+      exact_dedup_first  verbatim clones are collapsed to one
+                         representative BEFORE hashing (they share every
+                         band — a popular boilerplate page would
+                         otherwise put its whole clone set in one
+                         bucket); the clones are exact_duplicates' job
+      max_bucket_size    buckets larger than this are dropped instead
+                         of expanded to O(m²) pairs / OOM'ing the
+                         collect — count them via
+                         minhash_oversize_buckets for quarantine"""
+    if exact_dedup_first:
+        df = exact_dedup_keepers(df, text_col)
+    grouped = minhash_band_buckets(df, num_hashes, band_size, text_col, n)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return _expand_pairs(grouped)
+
+
+def minhash_oversize_buckets(
+    df: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    text_col: str = "text",
+    n: int = 3,
+    max_bucket_size: int = 50,
+    exact_dedup_first: bool = True,
+) -> DataFrame:
+    """The buckets minhash_lsh_candidates dropped: (band_idx, band_key,
+    n_docs) for the quarantine/lineage sink — metadata only, never the
+    member list itself."""
+    if exact_dedup_first:
+        df = exact_dedup_keepers(df, text_col)
+    return (
+        minhash_band_buckets(df, num_hashes, band_size, text_col, n)
+        .filter(F.size("ids") > max_bucket_size)
+        .select("band_idx", "band_key", F.size("ids").cast("long").alias("n_docs"))
+    )
 
 
 def simhash(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:

@@ -30,12 +30,61 @@ def test_exact_dedup_finds_all_planted_clones(spark, planted):
 def test_minhash_finds_near_dups(spark, planted):
     near, exact = planted
     pairs = {(r["doc_a"], r["doc_b"]) for r in em.q_dedup_minhash_lsh(spark, SF_DIR).collect()}
-    # verbatim clones share every band — all must surface
-    missing_exact = {d for d in exact if (d, d + 2000000) not in pairs}
-    assert not missing_exact
+    # verbatim clones are collapsed by the exact-dedup pre-pass BEFORE
+    # hashing — they must NOT resurface here (exact_duplicates owns them)
+    leaked_exact = {d for d in exact if (d, d + 2000000) in pairs}
+    assert not leaked_exact
     # ' extra token' clones share most shingles — high recall expected
     found_near = {d for d in near if (d, d + 1000000) in pairs}
     assert len(found_near) >= 0.8 * len(near)
+
+
+def test_minhash_bucket_cap_bounds_boilerplate_blowup(spark):
+    """>cap near-identical (but not verbatim) docs share every band ⇒
+    one giant bucket; the cap must drop it instead of emitting O(m²)
+    pairs, and the oversize bucket must be reportable for quarantine."""
+    from claude_readability_hook_spark.operators.dedup import (
+        exact_dedup_keepers,
+        minhash_lsh_candidates,
+        minhash_oversize_buckets,
+    )
+
+    n = 80  # > cap of 50
+    # many distinct shingles ⇒ the 3 suffix shingles almost never win a
+    # min ⇒ near-all docs share the full signature (one giant bucket)
+    base = " ".join(f"word{j}" for j in range(300)) + " "
+    rows = [(i, base + f"unique-{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # not exact dups — the pre-pass must keep all of them
+    assert exact_dedup_keepers(df).count() == n
+
+    pairs = minhash_lsh_candidates(df, max_bucket_size=50)
+    # uncapped this would be ~ n*(n-1)/2 = 3160 pairs from one bucket
+    assert pairs.count() < n
+
+    oversize = minhash_oversize_buckets(df, max_bucket_size=50).collect()
+    assert oversize and all(r["n_docs"] > 50 for r in oversize)
+
+
+def test_minhash_exact_clones_collapse_without_blowup(spark):
+    """>cap VERBATIM clones: the exact pre-pass collapses them to one
+    doc, so no bucket forms at all — and dedup_exact still reports the
+    full clone group."""
+    from claude_readability_hook_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_candidates,
+    )
+
+    n = 80
+    text = "identical boilerplate page content repeated verbatim " * 30
+    rows = [(i, text) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    assert minhash_lsh_candidates(df, max_bucket_size=50).count() == 0
+    groups = exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == n
+    assert groups[0]["keeper_doc_id"] == 0
 
 
 def test_jaccard_verifies_near_dups(spark, planted):
