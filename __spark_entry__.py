@@ -422,6 +422,34 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, query_vec_id=0, k=ANN_K, num_planes=LSH_PLANES, dims=EMBED_DIMS)
 
 
+ANN_N_PROBE = 2
+
+
+def q_ann_lsh_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.similarity import lsh_query_probes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_query_probes(
+        emb, query_vec_id=0, n_probe=ANN_N_PROBE, num_planes=LSH_PLANES, dims=EMBED_DIMS
+    )
+
+
+def q_ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.similarity import (
+        lsh_ann_topk_multiprobe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_ann_topk_multiprobe(
+        emb,
+        query_vec_id=0,
+        k=ANN_K,
+        n_probe=ANN_N_PROBE,
+        num_planes=LSH_PLANES,
+        dims=EMBED_DIMS,
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import semantic_dedup_pairs
 
@@ -591,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_probes": q_ann_lsh_probes,
+        "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
         "token_bpe": q_token_bpe,
@@ -687,6 +717,35 @@ def _lsh_bucket_sql() -> str:
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
     return " + ".join(terms)
+
+
+def _lsh_probes_sql() -> str:
+    """Multi-probe set twin (operators/similarity.py lsh_query_probes):
+    flip the ANN_N_PROBE least-confident bits (smallest rounded
+    |projection|, plane index tiebreak) of the query's bucket."""
+    proj = (
+        "list_sum(list_transform(range(1, {dims} + 1), "
+        "d -> embedding[d]::DOUBLE * "
+        "(CASE WHEN strpos('02468ace', substr(md5(p::VARCHAR || '-' || (d - 1)::VARCHAR), 1, 1)) > 0 "
+        "THEN 1.0 ELSE -1.0 END)))"
+    ).format(dims=EMBED_DIMS)
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        c AS (
+          SELECT list_sort(list_transform(range(0, {LSH_PLANES}), p ->
+                   struct_pack(conf := round(abs({proj}), 6), plane := p)
+                 )) AS ordered,
+                 CAST({_lsh_bucket_sql()} AS BIGINT) AS qb
+          FROM q
+        ),
+        flat AS (
+          SELECT unnest(list_prepend(qb, list_transform(ordered[1:{ANN_N_PROBE}],
+                 s -> xor(qb, CAST(1 << s.plane AS BIGINT))))) AS probe_bucket
+          FROM c
+        )
+        SELECT DISTINCT CAST(probe_bucket AS BIGINT) AS probe_bucket
+        FROM flat ORDER BY probe_bucket
+    """
 
 
 def _bpe_sql_pattern() -> str:
@@ -1108,6 +1167,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             JOIN buckets be ON be.vec_id = e.vec_id
             JOIN qb ON be.bucket = qb.bucket, q
+            WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id
+            LIMIT {ANN_K}
+        """,
+        "ann_lsh_probes": _lsh_probes_sql(),
+        "ann_lsh_topk_multiprobe": f"""
+            WITH buckets AS (
+              SELECT vec_id, CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket FROM embeddings
+            ),
+            probes AS ({_lsh_probes_sql()}),
+            q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, round({_COSINE_SQL}, 6) AS cosine
+            FROM embeddings e
+            JOIN buckets be ON be.vec_id = e.vec_id
+            JOIN probes ON be.bucket = probes.probe_bucket, q
             WHERE e.vec_id <> 0
             ORDER BY cosine DESC, e.vec_id
             LIMIT {ANN_K}

@@ -89,32 +89,44 @@ def hyperplane_components(plane: int, dims: int) -> list[float]:
     ]
 
 
-def hyperplane_sign_expr(vec: Column, plane: int, dims: int) -> Column:
-    """Sign of the projection onto hyperplane `plane`: zip_with against
-    the literal sign array + aggregate. (A flat 64-term sum per plane
-    was measured 6× slower — the generated method blows past the JIT
-    inlining budget and drops to interpreted evaluation.)"""
+def hyperplane_proj_expr(vec: Column, plane: int, dims: int) -> Column:
+    """Projection onto hyperplane `plane`: zip_with against the literal
+    sign array + aggregate. (A flat 64-term sum per plane was measured
+    6× slower — the generated method blows past the JIT inlining budget
+    and drops to interpreted evaluation.)"""
     signs = F.array(*[F.lit(s) for s in hyperplane_components(plane, dims)])
-    proj = F.aggregate(
+    return F.aggregate(
         F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return (proj > 0).cast("int")
+
+
+def hyperplane_sign_expr(vec: Column, plane: int, dims: int) -> Column:
+    return (hyperplane_proj_expr(vec, plane, dims) > 0).cast("int")
+
+
+def lsh_bucket_expr(vec: Column, num_planes: int = 8, dims: int = 64) -> Column:
+    """bucket = Σ sign_p · 2^p over num_planes hyperplanes — a pure
+    per-row expression. Always ATTACH it with withColumn/select; joining
+    a separately-computed bucket table back on vec_id would shuffle the
+    full embedding column for a value derivable in place."""
+    bucket = None
+    for p in range(num_planes):
+        term = hyperplane_sign_expr(vec, p, dims).cast("long") * F.lit(2**p).cast(
+            "long"
+        )
+        bucket = term if bucket is None else bucket + term
+    return bucket
 
 
 def signed_projection_lsh_buckets(
     df: DataFrame, num_planes: int = 8, dims: int = 64, vec_col: str = "embedding"
 ) -> DataFrame:
-    """(vec_id, bucket) where bucket = Σ sign_p · 2^p over num_planes
-    hyperplanes. Same-bucket vectors are ANN candidates."""
-    bucket = None
-    for p in range(num_planes):
-        term = hyperplane_sign_expr(F.col(vec_col), p, dims).cast("long") * F.lit(
-            2**p
-        ).cast("long")
-        bucket = term if bucket is None else bucket + term
-    return df.select("vec_id", bucket.alias("bucket"))
+    """(vec_id, bucket) — same-bucket vectors are ANN candidates."""
+    return df.select(
+        "vec_id", lsh_bucket_expr(F.col(vec_col), num_planes, dims).alias("bucket")
+    )
 
 
 def semantic_dedup_pairs(
@@ -129,10 +141,12 @@ def semantic_dedup_pairs(
     Brute-force all-pairs cosine is quadratic — a non-starter at scale.
     Candidates are restricted to pairs sharing an LSH bucket (recall
     tunable via num_planes; multi-probe extends it), then verified by
-    exact cosine ≥ threshold. At 10^12 rows the bucket table would be
-    materialized once and bucket-local joins run per bucket."""
-    buckets = signed_projection_lsh_buckets(df, num_planes, dims, vec_col)
-    with_buckets = df.select("vec_id", vec_col).join(buckets, "vec_id")
+    exact cosine ≥ threshold. The bucket is attached in-row
+    (lsh_bucket_expr) — no self-join, so the embedding column is
+    shuffled exactly once, by the bucket-key pair join itself."""
+    with_buckets = df.select(
+        "vec_id", vec_col, lsh_bucket_expr(F.col(vec_col), num_planes, dims).alias("bucket")
+    )
     a = with_buckets.alias("a")
     b = with_buckets.alias("b")
     return (
@@ -152,6 +166,84 @@ def semantic_dedup_pairs(
     )
 
 
+def lsh_query_probes(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    n_probe: int = 2,
+    num_planes: int = 8,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe set for the query: its own bucket plus the n_probe
+    buckets reached by flipping its LEAST-CONFIDENT bits — the planes
+    with the smallest |projection|, i.e. the hyperplanes the query sits
+    closest to, where true neighbors most likely landed on the other
+    side (the classic multi-probe LSH heuristic; public algorithm).
+
+    Everything is in-row Column algebra over the single query row
+    (array of (|proj|, plane) structs → array_sort → slice → XOR via a
+    2^p lookup array), so the identical formula runs in any engine —
+    the DuckDB twin uses list_sort + xor(). Returns (probe_bucket),
+    sorted-unique, n_probe+1 rows."""
+    q = df.filter(F.col("vec_id") == query_vec_id)
+    conf = F.array(
+        *[
+            F.struct(
+                F.round(F.abs(hyperplane_proj_expr(F.col(vec_col), p, dims)), 6).alias(
+                    "conf"
+                ),
+                F.lit(p).alias("plane"),
+            )
+            for p in range(num_planes)
+        ]
+    )
+    flips = F.slice(F.array_sort(conf), 1, n_probe)
+    pow2 = F.array(*[F.lit(2**p).cast("long") for p in range(num_planes)])
+    bucket = lsh_bucket_expr(F.col(vec_col), num_planes, dims)
+    probes = F.array_union(
+        F.array(bucket),
+        F.transform(flips, lambda s: bucket.bitwiseXOR(F.element_at(pow2, s["plane"] + 1))),
+    )
+    return (
+        q.select(F.explode(probes).alias("probe_bucket"))
+        .distinct()
+        .orderBy("probe_bucket")
+    )
+
+
+def lsh_ann_topk_multiprobe(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    num_planes: int = 8,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over the multi-probe bucket set: recall strictly dominates
+    single-probe lsh_ann_topk (its probe set is a superset) at the cost
+    of scanning ≈ (n_probe+1)·N/2^num_planes candidates instead of
+    N/2^num_planes. The probe set (≤ n_probe+1 rows) broadcasts."""
+    with_buckets = df.withColumn(
+        "bucket", lsh_bucket_expr(F.col(vec_col), num_planes, dims)
+    )
+    probes = lsh_query_probes(df, query_vec_id, n_probe, num_planes, dims, vec_col)
+    query_vec = df.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+    return (
+        with_buckets.join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
+        .crossJoin(F.broadcast(query_vec))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col(vec_col), F.col("query_vec")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_vec_id: int = 0,
@@ -162,12 +254,14 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """ANN: brute-force cosine only within the query's LSH bucket.
 
-    Recall < 1.0 by construction (single-probe); at scale one adds
-    multi-probe by flipping low-confidence bits. The candidate scan is
-    |bucket| ≈ N / 2^num_planes rows instead of N."""
-    buckets = signed_projection_lsh_buckets(df, num_planes, dims, vec_col)
-    with_buckets = df.join(buckets, "vec_id")
-    query_bucket = buckets.filter(F.col("vec_id") == query_vec_id).select(
+    Recall < 1.0 by construction (single-probe); lsh_ann_topk_multiprobe
+    extends recall by also scanning the buckets at Hamming distance 1.
+    The candidate scan is |bucket| ≈ N / 2^num_planes rows instead of N.
+    The bucket is attached in-row (lsh_bucket_expr) — no self-join."""
+    with_buckets = df.withColumn(
+        "bucket", lsh_bucket_expr(F.col(vec_col), num_planes, dims)
+    )
+    query_bucket = with_buckets.filter(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("qb")
     )
     query_vec = df.filter(F.col("vec_id") == query_vec_id).select(
