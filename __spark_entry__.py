@@ -337,8 +337,10 @@ def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: per-source char-count quantiles.
-    pandas' linear interpolation is DuckDB's quantile_cont — exact twin."""
+    """Per-source char-count quantiles via the scale-safe histogram
+    plan (exact linear interpolation == DuckDB quantile_cont). The
+    applyInPandas grouped-map twin is differential-tested against this
+    in tests/test_grouped.py."""
     from claude_readability_hook_spark.operators.grouped import per_source_stats
 
     return per_source_stats(_docs(spark, sf_dir))
