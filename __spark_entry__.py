@@ -95,9 +95,9 @@ def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.plans.pipeline import run_extraction
     from claude_readability_hook_spark.sources.corpus import corpus_from_flat
 
-    # persist: the pipeline reads the corpus twice (partition sizing +
-    # extraction); without the cache the synthesis UDF would rerun
-    corpus = corpus_from_flat(spark, sf_dir, repartition=8).persist()
+    # No persist needed: partition sizing is a logical-plan estimate
+    # (no .rdd round-trip), so the synthesis UDF runs exactly once.
+    corpus = corpus_from_flat(spark, sf_dir, repartition=8)
     result = run_extraction(spark, corpus, catalog=None, num_partitions=8)
     return result.extracted.select(
         "doc_id", "title", "engine", F.round("score", 4).alias("score"),

@@ -66,5 +66,13 @@ class EngineConfig:
     giant_doc_bytes: int = 1_048_576  # docs above this get their own salt stripe
     target_partition_bytes: int = 64 * 1024 * 1024  # ~ one Arrow batch of HTML
 
+    # Staleness / re-extraction policy — the batch analog of the
+    # reference's 24h LRU TTL (lib/cache.ts:12-22). Committed rows from
+    # an older engine_version are re-extracted on the next run; set
+    # reextract_ttl_hours to also age out rows by wall clock (None =
+    # version-based staleness only, the safe batch default).
+    engine_version: int = 2
+    reextract_ttl_hours: float | None = None
+
 
 DEFAULT = EngineConfig()

@@ -49,6 +49,51 @@ def validated(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     return out.withColumn("oversize", F.col("n_bytes") > cfg.max_html_bytes)
 
 
+def _parse_bytes_conf(v: str) -> int:
+    """Parse Spark size confs like '134217728b' / '128m' / '1g'."""
+    s = v.strip().lower().rstrip("b")
+    mult = 1
+    if s and s[-1] in "kmgt":
+        mult = 1024 ** ("kmgt".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(s) * mult if s else 128 * 1024 * 1024
+
+
+def _estimated_scan_partitions(spark: SparkSession, df: DataFrame) -> int | None:
+    """Estimate how many scan partitions the plan's leaf files yield,
+    WITHOUT df.rdd (which forces plan analysis on the driver and hides
+    the plan from AQE): leaf file bytes / maxPartitionBytes. Returns
+    None when the plan already contains an explicit repartition — the
+    caller's partitioning is authoritative then. Non-file sources
+    (in-memory test frames) fall back to defaultParallelism."""
+    try:
+        logical = df._jdf.queryExecution().logical().toString()
+        if "Repartition" in logical:  # Repartition / RepartitionByExpression
+            return None
+    except Exception:
+        pass
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return spark.sparkContext.defaultParallelism
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for f in files:
+        path = urlparse(f).path or f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            pass
+    max_pb = _parse_bytes_conf(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    )
+    return max(1, -(-total // max_pb))
+
+
 @dataclass
 class RunResult:
     run_id: str
@@ -83,20 +128,33 @@ def run_extraction(
     done = None
     if catalog is not None and catalog.exists(EXTRACTED_TABLE):
         done = catalog.read(EXTRACTED_TABLE)
-    todo = remaining_documents(df, done)
+    # "absent OR stale": older engine_version (and, if configured,
+    # rows past the TTL) are re-extracted — the reference's 24h cache
+    # TTL (lib/cache.ts:12-22) as a batch policy.
+    todo = remaining_documents(
+        df, done, engine_version=cfg.engine_version, max_age_hours=cfg.reextract_ttl_hours
+    )
 
     quarantined = todo.filter(F.col("oversize"))
     todo = todo.filter(~F.col("oversize"))
 
     nparts = num_partitions or partitions_for(todo, cfg)
-    src_parts = todo.rdd.getNumPartitions()
+    # Logical-plan partition estimate (no .rdd conversion — that would
+    # sidestep AQE's view of the plan and force an analysis round-trip
+    # on the driver): leaf scan partitions from the file sizes.
+    src_parts = _estimated_scan_partitions(spark, todo)
     needs_shuffle = repartition == "force" or (
-        repartition == "auto" and (src_parts < max(nparts // 2, 1) or src_parts > nparts * 4)
+        repartition == "auto"
+        and src_parts is not None
+        and (src_parts < max(nparts // 2, 1) or src_parts > nparts * 4)
     )
     if needs_shuffle:
         todo = salted_repartition(todo, nparts, cfg)
 
     with_metrics = extract_spans(todo, cfg)
+    with_metrics = with_metrics.withColumn(
+        "engine_version", F.lit(cfg.engine_version)
+    ).withColumn("extracted_at", F.current_timestamp())
 
     if catalog is not None:
         # Materialize ONCE via localCheckpoint, not persist: appending to
