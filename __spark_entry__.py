@@ -790,35 +790,12 @@ def _winnow_oracle_sql() -> str:
 
 
 def _pdf_len_sql() -> str:
-    """Length of the deterministic PDF fake-layout text per doc_id
-    (core/pdflayout.py:_fake_decode + the layout pipeline).
-
-    n_pages = payload[0] %% 3 + 1 where payload[0] = doc_id %% 256.
-    Per page: 4 content blocks (2 cols × 2 rows); running header kept
-    only when n_pages < 3 (strip_running_furniture needs ≥3 pages);
-    page numbers always stripped. Block text = 'p{p} c{c} r{r}: ' +
-    12 words 'w{(seed+k)%%97}' + '.' → 58 − #(values < 10) chars
-    (2-digit words are the base case). Blocks joined '\\n\\n'."""
-
-    def small(p: int, c: int, r: int) -> str:
-        idx = (p * 7 + c * 3 + r) % 64
-        return (
-            f"len(list_filter(range(0,12), k -> "
-            f"((((doc_id + {idx}*13)%256)%97) + k)%97 < 10))"
-        )
-
-    cases = []
-    for npg in (1, 2, 3):
-        blocks = [
-            f"(58 - {small(p, c, r)})"
-            for p in range(npg)
-            for (c, r) in ((0, 0), (1, 0), (0, 1), (1, 1))
-        ]
-        n_blocks = npg * 4 + (npg if npg < 3 else 0)
-        headers = 34 * npg if npg < 3 else 0
-        total = f"({headers} + {' + '.join(blocks)} + {2 * (n_blocks - 1)})"
-        cases.append(f"WHEN {npg} THEN {total}")
-    return f"(CASE ((doc_id%256)%3 + 1) {' '.join(cases)} END)"
+    """Length of the REAL-PDF extraction per doc_id: the corpus embeds
+    an uncompressed PDF (sources/corpus.py) whose three text blocks are
+    fixed-format strings; the content-stream decoder + layout pass
+    (core/pdflayout.py) emits them as three paragraphs joined '\\n\\n':
+    (25+idl) + (24+idl) + (22+idl) + 4."""
+    return "(75 + 3*length(doc_id::VARCHAR))"
 
 
 def _flagship_oracle_sql() -> str:

@@ -1,0 +1,161 @@
+"""Pure-Python PNG codec (stdlib zlib only) — the REAL image-decode
+path for the multimodal operators.
+
+No image library ships in this container, but PNG needs nothing beyond
+zlib: chunk walk → IHDR geometry → concatenated-IDAT inflate →
+per-scanline filter reversal (types 0-4, the full spec set) → pixels.
+Supported: 8-bit grayscale (color type 0) and 8-bit RGB (color type 2),
+non-interlaced — which covers everything synthesize_png produces and
+the common thumbnail case. Other color types / bit depths / interlace
+raise NotImplementedError so callers can fall back (and say so in
+decode_ok) instead of mis-decoding.
+
+encode_png exists so tests and synthetic media tables carry REAL
+decodable payloads — no external fixture data.
+
+PNG is a public spec (RFC 2083); this is an independent minimal
+implementation.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: list[list[int]]) -> bytes:
+    """8-bit grayscale PNG from a row-major pixel matrix (filter 0)."""
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def is_png(payload: bytes) -> bool:
+    return payload[:8] == _PNG_SIG
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """PNG → (width, height, channels, unfiltered pixel bytes).
+
+    Raises ValueError on a malformed file and NotImplementedError on a
+    valid-but-unsupported variant (palette/alpha/16-bit/interlaced)."""
+    if not is_png(payload):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated chunk")
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                raise NotImplementedError(
+                    f"unsupported PNG variant: depth={depth} color={color} interlace={interlace}"
+                )
+            channels = 1 if color == 0 else 3
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("bad decompressed length")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def luminance_histogram(payload: bytes, dim: int = 16) -> list[float]:
+    """REAL image feature: decode the PNG and bucket pixel luminance
+    (ITU-R 601 weights for RGB) into `dim` bins, L1-normalized."""
+    width, height, channels, pixels = decode_png(payload)
+    buckets = [0] * dim
+    n = width * height
+    if channels == 1:
+        for v in pixels:
+            buckets[v * dim // 256] += 1
+    else:
+        for i in range(0, len(pixels), 3):
+            lum = (299 * pixels[i] + 587 * pixels[i + 1] + 114 * pixels[i + 2]) // 1000
+            buckets[lum * dim // 256] += 1
+    return [round(c / n, 6) for c in buckets]
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """JPEG SOF scan for (width, height) — header-only, no pixel path
+    (a full JPEG entropy decode is out of scope without a codec lib)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
+            height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return width, height
+        pos += 2 + seglen
+    raise ValueError("no SOF marker")

@@ -1,10 +1,12 @@
 """PDF / layout parsing for kind='pdf' spans (north_rule: "HTML
 boilerplate strip, PDF/layout parse, DOM heuristics").
 
-The byte-level PDF decoder is STUBBED — no PDF library ships in this
-container (pdfminer/pypdf/mupdf absent); `_decode_pdf` raises
-NotImplementedError and a deterministic fake stands in so the pipeline
-is exercised end-to-end. Everything downstream of decode is REAL
+Decode has a REAL path for uncompressed PDFs (`_decode_pdf`: content
+streams → Tm/Td/Tf/Tj text operators → positioned blocks; status
+'ok'), built with no PDF library — none ships in this container.
+Compressed/exotic PDFs and non-PDF payloads fall back to a
+deterministic synthetic layout (status 'stubbed') so the pipeline is
+exercised end-to-end either way. Everything downstream of decode is
 layout logic over positioned text blocks and carries the actual
 heuristics a layout parse needs:
 
@@ -33,11 +35,72 @@ class Block:
     font_size: float = 10.0
 
 
+_STREAM_RE = None  # compiled lazily below
+
+
 def _decode_pdf(payload: bytes) -> list[Block]:
-    """STUB — a real implementation needs a PDF library (pdfminer /
-    pypdf / mupdf), none of which are in this container. Swap the body,
-    keep the signature (payload → positioned text blocks)."""
-    raise NotImplementedError("PDF decode requires a PDF library; not in container")
+    """REAL decode for uncompressed PDFs: walk the content streams and
+    interpret the text operators — `Tm`/`Td` (position), `Tf` (font
+    size), `Tj` (show string) — emitting one positioned Block per shown
+    string. Page index = content-stream order; PDF user space grows
+    upward, Block y grows downward, so y0 = page_height − Ty.
+
+    Scope is deliberately minimal-but-real: no /Filter streams (a
+    FlateDecode stream would need only zlib, but object/xref plumbing
+    for arbitrary PDFs is a library's job), no font metrics — width is
+    approximated from the string length × font size. Compressed or
+    exotic PDFs raise NotImplementedError so decode_pdf falls back."""
+    import re
+
+    if not payload.startswith(b"%PDF-"):
+        raise NotImplementedError("not a PDF payload")
+    global _STREAM_RE
+    if _STREAM_RE is None:
+        _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
+    page_height = 792.0  # US Letter default MediaBox
+    blocks: list[Block] = []
+    page = -1
+    for m in _STREAM_RE.finditer(payload):
+        hdr, body = m.group(1), m.group(2)
+        if b"/Filter" in hdr:
+            raise NotImplementedError("compressed PDF streams need a filter pipeline")
+        if b"BT" not in body:
+            continue
+        page += 1
+        x = y = 0.0
+        size = 10.0
+        for op in re.finditer(
+            rb"(?:(-?[\d.]+)\s+(-?[\d.]+)\s+(Td|TD)"
+            rb"|(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+Tm"
+            rb"|/\w+\s+(-?[\d.]+)\s+Tf"
+            rb"|\(((?:[^()\\]|\\.)*)\)\s*Tj)",
+            body,
+        ):
+            g = op.groups()
+            # group layout: 0-2 Td/TD, 3-8 Tm, 9 Tf, 10 Tj
+            if g[2] is not None:  # Td/TD — relative move
+                x += float(g[0])
+                y += float(g[1])
+            elif g[3] is not None:  # Tm — absolute matrix (e f = origin)
+                x, y = float(g[7]), float(g[8])
+            elif g[9] is not None:  # Tf
+                size = float(g[9])
+            elif g[10] is not None:  # Tj
+                text = (
+                    g[10]
+                    .replace(rb"\(", b"(")
+                    .replace(rb"\)", b")")
+                    .replace(rb"\\", b"\\")
+                    .decode("latin-1")
+                )
+                if text.strip():
+                    y0 = page_height - y
+                    blocks.append(
+                        Block(page, x, y0, x + 0.5 * size * len(text), y0 + size, text, size)
+                    )
+    if page < 0:
+        raise NotImplementedError("no text content streams found")
+    return blocks
 
 
 def _fake_decode(payload: bytes) -> list[Block]:
@@ -72,6 +135,31 @@ def decode_pdf(payload: bytes) -> tuple[list[Block], str]:
         return _fake_decode(payload), "stubbed"
     except Exception as exc:  # noqa: BLE001
         return [], f"decode error: {type(exc).__name__}"
+
+
+def synthesize_pdf(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
+    """A REAL minimal uncompressed PDF (tests/bench — no fixture data):
+    one content stream per page, each item = (x, y_from_top, font_size,
+    text). Round-trips through _decode_pdf exactly."""
+    parts = [b"%PDF-1.4\n"]
+    for items in pages:
+        ops = [b"BT"]
+        for x, y_top, size, text in items:
+            esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            ops.append(f"/F1 {size:g} Tf".encode())
+            ops.append(f"1 0 0 1 {x:g} {792 - y_top:g} Tm".encode())
+            ops.append(b"(" + esc.encode("latin-1") + b") Tj")
+        ops.append(b"ET")
+        body = b"\n".join(ops)
+        parts.append(
+            b"<< /Length "
+            + str(len(body)).encode()
+            + b" >>\nstream\n"
+            + body
+            + b"\nendstream\n"
+        )
+    parts.append(b"%%EOF\n")
+    return b"".join(parts)
 
 
 # ---------------------------------------------------------------------------

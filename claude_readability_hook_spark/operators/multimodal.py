@@ -7,10 +7,13 @@ The interleaved-span model carries media as `kind='media'` spans whose
     media(media_ref: string, modality: string, payload: binary,
           width: int, height: int, duration_ms: long, mime: string)
 
-Decode / feature-extraction bodies are STUBBED (no image/audio libs in
-this container — clearly marked below); everything Spark-side is real
-and tested: schema, partition-size control for large binaries, Arrow
-batch shape, UDF signatures, and the join back to span order.
+PNG decode is REAL (pure-Python codec, core/imagecodec.py): valid PNGs
+produce decode_ok='ok' with a true pixel-luminance feature. Other
+formats (JPEG pixels, audio, video) fall back to a deterministic fake
+with decode_ok='stubbed' — no codec libs in this container. Everything
+Spark-side is real and tested either way: schema, partition-size
+control for large binaries, Arrow batch shape, UDF signatures, and the
+join back to span order.
 
 Scale notes: payloads dominate bytes (a thumbnail ≈ 100× its metadata).
 The operators therefore (a) never shuffle payloads — feature extraction
@@ -64,11 +67,16 @@ FEATURE_DIM = 16
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """STUB — real implementation needs an image decoder (PIL/opencv),
-    not present in this container. The deterministic fake below keeps
-    the pipeline testable end-to-end; swap the body, keep the
-    signature (payload -> fixed-dim float feature)."""
-    raise NotImplementedError("image decode requires PIL/opencv; not in container")
+    """REAL decode for PNG (pure-Python chunk walk + zlib inflate +
+    filter reversal, core/imagecodec.py) → luminance-histogram feature.
+    JPEG/other formats still raise NotImplementedError (a full JPEG
+    entropy decode needs a codec lib this container doesn't have) and
+    fall back to the deterministic fake with decode_ok='stubbed'."""
+    from ..core.imagecodec import is_png, luminance_histogram
+
+    if is_png(payload):
+        return luminance_histogram(payload, FEATURE_DIM)
+    raise NotImplementedError("non-PNG image decode needs a codec lib; not in container")
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -148,20 +156,34 @@ def join_media_features(extracted: DataFrame, features: DataFrame) -> DataFrame:
     ).orderBy("doc_id", "offset")
 
 
-def synthesize_media_table(spark: SparkSession, refs: list[str]) -> DataFrame:
+def synthesize_media_table(
+    spark: SparkSession, refs: list[str], real_png: bool = False
+) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
-    payload bytes derived from the ref string — no external data."""
+    payload bytes derived from the ref string — no external data.
+    real_png=True emits VALID PNGs (a seed-derived gradient) so the
+    real decode path runs; default keeps the opaque-bytes payloads the
+    fallback path is tested with."""
     rows = []
     for ref in refs:
         seed = sum(ref.encode())
-        payload = bytes((seed + i * 31) % 256 for i in range(512 + seed % 256))
+        if real_png:
+            from ..core.imagecodec import encode_png
+
+            w, h = 16 + seed % 16, 16
+            payload = encode_png(
+                [[(seed + x * 7 + y * 13) % 256 for x in range(w)] for y in range(h)]
+            )
+        else:
+            w, h = 64 + seed % 64, 64
+            payload = bytes((seed + i * 31) % 256 for i in range(512 + seed % 256))
         rows.append(
             {
                 "media_ref": ref,
                 "modality": "image",
                 "payload": payload,
-                "width": 64 + seed % 64,
-                "height": 64,
+                "width": w,
+                "height": h,
                 "duration_ms": None,
                 "mime": "image/png",
             }

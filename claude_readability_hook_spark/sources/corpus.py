@@ -162,10 +162,22 @@ def build_html_doc(doc_id: int, text: str) -> list[dict]:
         ]
         return [{"kind": "reddit_json", "text": json.dumps(reddit), "media_ref": "", "offset": 0}]
 
-    if doc_id % 83 == 0 and doc_id > 0:  # PDF span — exercises the layout parse
+    if doc_id % 83 == 0 and doc_id > 0:  # REAL (uncompressed) PDF span —
+        # round-trips through the actual content-stream decoder
+        # (core/pdflayout.py _decode_pdf), not the synthetic fallback
         import base64
 
-        payload = bytes((doc_id + i * 13) % 256 for i in range(64))
+        from ..core.pdflayout import synthesize_pdf
+
+        payload = synthesize_pdf(
+            [
+                [
+                    (40, 100, 10, f"Pdf doc {doc_id} intro paragraph."),
+                    (40, 300, 10, f"Pdf doc {doc_id} body paragraph."),
+                ],
+                [(40, 100, 10, f"Pdf doc {doc_id} closing page.")],
+            ]
+        )
         return [
             {
                 "kind": "pdf",

@@ -1,0 +1,193 @@
+"""Real (non-stubbed) decode paths: the pure-Python PNG codec and the
+uncompressed-PDF text extractor — decode_ok='ok' rows end-to-end."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from claude_readability_hook_spark.core.imagecodec import (
+    decode_png,
+    encode_png,
+    is_png,
+    jpeg_dimensions,
+    luminance_histogram,
+)
+from claude_readability_hook_spark.core.pdflayout import (
+    decode_pdf,
+    pdf_to_text,
+    synthesize_pdf,
+)
+
+# ---------------------------------------------------------------------------
+# PNG codec
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_grayscale():
+    pixels = [[(x * 7 + y * 13) % 256 for x in range(20)] for y in range(9)]
+    png = encode_png(pixels)
+    assert is_png(png)
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (20, 9, 1)
+    assert list(raw) == [v for row in pixels for v in row]
+
+
+def _png_with_filters(rows: list[list[int]], filters: list[int], channels: int = 1) -> bytes:
+    """Hand-build a PNG whose scanlines use the given filter types, by
+    applying the FORWARD filter math (spec) before compression."""
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    stride = len(rows[0])
+    raw = bytearray()
+    prev = [0] * stride
+    for row, ft in zip(rows, filters):
+        raw.append(ft)
+        for i, v in enumerate(row):
+            left = row[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            if ft == 0:
+                f = v
+            elif ft == 1:
+                f = (v - left) & 0xFF
+            elif ft == 2:
+                f = (v - up) & 0xFF
+            elif ft == 3:
+                f = (v - (left + up) // 2) & 0xFF
+            else:
+                f = (v - paeth(left, up, ul)) & 0xFF
+            raw.append(f)
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    color = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", stride // channels, len(rows), 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_grayscale():
+    rows = [[(x * 11 + y * 29) % 256 for x in range(8)] for y in range(5)]
+    png = _png_with_filters(rows, [0, 1, 2, 3, 4])
+    _w, _h, _ch, raw = decode_png(png)
+    assert list(raw) == [v for row in rows for v in row]
+
+
+def test_png_rgb_with_filters():
+    rows = [[(x * 3 + y * 5) % 256 for x in range(6 * 3)] for y in range(4)]
+    png = _png_with_filters(rows, [0, 1, 4, 2], channels=3)
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (6, 4, 3)
+    assert list(raw) == [v for row in rows for v in row]
+
+
+def test_png_unsupported_variants_raise_not_implemented():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(png)
+    with pytest.raises(ValueError):
+        decode_png(b"garbage not a png")
+
+
+def test_luminance_histogram_known_values():
+    # half black, half max-bucket gray
+    png = encode_png([[0] * 8, [255] * 8])
+    hist = luminance_histogram(png, 16)
+    assert hist[0] == 0.5 and hist[15] == 0.5 and sum(hist) == 1.0
+
+
+def test_jpeg_dimensions_header_only():
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 48, 64) + b"\x03\x00\x00\x00"
+    jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
+    assert jpeg_dimensions(jpg) == (64, 48)
+
+
+def test_media_features_real_png_decode_ok(spark):
+    from claude_readability_hook_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, [f"img:{i}" for i in range(6)], real_png=True)
+    rows = extract_media_features(media).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["decode_ok"] == "ok"
+        assert r["feature"] is not None and abs(sum(r["feature"]) - 1.0) < 1e-5
+
+    # opaque payloads still take the deterministic fallback
+    fake = synthesize_media_table(spark, ["img:x"], real_png=False)
+    assert extract_media_features(fake).collect()[0]["decode_ok"] == "stubbed"
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed-PDF text extraction
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_roundtrip_two_pages_reading_order():
+    pdf = synthesize_pdf(
+        [
+            [
+                (40, 100, 10, "Left column first paragraph."),
+                (40, 130, 10, "Left column second paragraph."),
+                (320, 100, 10, "Right column paragraph."),
+            ],
+            [(40, 100, 10, "Second page content here.")],
+        ]
+    )
+    blocks = decode_pdf(pdf)[0]
+    assert {b.page for b in blocks} == {0, 1}
+    text, status = pdf_to_text(pdf)
+    assert status == "ok"
+    # column-aware order: both left blocks before the right column
+    assert text.index("Left column first") < text.index("Left column second") < text.index(
+        "Right column"
+    )
+    assert "Second page content" in text
+
+
+def test_pdf_escapes_and_font_size():
+    pdf = synthesize_pdf([[(40, 100, 14, r"Escaped (parens) and back\slash.")]])
+    blocks = decode_pdf(pdf)[0]
+    assert blocks[0].text == r"Escaped (parens) and back\slash."
+    assert blocks[0].font_size == 14.0
+
+
+def test_non_pdf_payload_still_falls_back_to_synthetic():
+    text, status = pdf_to_text(bytes(range(64)))
+    assert status == "stubbed" and text
+
+
+def test_compressed_pdf_falls_back():
+    pdf = b"%PDF-1.4\n<< /Filter /FlateDecode /Length 5 >>\nstream\nxxxxx\nendstream\n%%EOF"
+    _text, status = pdf_to_text(pdf)
+    assert status == "stubbed"
