@@ -466,6 +466,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, gap_seconds=1800)
 
 
+def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe variant — identical output (same oracle), shuffle
+    keyed on (user_id, day bucket) with exact boundary merge."""
+    from claude_readability_hook_spark.operators.sessions import sessionize_salted
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_salted(events, gap_seconds=1800)
+
+
 def _so_json_expr() -> F.Column:
     """Deterministic SO-API-shaped JSON built from doc_id: question by
     'asker<id>' plus (doc_id % 8) answers by authors u0..u2 cycling."""
@@ -625,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
+        "sessionize_salted": q_sessionize_salted,
         "token_bpe": q_token_bpe,
         "fingerprint_winnow": q_fingerprint_winnow,
         "so_parse_score": q_so_parse_score,
@@ -1189,6 +1199,20 @@ def oracle_sql() -> dict[str, str]:
                       sqrt(list_sum(list_transform(range(1, 65),
                        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6
                    ) >= 0.35
+        """,
+        # identical result contract for both sessionize variants — the
+        # salted one differs only in physical plan
+        "sessionize_salted": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN ts - lag(ts) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id)
+                               > INTERVAL 1800 SECONDS
+                          THEN 1 ELSE 0 END AS ns
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(ns) + 1 AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
         """,
         "sessionize": """
             WITH g AS (

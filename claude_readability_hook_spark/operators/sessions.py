@@ -2,10 +2,20 @@
 the events table exists for.
 
 A session breaks when the gap to the previous event of the same user
-exceeds `gap` seconds. One shuffle on user_id; the window runs inside
-each partition (no second exchange — partitionBy matches the shuffle
-key). At 10^12 events the same plan holds; skewed power-users would get
-the giant-key treatment from operators/skew.py.
+exceeds `gap` seconds. Two implementations, identical output:
+
+  sessionize         one shuffle on user_id; the window runs inside
+                     each partition (partitionBy matches the shuffle
+                     key). Right when no single user dominates.
+  sessionize_salted  the giant-key treatment: the window keys on
+                     (user_id, time-bucket) so a power user owning half
+                     the events splits into per-bucket stripes bounded
+                     by event rate × bucket width, then stripes merge
+                     exactly via boundary reconciliation — a break at a
+                     bucket edge counts only when the cross-boundary
+                     gap exceeds `gap`. The merge window runs over
+                     BUCKETS per user (tiny), never events. Exactness
+                     is differential-tested against sessionize.
 """
 
 from __future__ import annotations
@@ -30,4 +40,48 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     return gapped.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         (F.coalesce(F.sum("new_session"), F.lit(0)) + 1).cast("long").alias("n_sessions"),
+    )
+
+
+def sessionize_salted(
+    events: DataFrame, gap_seconds: int = 1800, bucket: str = "day"
+) -> DataFrame:
+    """Skew-safe exact sessionization: per-(user, time-bucket) partial
+    sessions + per-user boundary merge.
+
+    Stage 1 windows over (user_id, date_trunc(bucket, ts)) — the salted
+    key; a dominant user's events spread across as many tasks as they
+    span buckets. Stage 2 aggregates one ROW PER BUCKET per user
+    (n_events, internal breaks, first/last ts) and reconciles
+    boundaries with a window over those bucket rows — data volume is
+    users × buckets, independent of event count. date_trunc keeps
+    TIMESTAMP_NTZ semantics (no epoch cast)."""
+    bkt = F.date_trunc(bucket, F.col("ts"))
+    w = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    gapped = events.withColumn("bkt", bkt).withColumn(
+        "new_session",
+        (
+            F.col("ts") - F.lag("ts").over(w)
+            > F.expr(f"INTERVAL {gap_seconds} SECONDS")
+        ).cast("int"),
+    )
+    per_bucket = gapped.groupBy("user_id", "bkt").agg(
+        F.count("*").alias("n_events"),
+        F.coalesce(F.sum("new_session"), F.lit(0)).alias("breaks"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("bkt")
+    merged = per_bucket.withColumn(
+        "boundary_break",
+        (
+            F.col("first_ts") - F.lag("last_ts").over(wb)
+            > F.expr(f"INTERVAL {gap_seconds} SECONDS")
+        ).cast("int"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        (
+            F.sum("breaks") + F.coalesce(F.sum("boundary_break"), F.lit(0)) + 1
+        ).cast("long").alias("n_sessions"),
     )
