@@ -82,8 +82,9 @@ def test_all_query_names_have_oracle_or_are_declared_rows_only():
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     rows_only = qs - oracles
-    # extraction itself is the only family without a SQL twin
-    assert rows_only == {"extract_flagship"}, rows_only
+    # every query has a hard oracle — extract_flagship gained an
+    # arithmetic twin in round 2 (the corpus is doc_id-deterministic)
+    assert rows_only == set(), rows_only
 
 
 def test_entry_smoke(spark):
