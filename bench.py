@@ -69,7 +69,10 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "ann_cosine_topk",
         "ann_lsh_buckets",
         "ann_lsh_topk",
+        "ann_lsh_topk_multiprobe",
         "sessionize",
+        "sessionize_salted",
+        "per_source_stats",
         "topk_per_group",
         "pricing_summary",
         "broadcast_join_agg",

@@ -50,22 +50,30 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exact_dup_losers(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id) of every exact-duplicate NON-keeper (keeper = min doc_id
+    per group). The projection is narrow — doc_id + a 16-byte hash — so
+    the window shuffle never moves text; downstream operators drop the
+    losers with an anti-join against their own (already narrow)
+    intermediate instead of re-shuffling the corpus."""
+    w = Window.partitionBy("dup_hash").orderBy("doc_id")
+    return (
+        df.select("doc_id", F.md5(norm_text_expr(F.col(text_col))).alias("dup_hash"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") >= 2)
+        .select("doc_id")
+    )
+
+
 def exact_dedup_keepers(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep one representative (min doc_id) per exact-duplicate group.
 
-    The mandatory pre-pass before minhash LSH: verbatim clones share
-    EVERY band, so at web scale a popular boilerplate page would put
-    its whole clone set into one bucket (quadratic pair output, OOM on
-    the collect). Removing exact dups first — one window shuffle on the
-    16-byte hash, never the text — leaves LSH only the near-dup work it
-    is built for; the clones themselves are reported by
-    exact_duplicates on the same hash."""
-    w = Window.partitionBy(F.md5(norm_text_expr(F.col(text_col)))).orderBy("doc_id")
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    NOTE the shuffle shape: this anti-join moves the full rows (text
+    included) by doc_id — fine when the result feeds an operator that
+    must see the text anyway, wasteful as a pre-pass for operators
+    whose own intermediates are narrow (minhash anti-joins its
+    signature table against exact_dup_losers instead)."""
+    return df.join(exact_dup_losers(df, text_col), "doc_id", "left_anti")
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -149,14 +157,24 @@ def minhash_band_buckets(
     band_size: int = 3,
     text_col: str = "text",
     n: int = 3,
+    exact_dedup_first: bool = True,
 ) -> DataFrame:
     """(band_idx, band_key, ids) LSH buckets with ≥ 2 members.
 
     signature agg → band keys (md5 of '|'-joined band values) → stack to
     (band_idx, band_key) rows → groupBy bucket, collect sorted doc ids.
-    Two small shuffles; expected bucket size is O(1) for non-duplicates."""
+    Two small shuffles; expected bucket size is O(1) for non-duplicates.
+
+    exact_dedup_first drops verbatim clones BEFORE banding — but on the
+    narrow side: signatures are computed for all docs (text stays in
+    the scan; the signature agg's map-side partial min ships only tiny
+    partials), then the 13-column signature table anti-joins
+    exact_dup_losers. Re-keying the corpus itself by content hash would
+    shuffle every text byte at 10^12 docs — this path never does."""
     nbands = num_hashes // band_size
     sig = minhash_signature(df, num_hashes, text_col, n)
+    if exact_dedup_first:
+        sig = sig.join(exact_dup_losers(df, text_col), "doc_id", "left_anti")
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -197,17 +215,19 @@ def minhash_lsh_candidates(
     (the same fanout control as the jaccard operator's max_shingle_df):
 
       exact_dedup_first  verbatim clones are collapsed to one
-                         representative BEFORE hashing (they share every
-                         band — a popular boilerplate page would
+                         representative BEFORE banding (they share
+                         every band — a popular boilerplate page would
                          otherwise put its whole clone set in one
-                         bucket); the clones are exact_duplicates' job
+                         bucket); the anti-join runs on the NARROW
+                         signature table so text never shuffles; the
+                         clones themselves are exact_duplicates' job
       max_bucket_size    buckets larger than this are dropped instead
                          of expanded to O(m²) pairs / OOM'ing the
                          collect — count them via
                          minhash_oversize_buckets for quarantine"""
-    if exact_dedup_first:
-        df = exact_dedup_keepers(df, text_col)
-    grouped = minhash_band_buckets(df, num_hashes, band_size, text_col, n)
+    grouped = minhash_band_buckets(
+        df, num_hashes, band_size, text_col, n, exact_dedup_first
+    )
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     return _expand_pairs(grouped)
@@ -225,10 +245,8 @@ def minhash_oversize_buckets(
     """The buckets minhash_lsh_candidates dropped: (band_idx, band_key,
     n_docs) for the quarantine/lineage sink — metadata only, never the
     member list itself."""
-    if exact_dedup_first:
-        df = exact_dedup_keepers(df, text_col)
     return (
-        minhash_band_buckets(df, num_hashes, band_size, text_col, n)
+        minhash_band_buckets(df, num_hashes, band_size, text_col, n, exact_dedup_first)
         .filter(F.size("ids") > max_bucket_size)
         .select("band_idx", "band_key", F.size("ids").cast("long").alias("n_docs"))
     )

@@ -64,8 +64,11 @@ def _estimated_scan_partitions(spark: SparkSession, df: DataFrame) -> int | None
     WITHOUT df.rdd (which forces plan analysis on the driver and hides
     the plan from AQE): leaf file bytes / maxPartitionBytes. Returns
     None when the plan already contains an explicit repartition — the
-    caller's partitioning is authoritative then. Non-file sources
-    (in-memory test frames) fall back to defaultParallelism."""
+    caller's partitioning is authoritative then. Returns 0 ("unknown —
+    assume unusable") when no leaf files resolve (in-memory frames,
+    UDF-synthesized sources): a wrong "fine" guess there leaves the
+    heavy UDF stage on a single task, which costs far more than one
+    possibly-redundant salted shuffle of a source that small."""
     try:
         logical = df._jdf.queryExecution().logical().toString()
         if "Repartition" in logical:  # Repartition / RepartitionByExpression
@@ -77,7 +80,7 @@ def _estimated_scan_partitions(spark: SparkSession, df: DataFrame) -> int | None
     except Exception:
         files = []
     if not files:
-        return spark.sparkContext.defaultParallelism
+        return 0
     import os
     from urllib.parse import urlparse
 

@@ -128,6 +128,21 @@ def test_multiprobe_recall_dominates_single_probe(spark):
             assert r_multi > r_single, (sf, r_single, r_multi)
 
 
+def test_minhash_dedup_prepass_never_shuffles_text(spark):
+    """The exact-dup pre-pass must run on narrow projections: no
+    Exchange in the minhash plan may carry the text column as payload
+    (formatted explain lists each Exchange's Input schema)."""
+    from claude_readability_hook_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_lsh_candidates(docs))
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    for b in blocks:
+        if b.startswith("Exchange"):
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+            assert m and not re.search(r"\btext#", m.group(1)), b
+
+
 def test_whole_stage_codegen_covers_column_exprs(spark):
     """Formatted explain marks codegen'd operators with '*'. The A2
     score is pure arithmetic → its Project must be codegen'd. (A1
