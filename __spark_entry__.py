@@ -452,11 +452,40 @@ def q_ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 8
+IVF_ITERATIONS = 2
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # compare the digest, not the raw int array (array formatting is
+    # engine-specific in the driver's value hash)
+    return quantize_embeddings(emb).select("vec_id", "q_md5", "scale")
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_assign(emb, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS)
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import semantic_dedup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return semantic_dedup_pairs(emb, threshold=0.35, num_planes=LSH_PLANES, dims=EMBED_DIMS)
+
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation gate over the planted-dups view (so the
+    dedup leg has true positives): language + quality Column gates in
+    the scan projection, loser check on the narrow hash table."""
+    from claude_readability_hook_spark.operators.curation import curate
+
+    return curate(_docs_with_planted_dups(spark, sf_dir))
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,6 +661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_probes": q_ann_lsh_probes,
         "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
+        "embed_quantize": q_embed_quantize,
+        "ivf_assign": q_ivf_assign,
+        "curate": q_curate,
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,
@@ -729,6 +761,55 @@ def _lsh_bucket_sql() -> str:
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
     return " + ".join(terms)
+
+
+def _ivf_oracle_sql() -> str:
+    """IVF twin: the same deterministic init (vectors 0..k-1) and
+    unrolled Lloyd iterations. Means are rounded to 6dp on BOTH sides
+    before reuse so accumulation-order float noise can't flip an
+    argmin; empty clusters keep their previous centroid (COALESCE),
+    matching the Spark side."""
+    dist = (
+        "list_sum(list_transform(range(1, {dims} + 1), "
+        "i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i])))"
+    ).format(dims=EMBED_DIMS)
+    sql = [
+        f"""WITH c0 AS (
+          SELECT vec_id::INT AS cid,
+                 list_transform(range(1, {EMBED_DIMS} + 1), i -> embedding[i]::DOUBLE) AS cv
+          FROM embeddings WHERE vec_id < {IVF_K}
+        )"""
+    ]
+    prev = "c0"
+    for it in range(IVF_ITERATIONS):
+        a, m, c = f"a{it}", f"m{it}", f"c{it + 1}"
+        sql.append(f""",
+        {a} AS (
+          SELECT e.vec_id, c.cid, {dist} AS dist,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+          FROM embeddings e, {prev} c
+        ),
+        {m} AS (
+          SELECT cid,
+                 list(round(m, 6) ORDER BY d) AS cv
+          FROM (
+            SELECT a.cid, d.d, avg(e.embedding[d.d]::DOUBLE) AS m
+            FROM {a} a JOIN embeddings e ON a.vec_id = e.vec_id AND a.rn = 1,
+                 (SELECT unnest(range(1, {EMBED_DIMS} + 1)) AS d) d
+            GROUP BY a.cid, d.d
+          ) t GROUP BY cid
+        ),
+        {c} AS (
+          SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+          FROM {prev} p LEFT JOIN {m} m USING (cid)
+        )""")
+        prev = c
+    sql.append(f"""
+        SELECT e.vec_id, CAST(c.cid AS INT) AS centroid_id
+        FROM embeddings e, {prev} c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) = 1
+    """)
+    return "".join(sql)
 
 
 def _lsh_probes_sql() -> str:
@@ -1160,6 +1241,78 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id
             LIMIT {ANN_K}
         """,
+        "curate": f"""
+            WITH src AS ({_DUP_SQL}),
+            tok AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM src),
+            gates AS (
+              SELECT doc_id,
+                CASE WHEN greatest(
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('the','a','of','and','to','in','is','it','that','for'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('der','die','das','und','ist','ein','eine','zu','den','nicht'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('le','la','les','et','est','un','une','que','pour','dans'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('el','la','los','y','es','un','una','que','por','para')))) = 0
+                     THEN 'und'
+                     WHEN len(list_filter(toks, t -> lower(t) IN
+                         ('the','a','of','and','to','in','is','it','that','for')))
+                       >= greatest(
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('der','die','das','und','ist','ein','eine','zu','den','nicht'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('le','la','les','et','est','un','une','que','pour','dans'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('el','la','los','y','es','un','una','que','por','para'))))
+                     THEN 'en'
+                     WHEN len(list_filter(toks, t -> lower(t) IN
+                         ('der','die','das','und','ist','ein','eine','zu','den','nicht')))
+                       >= greatest(
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('le','la','les','et','est','un','une','que','pour','dans'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('el','la','los','y','es','un','una','que','por','para'))))
+                     THEN 'de'
+                     WHEN len(list_filter(toks, t -> lower(t) IN
+                         ('le','la','les','et','est','un','une','que','pour','dans')))
+                       >= len(list_filter(toks, t -> lower(t) IN
+                         ('el','la','los','y','es','un','una','que','por','para')))
+                     THEN 'fr' ELSE 'es' END AS lang_pred,
+                (len(toks) >= 5
+                 AND CASE WHEN len(toks) > 0
+                          THEN length(text)::DOUBLE / len(toks) ELSE 0.0 END
+                     BETWEEN 2.0 AND 12.0
+                 AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1) >= 0.6) AS quality_keep
+              FROM tok),
+            losers AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                  PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+                FROM src) t WHERE rn >= 2)
+            SELECT g.doc_id, g.lang_pred, g.quality_keep,
+                   (l.doc_id IS NOT NULL) AS is_dup_loser,
+                   (g.quality_keep AND g.lang_pred = 'en'
+                    AND l.doc_id IS NULL) AS keep
+            FROM gates g LEFT JOIN losers l USING (doc_id)
+        """,
+        "embed_quantize": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                     COALESCE(list_max(list_transform(embedding,
+                       x -> abs(x::DOUBLE))), 0) AS amax
+              FROM embeddings)
+            SELECT vec_id,
+                   md5(array_to_string(
+                     CASE WHEN amax > 0
+                          THEN list_transform(embedding,
+                               x -> CAST(round(x::DOUBLE * 127.0 / amax) AS INT))
+                          ELSE list_transform(embedding, x -> 0) END, ',')) AS q_md5,
+                   round(amax, 6) AS scale
+            FROM m
+        """,
+        "ivf_assign": _ivf_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -129,6 +129,103 @@ def signed_projection_lsh_buckets(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q = round(127·x/max|x|).
+
+    The storage/bandwidth lever for ANN at 10^12 vectors: a 64-dim
+    float32 embedding is 256 B; int8 + one float scale is 68 B — the
+    shuffle and cache working set shrinks ~4×. Pure in-row array math
+    (codegen); dequantize via q·scale/127. Zero vectors quantize to
+    zeros with scale 0."""
+    levels = float(2 ** (bits - 1) - 1)
+    vec = F.col(vec_col)
+    amax = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    q = F.when(amax > 0, F.transform(
+        vec, lambda x: F.round(x.cast("double") * levels / amax).cast("int")
+    )).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    return df.select(
+        "vec_id",
+        q.alias("q_embedding"),
+        # engine-portable digest of the int vector for value comparison
+        F.md5(F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))).alias(
+            "q_md5"
+        ),
+        F.round(amax, 6).alias("scale"),
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: (vec_id, centroid_id) after `iterations`
+    Lloyd steps from a deterministic init (the embeddings of vec_ids
+    0..k-1 — reproducible in any engine, no RNG).
+
+    The scale shape of each step: centroids (k×dims floats) BROADCAST
+    to every task; assignment is an in-row argmin over the broadcast
+    array (no shuffle); the update is one groupBy(centroid).avg —
+    map-side partial means the shuffle carries k rows per partition.
+    At 10^12 vectors the whole iteration cost is two scans + k-row
+    shuffles; the resulting inverted lists are the IVF ANN index
+    (probe = brute-force within the nearest centroid's list, same
+    bucket-local pattern as lsh_ann_topk)."""
+    dist_to = lambda cvec: F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            cvec,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    # deterministic init: first k vectors by vec_id
+    centroids = [
+        [float(v) for v in r[vec_col]]
+        for r in df.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+
+    def assign_expr():
+        # argmin over k literal centroid arrays — fully codegen'd
+        best_id = F.lit(0)
+        best_d = dist_to(F.array(*[F.lit(c) for c in centroids[0]]))
+        for cid in range(1, len(centroids)):
+            d = dist_to(F.array(*[F.lit(c) for c in centroids[cid]]))
+            closer = d < best_d
+            best_id = F.when(closer, F.lit(cid)).otherwise(best_id)
+            best_d = F.when(closer, d).otherwise(best_d)
+        return best_id
+
+    for _ in range(iterations):
+        assigned = df.select("vec_id", vec_col, assign_expr().alias("cid"))
+        means = (
+            assigned.select(
+                "cid", *[F.element_at(vec_col, d + 1).cast("double").alias(f"d{d}") for d in range(dims)]
+            )
+            .groupBy("cid")
+            .agg(*[F.avg(f"d{d}").alias(f"d{d}") for d in range(dims)])
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in means:
+            # round to stabilize cross-engine float averaging before the
+            # next literal-embedding round trip
+            new_centroids[r["cid"]] = [round(r[f"d{d}"], 6) for d in range(dims)]
+        centroids = new_centroids
+
+    return df.select("vec_id", assign_expr().cast("int").alias("centroid_id"))
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.35,

@@ -85,11 +85,12 @@ def _lang_hits(tokens: Column, lang: str) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(stops, F.lower(t))))
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, lang_pred) — argmax of stopword hits across {en,de,fr,es},
-    'und' (undetermined) when all-zero. Ties break by fixed language
-    order en>de>fr>es (greatest-with-struct trick; oracle mirrors it)."""
-    tokens = tokens_expr(F.col(text_col))
+def lang_pred_expr(text: Column) -> Column:
+    """argmax of stopword hits across {en,de,fr,es}, 'und' when
+    all-zero; ties break by fixed language order en>de>fr>es
+    (greatest-with-struct trick; oracle mirrors it). Pure Column expr —
+    a free rider on any scan."""
+    tokens = tokens_expr(text)
     scored = F.greatest(
         *[
             F.struct(
@@ -100,10 +101,28 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             for rank, lang in [(4, "en"), (3, "de"), (2, "fr"), (1, "es")]
         ]
     )
-    return df.select(
-        "doc_id",
-        F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    return F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("und"))
+
+
+def quality_keep_expr(text: Column) -> Column:
+    """The Gopher-style keep gate as a standalone Column expr (same
+    arithmetic as quality_features)."""
+    tokens = tokens_expr(text)
+    n_tokens = F.size(tokens)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    mean_wl = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    return (
+        (n_tokens >= 5)
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 12.0)
+        & (alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)) >= 0.6)
     )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred) — see lang_pred_expr."""
+    return df.select("doc_id", lang_pred_expr(F.col(text_col)).alias("lang_pred"))
 
 
 # GPT-2-flavoured pretokenizer shape: contractions, letter runs, digit
