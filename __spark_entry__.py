@@ -401,6 +401,53 @@ def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family): order counts/revenue
+    by (status, priority) with subtotals and grand total; grouping_id
+    disambiguates NULL-as-subtotal. Catalyst expands the sets in one
+    Expand+partial-agg pass — no per-level rescans."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "revenue"
+        )
+    )
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window: per-customer running revenue ordered by
+    (o_orderdate, o_orderkey), rows unbounded-preceding..current.
+    Decimal accumulation in frame order → deterministic across
+    engines; restricted to custkey % 100 == 0 to keep the compare
+    surface bounded."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import cosine_topk
 
@@ -454,6 +501,7 @@ def q_ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_K = 8
 IVF_ITERATIONS = 2
+IVF_N_PROBE = 2
 
 
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +518,21 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_assign(emb, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS)
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_ann_topk(
+        emb,
+        query_vec_id=0,
+        kk=ANN_K,
+        k=IVF_K,
+        iterations=IVF_ITERATIONS,
+        n_probe=IVF_N_PROBE,
+        dims=EMBED_DIMS,
+    )
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
         "embed_quantize": q_embed_quantize,
         "ivf_assign": q_ivf_assign,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "curate": q_curate,
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
@@ -673,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reddit_parse_score": q_reddit_parse_score,
         "filter_agg_pushdown": q_filter_agg_pushdown,
         "join3_topk": q_join3_topk,
+        "rollup_priority": q_rollup_priority,
+        "running_revenue": q_running_revenue,
         "per_source_stats": q_per_source_stats,
     }
 
@@ -763,16 +829,18 @@ def _lsh_bucket_sql() -> str:
     return " + ".join(terms)
 
 
-def _ivf_oracle_sql() -> str:
-    """IVF twin: the same deterministic init (vectors 0..k-1) and
-    unrolled Lloyd iterations. Means are rounded to 6dp on BOTH sides
-    before reuse so accumulation-order float noise can't flip an
-    argmin; empty clusters keep their previous centroid (COALESCE),
-    matching the Spark side."""
-    dist = (
-        "list_sum(list_transform(range(1, {dims} + 1), "
-        "i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i])))"
-    ).format(dims=EMBED_DIMS)
+_IVF_DIST = (
+    "list_sum(list_transform(range(1, {dims} + 1), "
+    "i -> (e.embedding[i]::DOUBLE - c.cv[i]) * (e.embedding[i]::DOUBLE - c.cv[i])))"
+).format(dims=EMBED_DIMS)
+
+
+def _ivf_chain_sql() -> tuple[str, str]:
+    """(WITH-chain, final-centroid-CTE-name) for the IVF twin: the same
+    deterministic init (vectors 0..k-1) and unrolled Lloyd iterations.
+    Means are rounded to 6dp on BOTH sides before reuse so
+    accumulation-order float noise can't flip an argmin; empty clusters
+    keep their previous centroid (COALESCE), matching the Spark side."""
     sql = [
         f"""WITH c0 AS (
           SELECT vec_id::INT AS cid,
@@ -785,8 +853,8 @@ def _ivf_oracle_sql() -> str:
         a, m, c = f"a{it}", f"m{it}", f"c{it + 1}"
         sql.append(f""",
         {a} AS (
-          SELECT e.vec_id, c.cid, {dist} AS dist,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+          SELECT e.vec_id, c.cid, {_IVF_DIST} AS dist,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST}, c.cid) AS rn
           FROM embeddings e, {prev} c
         ),
         {m} AS (
@@ -804,12 +872,42 @@ def _ivf_oracle_sql() -> str:
           FROM {prev} p LEFT JOIN {m} m USING (cid)
         )""")
         prev = c
-    sql.append(f"""
+    return "".join(sql), prev
+
+
+def _ivf_oracle_sql() -> str:
+    chain, final = _ivf_chain_sql()
+    return f"""{chain}
         SELECT e.vec_id, CAST(c.cid AS INT) AS centroid_id
-        FROM embeddings e, {prev} c
-        QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) = 1
-    """)
-    return "".join(sql)
+        FROM embeddings e, {final} c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST}, c.cid) = 1
+    """
+
+
+def _ivf_topk_oracle_sql() -> str:
+    """IVF ANN twin: n_probe nearest centroids to the query, then
+    brute-force cosine inside their inverted lists only."""
+    chain, final = _ivf_chain_sql()
+    return f"""{chain},
+        probes AS (
+          SELECT c.cid FROM embeddings e, {final} c
+          WHERE e.vec_id = 0
+          ORDER BY {_IVF_DIST}, c.cid LIMIT {IVF_N_PROBE}
+        ),
+        assigned AS (
+          SELECT e.vec_id, c.cid
+          FROM embeddings e, {final} c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST}, c.cid) = 1
+        ),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, round({_COSINE_SQL}, 6) AS cosine
+        FROM embeddings e
+        JOIN assigned a ON a.vec_id = e.vec_id
+        JOIN probes p ON a.cid = p.cid, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT {ANN_K}
+    """
 
 
 def _lsh_probes_sql() -> str:
@@ -1217,6 +1315,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
         """,
+        "rollup_priority": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                        AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     AS running_revenue
+            FROM orders WHERE o_custkey % 100 = 0
+        """,
         "ann_cosine_topk": f"""
             SELECT e.vec_id, round({_COSINE_SQL}, 6) AS cosine
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
@@ -1313,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "ivf_assign": _ivf_oracle_sql(),
+        "ivf_ann_topk": _ivf_topk_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -160,6 +160,68 @@ def quantize_embeddings(
     )
 
 
+def _sq_dist_expr(vec: Column, cvec: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec, cvec, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _argmin_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """In-row argmin over k literal centroid arrays — fully codegen'd,
+    ties to the lower id."""
+    best_id = F.lit(0)
+    best_d = _sq_dist_expr(vec, F.array(*[F.lit(c) for c in centroids[0]]))
+    for cid in range(1, len(centroids)):
+        d = _sq_dist_expr(vec, F.array(*[F.lit(c) for c in centroids[cid]]))
+        closer = d < best_d
+        best_id = F.when(closer, F.lit(cid)).otherwise(best_id)
+        best_d = F.when(closer, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd-iterated centroids from a deterministic init (the
+    embeddings of vec_ids 0..k-1 — reproducible in any engine, no RNG).
+
+    The scale shape of each step: centroids (k×dims floats, a few KB)
+    collect to the driver and re-enter as BROADCAST literals;
+    assignment is an in-row argmin (no shuffle); the update is one
+    groupBy(centroid).avg whose map-side partials make the shuffle k
+    rows per partition. Means round to 6dp so cross-engine float
+    accumulation order can't flip a later argmin. Empty clusters keep
+    their previous centroid."""
+    centroids = [
+        [float(v) for v in r[vec_col]]
+        for r in df.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    for _ in range(iterations):
+        assigned = df.select(
+            _argmin_centroid_expr(F.col(vec_col), centroids).alias("cid"),
+            *[
+                F.element_at(vec_col, d + 1).cast("double").alias(f"d{d}")
+                for d in range(dims)
+            ],
+        )
+        means = assigned.groupBy("cid").agg(
+            *[F.avg(f"d{d}").alias(f"d{d}") for d in range(dims)]
+        ).collect()
+        new_centroids = list(centroids)
+        for r in means:
+            new_centroids[r["cid"]] = [round(r[f"d{d}"], 6) for d in range(dims)]
+        centroids = new_centroids
+    return centroids
+
+
 def ivf_assign(
     df: DataFrame,
     k: int = 8,
@@ -167,63 +229,59 @@ def ivf_assign(
     dims: int = 64,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantizer: (vec_id, centroid_id) after `iterations`
-    Lloyd steps from a deterministic init (the embeddings of vec_ids
-    0..k-1 — reproducible in any engine, no RNG).
-
-    The scale shape of each step: centroids (k×dims floats) BROADCAST
-    to every task; assignment is an in-row argmin over the broadcast
-    array (no shuffle); the update is one groupBy(centroid).avg —
-    map-side partial means the shuffle carries k rows per partition.
-    At 10^12 vectors the whole iteration cost is two scans + k-row
-    shuffles; the resulting inverted lists are the IVF ANN index
-    (probe = brute-force within the nearest centroid's list, same
-    bucket-local pattern as lsh_ann_topk)."""
-    dist_to = lambda cvec: F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            cvec,
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    """IVF coarse quantizer: (vec_id, centroid_id). The inverted lists
+    this induces are the IVF ANN index (see ivf_ann_topk)."""
+    centroids = ivf_centroids(df, k, iterations, dims, vec_col)
+    return df.select(
+        "vec_id",
+        _argmin_centroid_expr(F.col(vec_col), centroids).cast("int").alias("centroid_id"),
     )
 
-    # deterministic init: first k vectors by vec_id
-    centroids = [
-        [float(v) for v in r[vec_col]]
-        for r in df.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    kk: int = 10,
+    k: int = 8,
+    iterations: int = 2,
+    n_probe: int = 2,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: brute-force cosine only within the inverted lists of
+    the n_probe centroids nearest the query — the classic
+    coarse-quantizer search (public algorithm; cf. FAISS IVF-Flat).
+
+    The candidate scan is ≈ n_probe/k of the corpus; probe-centroid
+    selection happens driver-side on the k×dims literal centroids
+    (no job). Same broadcast-query/TakeOrdered shape as cosine_topk."""
+    centroids = ivf_centroids(df, k, iterations, dims, vec_col)
+    qvec = [
+        float(v)
+        for v in df.filter(F.col("vec_id") == query_vec_id).collect()[0][vec_col]
     ]
-
-    def assign_expr():
-        # argmin over k literal centroid arrays — fully codegen'd
-        best_id = F.lit(0)
-        best_d = dist_to(F.array(*[F.lit(c) for c in centroids[0]]))
-        for cid in range(1, len(centroids)):
-            d = dist_to(F.array(*[F.lit(c) for c in centroids[cid]]))
-            closer = d < best_d
-            best_id = F.when(closer, F.lit(cid)).otherwise(best_id)
-            best_d = F.when(closer, d).otherwise(best_d)
-        return best_id
-
-    for _ in range(iterations):
-        assigned = df.select("vec_id", vec_col, assign_expr().alias("cid"))
-        means = (
-            assigned.select(
-                "cid", *[F.element_at(vec_col, d + 1).cast("double").alias(f"d{d}") for d in range(dims)]
-            )
-            .groupBy("cid")
-            .agg(*[F.avg(f"d{d}").alias(f"d{d}") for d in range(dims)])
-            .collect()
+    dists = sorted(
+        (sum((x - c) * (x - c) for x, c in zip(qvec, cv)), cid)
+        for cid, cv in enumerate(centroids)
+    )
+    probe_cids = sorted(cid for _d, cid in dists[:n_probe])
+    assigned = df.withColumn(
+        "centroid_id", _argmin_centroid_expr(F.col(vec_col), centroids)
+    )
+    query_vec = df.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe_cids))
+        .crossJoin(F.broadcast(query_vec))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col(vec_col), F.col("query_vec")), 6).alias("cosine"),
         )
-        new_centroids = list(centroids)
-        for r in means:
-            # round to stabilize cross-engine float averaging before the
-            # next literal-embedding round trip
-            new_centroids[r["cid"]] = [round(r[f"d{d}"], 6) for d in range(dims)]
-        centroids = new_centroids
-
-    return df.select("vec_id", assign_expr().cast("int").alias("centroid_id"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(kk)
+    )
 
 
 def semantic_dedup_pairs(
