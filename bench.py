@@ -70,9 +70,15 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "ann_lsh_buckets",
         "ann_lsh_topk",
         "ann_lsh_topk_multiprobe",
+        "ivf_assign",
+        "ivf_ann_topk",
+        "embed_quantize",
         "sessionize",
         "sessionize_salted",
         "per_source_stats",
+        "curate",
+        "rollup_priority",
+        "running_revenue",
         "topk_per_group",
         "pricing_summary",
         "broadcast_join_agg",

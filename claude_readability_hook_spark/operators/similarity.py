@@ -171,16 +171,19 @@ def _sq_dist_expr(vec: Column, cvec: Column) -> Column:
 
 
 def _argmin_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """In-row argmin over k literal centroid arrays — fully codegen'd,
-    ties to the lower id."""
-    best_id = F.lit(0)
-    best_d = _sq_dist_expr(vec, F.array(*[F.lit(c) for c in centroids[0]]))
-    for cid in range(1, len(centroids)):
-        d = _sq_dist_expr(vec, F.array(*[F.lit(c) for c in centroids[cid]]))
-        closer = d < best_d
-        best_id = F.when(closer, F.lit(cid)).otherwise(best_id)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return best_id
+    """In-row argmin over k literal centroid arrays, ties to the lower
+    id (array_position returns the FIRST match).
+
+    Shape matters, twice over: (a) a chained when(d < best_d, ...) fold
+    references the running best twice per step, so Catalyst's
+    expression tree doubles per centroid — 2^k copies of the distance
+    math (measured 16 s where this takes 0.5 s); (b) unrolling one
+    distance expression per centroid made janino compile k copies of
+    the loop body per job. A single literal k×dims array with ONE
+    transform lambda keeps the generated code a loop."""
+    cents = F.array(*[F.array(*[F.lit(c) for c in cv]) for cv in centroids])
+    dists = F.transform(cents, lambda cv: _sq_dist_expr(vec, cv))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def ivf_centroids(
@@ -247,6 +250,7 @@ def ivf_ann_topk(
     n_probe: int = 2,
     dims: int = 64,
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: brute-force cosine only within the inverted lists of
     the n_probe centroids nearest the query — the classic
@@ -254,8 +258,11 @@ def ivf_ann_topk(
 
     The candidate scan is ≈ n_probe/k of the corpus; probe-centroid
     selection happens driver-side on the k×dims literal centroids
-    (no job). Same broadcast-query/TakeOrdered shape as cosine_topk."""
-    centroids = ivf_centroids(df, k, iterations, dims, vec_col)
+    (no job). Same broadcast-query/TakeOrdered shape as cosine_topk.
+    Pass precomputed `centroids` to amortize index construction across
+    queries (training is the expensive, iterative part)."""
+    if centroids is None:
+        centroids = ivf_centroids(df, k, iterations, dims, vec_col)
     qvec = [
         float(v)
         for v in df.filter(F.col("vec_id") == query_vec_id).collect()[0][vec_col]

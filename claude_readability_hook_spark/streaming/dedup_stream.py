@@ -1,0 +1,57 @@
+"""Streaming exact dedup: drop replayed/recrawled duplicates at ingest,
+before extraction ever pays for them.
+
+Two state regimes:
+
+  bounded (the scale path)   dropDuplicatesWithinWatermark on the
+                             content hash — state for a key is evictable
+                             once the watermark passes its event time,
+                             so a continuous crawl stream runs with
+                             bounded state. Duplicates farther apart
+                             than the watermark are caught downstream by
+                             the batch resume anti-join (the committed-
+                             output check), so correctness is layered,
+                             not lost.
+  unbounded                  plain dropDuplicates — exact across the
+                             whole stream lifetime; state grows with
+                             distinct keys (16-byte hash per doc). Only
+                             for bounded replays/backfills.
+
+The hash is md5 of normalized text flattened from the span array — the
+same normalization as operators/dedup.exact_duplicates, so batch and
+stream agree on what "identical" means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.textcommon import norm_text_expr
+
+
+def content_hash_expr() -> F.Column:
+    """md5 over the normalized concatenation of text-bearing spans."""
+    flat = F.aggregate(
+        "spans",
+        F.lit("").cast("string"),
+        lambda acc, s: F.concat(acc, F.coalesce(s["text"], F.lit(""))),
+    )
+    return F.md5(norm_text_expr(flat))
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Deduplicated stream keyed on the content hash.
+
+    With event_time_col: watermarked, bounded-state (the production
+    shape). Without: exact-unbounded (backfills only)."""
+    hashed = stream.withColumn("dup_hash", content_hash_expr())
+    if event_time_col is not None:
+        return hashed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+            ["dup_hash"]
+        )
+    return hashed.dropDuplicates(["dup_hash"])

@@ -78,6 +78,42 @@ def test_oracle_parity(spark, name, query, sql):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+# The driver gate compares at sf0.01; rerun the float-sensitive /
+# case-analysis-heavy queries there too (different doc texts exercise
+# different corpus cases and accumulation patterns).
+SF01_CRITICAL = [
+    "extract_flagship",
+    "dedup_minhash_lsh",
+    "ivf_assign",
+    "ivf_ann_topk",
+    "embed_quantize",
+    "curate",
+    "per_source_stats",
+]
+
+
+@pytest.mark.parametrize("name", SF01_CRITICAL)
+def test_oracle_parity_sf001(spark, name):
+    sdf = entrymod.queries()[name](spark, "/root/testdata/sf0.01")
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"/root/testdata/sf0.01/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    cur = con.execute(entrymod.oracle_sql()[name])
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    s_cols, s_vals = _normalize(sdf.columns, spark_rows)
+    d_cols, d_vals = _normalize(duck_cols, duck_rows)
+    assert s_cols == d_cols
+    assert len(s_vals) == len(d_vals)
+    mismatches = [(a, b) for a, b in zip(s_vals, d_vals) if a != b]
+    assert not mismatches, f"{name}@sf0.01: first mismatches {mismatches[:3]}"
+
+
 def test_all_query_names_have_oracle_or_are_declared_rows_only():
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
