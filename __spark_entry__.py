@@ -401,6 +401,23 @@ def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-shaped semi join: customers with ≥1 urgent order, rolled
+    up by segment. left_semi ships only the join key from the orders
+    side; no row multiplication."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    urgent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        customer.join(urgent, customer["c_custkey"] == urgent["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 def q_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (grouping-sets family): order counts/revenue
     by (status, priority) with subtotals and grand total; grouping_id
@@ -739,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join3_topk": q_join3_topk,
         "rollup_priority": q_rollup_priority,
         "running_revenue": q_running_revenue,
+        "exists_semi_join": q_exists_semi_join,
         "per_source_stats": q_per_source_stats,
     }
 
@@ -1314,6 +1332,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "exists_semi_join": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
         """,
         "rollup_priority": """
             SELECT o_orderstatus, o_orderpriority,

@@ -77,3 +77,37 @@ class TableCatalog:
             df.writeTo(name).createOrReplace()
         else:
             df.write.mode("overwrite").parquet(self._path(name))
+
+    # -- bucketed variant: the storage-partitioned-join seam ---------------
+    #
+    # At 10^12 docs the resume anti-join (src ⋈ committed-output on
+    # doc_id) is the one unavoidable big join; when BOTH sides are
+    # bucketed on doc_id with the same bucket count, Spark joins
+    # bucket-to-bucket with NO exchange (Iceberg: bucket(N, doc_id)
+    # partition transform + storage-partitioned joins). The parquet
+    # fallback uses session-catalog bucketed tables — bucket metadata
+    # lives in the catalog, so cross-session persistence of bucketing
+    # needs a real metastore/Iceberg; within a job it is the same plan.
+
+    def table_ident(self, name: str) -> str:
+        return f"crh_{name}"
+
+    def append_bucketed(
+        self, df: DataFrame, name: str, buckets: int = 16, bucket_col: str = "doc_id"
+    ) -> None:
+        if self.use_iceberg:
+            df.writeTo(name).append()  # table created with bucket transform
+            return
+        (
+            df.write.mode("append")
+            .format("parquet")
+            .option("path", self._path(name + "_bucketed"))
+            .bucketBy(buckets, bucket_col)
+            .sortBy(bucket_col)
+            .saveAsTable(self.table_ident(name))
+        )
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(name)
+        return self.spark.read.table(self.table_ident(name))

@@ -1,0 +1,64 @@
+"""Training-shard export sink: extracted documents → size-bounded
+JSONL shards, the hand-off format a downstream training pipeline
+consumes.
+
+Sharding is row-count-based and deterministic: shard id =
+xxhash64(doc_id) mod n_shards (content-addressed, so re-exports of the
+same corpus land rows in the same shards — diffable, resumable).
+n_shards derives from a single count() job (documented driver-side
+agg; at 10^12 docs the count comes from table metadata/stats instead).
+One file per shard via repartition on the shard key; writer-side
+maxRecordsPerFile is the belt-and-braces cap.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def render_text_expr() -> F.Column:
+    """Flatten output spans to training text: text spans verbatim, code
+    spans fenced, media spans as their placeholder token — join '\\n\\n'."""
+    piece = lambda s: (
+        F.when(s["kind"] == "text", s["text"])
+        .when(s["kind"] == "code", F.concat(F.lit("```\n"), s["text"], F.lit("\n```")))
+        .otherwise(F.concat(F.lit("<media:"), s["media_ref"], F.lit(">")))
+    )
+    return F.array_join(
+        F.filter(
+            F.transform("spans", piece), lambda p: p.isNotNull() & (F.length(p) > 0)
+        ),
+        "\n\n",
+    )
+
+
+def export_jsonl_shards(
+    extracted: DataFrame,
+    path: str,
+    max_rows_per_shard: int = 100_000,
+    compression: str = "gzip",
+) -> int:
+    """Write (doc_id, title, engine, score, text) JSONL shards; returns
+    the shard count. Only successful extractions export."""
+    rows = extracted.filter(F.col("success")).select(
+        "doc_id",
+        "title",
+        "engine",
+        F.round("score", 4).alias("score"),
+        render_text_expr().alias("text"),
+    )
+    n = rows.count()
+    n_shards = max(1, math.ceil(n / max_rows_per_shard))
+    (
+        rows.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)))
+        .repartition(n_shards, "shard")
+        .drop("shard")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_rows_per_shard)
+        .json(path)
+    )
+    return n_shards
