@@ -79,6 +79,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "curate",
         "rollup_priority",
         "running_revenue",
+        "exists_semi_join",
         "topk_per_group",
         "pricing_summary",
         "broadcast_join_agg",

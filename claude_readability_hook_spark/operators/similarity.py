@@ -297,6 +297,7 @@ def semantic_dedup_pairs(
     num_planes: int = 6,
     dims: int = 64,
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-gated.
 
@@ -305,10 +306,25 @@ def semantic_dedup_pairs(
     tunable via num_planes; multi-probe extends it), then verified by
     exact cosine ≥ threshold. The bucket is attached in-row
     (lsh_bucket_expr) — no self-join, so the embedding column is
-    shuffled exactly once, by the bucket-key pair join itself."""
+    shuffled exactly once, by the bucket-key pair join itself.
+
+    max_bucket_size is the same fanout guard as minhash's: a degenerate
+    bucket (near-identical embeddings en masse) would pair-expand
+    quadratically; buckets above the cap are excluded via a NARROW
+    (bucket, count) anti-join — one extra shuffle of bucket ids, never
+    embeddings. None (default) keeps historical behavior; set it in
+    production."""
     with_buckets = df.select(
         "vec_id", vec_col, lsh_bucket_expr(F.col(vec_col), num_planes, dims).alias("bucket")
     )
+    if max_bucket_size is not None:
+        oversized = (
+            with_buckets.groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("bucket")
+        )
+        with_buckets = with_buckets.join(oversized, "bucket", "left_anti")
     a = with_buckets.alias("a")
     b = with_buckets.alias("b")
     return (

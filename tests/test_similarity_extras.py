@@ -51,6 +51,28 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert len(r2 & t) >= len(r1 & t)
 
 
+def test_semantic_dedup_bucket_cap_bounds_degenerate_buckets(spark):
+    """200 near-identical embeddings land in one LSH bucket; the cap
+    must drop the bucket (O(m²) pair guard) while distinct-bucket pairs
+    survive."""
+    from claude_readability_hook_spark.operators.similarity import semantic_dedup_pairs
+
+    base = [1.0] * 64
+    rows = [(i, [v + i * 1e-6 for v in base]) for i in range(200)]
+    # two extra clones far from the blob, in their own bucket
+    far = [(-1.0 if d % 2 else 1.0) for d in range(64)]
+    rows += [(1000, far), (1001, list(far))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = semantic_dedup_pairs(df, threshold=0.9, max_bucket_size=50)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    assert (1000, 1001) in pairs
+    assert all(a >= 1000 for a, _ in pairs)  # blob bucket dropped
+
+    uncapped = semantic_dedup_pairs(df, threshold=0.9)
+    assert uncapped.count() >= 200 * 199 / 2  # the blowup the cap prevents
+
+
 def test_quantize_roundtrip_error_bound(spark):
     """Dequantized values must sit within half a quantization step of
     the original: |x − q·scale/127| ≤ scale/254 (+ float slack)."""
