@@ -141,6 +141,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical keeper per
+    cluster (iterative min-label propagation; recursive-CTE twin)."""
+    from claude_readability_hook_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+
+    pairs = minhash_lsh_candidates(
+        _docs_with_planted_dups(spark, sf_dir),
+        num_hashes=NUM_MINHASHES,
+        band_size=BAND_SIZE,
+        n=JACCARD_NGRAM,
+        max_bucket_size=MAX_LSH_BUCKET,
+        exact_dedup_first=True,
+    )
+    return dedup_clusters(pairs)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.textstats import token_stats
 
@@ -723,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1144,6 +1164,19 @@ def oracle_sql() -> dict[str, str]:
             FROM src GROUP BY 1 HAVING count(*) >= 2
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            p AS ({_minhash_oracle_sql()}),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                      UNION SELECT doc_b, doc_a FROM p),
+            reach AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        """,
         "dedup_simhash": f"""
             WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
             SELECT doc_id, CAST({_simhash_terms_sql()} AS BIGINT) AS simhash FROM tok

@@ -252,6 +252,61 @@ def minhash_oversize_buckets(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = min doc_id of the component (the canonical
+    keeper). Docs appearing in no pair are absent (singletons keep
+    themselves by definition).
+
+    Algorithm: iterative min-label propagation (the standard
+    Pregel-style CC; public algorithm). Each round every node adopts
+    the minimum label among itself and its neighbors; convergence in
+    O(component diameter) rounds — near-dup components are
+    star/clique-shaped (diameter ≤ ~3), so a handful of rounds closes
+    web-scale graphs. Per round: one groupBy(node) min-agg over the
+    edge list joined with current labels — shuffles carry (node,
+    label) longs only. The driver-side convergence check is one count
+    per round on a changed-labels filter (documented small agg).
+
+    DuckDB twin: recursive-CTE transitive closure with min-label
+    aggregation (exact for the test scales; the iterative form is the
+    one that runs at 10^12 edges)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint(eager=True)  # break the per-round lineage chain
+        changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
     """Per-doc simhash over whitespace tokens.
 

@@ -87,6 +87,41 @@ def test_minhash_exact_clones_collapse_without_blowup(spark):
     assert groups[0]["keeper_doc_id"] == 0
 
 
+def test_clusters_chain_components_to_min_label(spark):
+    """Chained pairs (a-b, b-c) and a separate pair must resolve to
+    min-label components — including a diameter > 1 chain, which takes
+    two propagation rounds."""
+    from claude_readability_hook_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 22)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        5: 5, 20: 5, 21: 5, 22: 5,
+    }
+
+
+def test_clusters_group_planted_dups(spark, planted):
+    near, _exact = planted
+    import __spark_entry__ as em2
+
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in em2.q_dedup_clusters(spark, SF_DIR).collect()
+    }
+    # each found near-dup clone must share its original's cluster;
+    # the canonical is the component min (LSH false-positive edges can
+    # legitimately merge originals into one component)
+    found = [d for d in near if d in clusters and d + 1000000 in clusters]
+    assert len(found) >= 0.8 * len(near)
+    for d in found:
+        assert clusters[d + 1000000] == clusters[d] <= d
+
+
 def test_jaccard_verifies_near_dups(spark, planted):
     near, exact = planted
     rows = em.q_dedup_ngram_jaccard(spark, SF_DIR).collect()
