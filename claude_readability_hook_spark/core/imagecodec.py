@@ -140,6 +140,28 @@ def luminance_histogram(payload: bytes, dim: int = 16) -> list[float]:
     return [round(c / n, 6) for c in buckets]
 
 
+def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize: decode → sample → re-encode
+    (grayscale output; RGB inputs are luminance-converted first — the
+    thumbnail use case for training-data pipelines). Raises like
+    decode_png on unsupported inputs."""
+    width, height, channels, pixels = decode_png(payload)
+    if channels == 3:
+        gray = bytearray(width * height)
+        for i in range(width * height):
+            j = 3 * i
+            gray[i] = (
+                299 * pixels[j] + 587 * pixels[j + 1] + 114 * pixels[j + 2]
+            ) // 1000
+        pixels = bytes(gray)
+    rows = []
+    for y in range(out_h):
+        sy = y * height // out_h
+        base = sy * width
+        rows.append([pixels[base + (x * width // out_w)] for x in range(out_w)])
+    return encode_png(rows)
+
+
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     """JPEG SOF scan for (width, height) — header-only, no pixel path
     (a full JPEG entropy decode is out of scope without a codec lib)."""

@@ -134,6 +134,69 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return narrow.mapInPandas(featurize, schema=MEDIA_FEATURES)
 
 
+RESIZED = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("resize_ok", StringType(), False),  # 'ok' | 'stubbed' | error
+    ]
+)
+
+
+def resize_media(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Thumbnail pass: REAL for PNG payloads (pure-Python decode →
+    nearest-neighbor sample → re-encode); other formats pass through
+    unchanged with resize_ok='stubbed'. Same scan-side mapInPandas
+    shape as feature extraction — payloads never shuffle."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.imagecodec import is_png, resize_png
+
+        for batch in batches:
+            records = []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    if is_png(raw):
+                        records.append(
+                            {"media_ref": ref, "payload": resize_png(raw, out_w, out_h), "resize_ok": "ok"}
+                        )
+                    else:
+                        records.append(
+                            {"media_ref": ref, "payload": raw, "resize_ok": "stubbed"}
+                        )
+                except Exception as exc:  # noqa: BLE001 — poison isolation
+                    records.append(
+                        {
+                            "media_ref": ref,
+                            "payload": raw,
+                            "resize_ok": f"resize error: {type(exc).__name__}",
+                        }
+                    )
+            yield pd.DataFrame.from_records(records)
+
+    return media.select("media_ref", "payload").mapInPandas(do_resize, schema=RESIZED)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for kind='video' payloads. The actual
+    container/codec demux is STUBBED (no av/ffmpeg in this container):
+    frame offsets are derived from duration_ms metadata — the REAL part
+    is the schema/explode shape a demuxer would feed."""
+    frames = F.when(
+        F.col("duration_ms").isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), F.greatest((F.col("duration_ms") / every_ms).cast("int") - 1, F.lit(0))),
+            lambda i: i * every_ms,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_ref", F.explode(frames).alias("frame_at_ms"))
+        .withColumn("decode_ok", F.lit("stubbed"))
+    )
+
+
 def media_spans(extracted: DataFrame) -> DataFrame:
     """Flatten media spans out of extracted docs: (doc_id, offset,
     media_ref). Narrow projection — span text never travels."""

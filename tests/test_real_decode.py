@@ -148,6 +148,54 @@ def test_media_features_real_png_decode_ok(spark):
     assert extract_media_features(fake).collect()[0]["decode_ok"] == "stubbed"
 
 
+def test_resize_png_nearest_neighbor():
+    from claude_readability_hook_spark.core.imagecodec import resize_png
+
+    # 2x2 block image upscaled 2x: each pixel becomes a 2x2 block
+    png = encode_png([[0, 100], [200, 255]])
+    out = resize_png(png, 4, 4)
+    _w, _h, _ch, raw = decode_png(out)
+    assert list(raw) == [0, 0, 100, 100, 0, 0, 100, 100,
+                         200, 200, 255, 255, 200, 200, 255, 255]
+
+
+def test_resize_media_real_and_stub_paths(spark):
+    from claude_readability_hook_spark.operators.multimodal import (
+        resize_media,
+        synthesize_media_table,
+    )
+
+    real = synthesize_media_table(spark, ["img:a", "img:b"], real_png=True)
+    rows = resize_media(real, 8, 8).collect()
+    assert all(r["resize_ok"] == "ok" for r in rows)
+    for r in rows:
+        w, h, _ch, _raw = decode_png(bytes(r["payload"]))
+        assert (w, h) == (8, 8)
+
+    fake = synthesize_media_table(spark, ["img:c"], real_png=False)
+    out = resize_media(fake, 8, 8).collect()[0]
+    assert out["resize_ok"] == "stubbed"
+
+
+def test_sample_video_frames_offsets(spark):
+    from claude_readability_hook_spark.operators.multimodal import (
+        MEDIA,
+        sample_video_frames,
+    )
+
+    rows = [
+        {"media_ref": "vid:1", "modality": "video", "payload": b"x",
+         "width": None, "height": None, "duration_ms": 3500, "mime": "video/mp4"},
+        {"media_ref": "vid:2", "modality": "video", "payload": b"y",
+         "width": None, "height": None, "duration_ms": 800, "mime": "video/mp4"},
+        {"media_ref": "img:1", "modality": "image", "payload": b"z",
+         "width": 1, "height": 1, "duration_ms": None, "mime": "image/png"},
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA)
+    out = {(r["media_ref"], r["frame_at_ms"]) for r in sample_video_frames(df, 1000).collect()}
+    assert out == {("vid:1", 0), ("vid:1", 1000), ("vid:1", 2000), ("vid:2", 0)}
+
+
 # ---------------------------------------------------------------------------
 # Uncompressed-PDF text extraction
 # ---------------------------------------------------------------------------
