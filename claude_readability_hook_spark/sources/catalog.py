@@ -78,6 +78,35 @@ class TableCatalog:
         else:
             df.write.mode("overwrite").parquet(self._path(name))
 
+    # -- maintenance: the Iceberg MERGE/rewrite analogs ---------------------
+
+    def merge_latest(self, name: str, key: str = "doc_id") -> int:
+        """Compact re-extraction appends: rewrite the table keeping only
+        the newest row per key (operators.resume.latest_extractions
+        order). The Iceberg analog is MERGE INTO / rewrite_data_files;
+        the parquet seam stages the result and swaps via overwrite.
+        Returns the surviving row count."""
+        from ..operators.resume import latest_extractions
+
+        latest = latest_extractions(self.read(name))
+        # materialize BEFORE overwriting the path being read (otherwise
+        # the lazy plan would scan its own truncated output)
+        latest = latest.localCheckpoint(eager=True)
+        n = latest.count()
+        self.overwrite(latest, name)
+        return n
+
+    def compact(self, name: str, target_rows_per_file: int = 1_000_000) -> int:
+        """Small-file management: rewrite the table into
+        ceil(rows/target) files (the operational fix for long append
+        histories; Iceberg analog rewrite_data_files). Returns the new
+        file count."""
+        df = self.read(name).localCheckpoint(eager=True)
+        n = df.count()
+        files = max(1, -(-n // target_rows_per_file))
+        self.overwrite(df.repartition(files), name)
+        return files
+
     # -- bucketed variant: the storage-partitioned-join seam ---------------
     #
     # At 10^12 docs the resume anti-join (src ⋈ committed-output on

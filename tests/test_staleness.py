@@ -98,3 +98,26 @@ def test_engine_bump_reextracts_exactly_stale_subset(spark, tmp_path):
     latest = latest_extractions(done)
     assert latest.count() == n_docs
     assert {r["engine_version"] for r in latest.collect()} == {2}
+
+    # MERGE-analog compaction: rewrite keeping newest per doc; a
+    # further v2 rerun still extracts nothing (resume intact)
+    assert catalog.merge_latest(EXTRACTED_TABLE) == n_docs
+    merged = catalog.read(EXTRACTED_TABLE)
+    assert merged.count() == n_docs
+    assert {r["engine_version"] for r in merged.collect()} == {2}
+    r5 = run_extraction(spark, src, catalog=catalog, cfg=v2, num_partitions=2)
+    assert extracted_this_run(r5) == 0
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    import glob
+
+    catalog = TableCatalog(spark, str(tmp_path / "cat"), use_iceberg=False)
+    df = spark.range(0, 1000).select(F.col("id").cast("string").alias("doc_id"))
+    for _ in range(5):  # 5 appends × multiple tasks → many small files
+        catalog.append(df.repartition(8), "t")
+    before = len(glob.glob(str(tmp_path / "cat" / "t" / "*.parquet")))
+    files = catalog.compact("t", target_rows_per_file=2500)
+    after = len(glob.glob(str(tmp_path / "cat" / "t" / "*.parquet")))
+    assert catalog.read("t").count() == 5000
+    assert files == 2 and after <= before and after <= 4
