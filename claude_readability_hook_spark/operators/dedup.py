@@ -278,12 +278,12 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
         .distinct()
     )
+    edges = edges.localCheckpoint(eager=True)  # reused every round
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    edges = edges.localCheckpoint(eager=True)  # reused every round
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])

@@ -100,6 +100,10 @@ def _estimated_scan_partitions(spark: SparkSession, df: DataFrame) -> int | None
 @dataclass
 class RunResult:
     run_id: str
+    # With a catalog, `extracted` is the raw committed table — after a
+    # staleness-driven re-extraction it contains superseded rows too;
+    # operators.resume.latest_extractions (or catalog.merge_latest)
+    # resolves to one row per doc.
     extracted: DataFrame
     lineage: DataFrame
 
