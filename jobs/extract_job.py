@@ -33,6 +33,13 @@ def main() -> None:
         action="store_true",
         help="input is a flat documents table dir; synthesize the span corpus",
     )
+    parser.add_argument(
+        "--export-jsonl",
+        default=None,
+        help="also write training shards (gzip JSONL) of the latest "
+        "successful extractions to this path",
+    )
+    parser.add_argument("--export-shard-rows", type=int, default=100_000)
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,6 +64,17 @@ def main() -> None:
         run_id=args.run_id,
     )
 
+    n_shards = None
+    if args.export_jsonl:
+        from claude_readability_hook_spark.operators.resume import latest_extractions
+        from claude_readability_hook_spark.sources.export import export_jsonl_shards
+
+        n_shards = export_jsonl_shards(
+            latest_extractions(result.extracted),
+            args.export_jsonl,
+            max_rows_per_shard=args.export_shard_rows,
+        )
+
     summary = (
         result.lineage.groupBy()
         .sum("docs_in", "docs_out", "failures", "bytes_in")
@@ -70,6 +88,7 @@ def main() -> None:
                 "docs_out": summary[1] or 0,
                 "failures": summary[2] or 0,
                 "bytes_in": summary[3] or 0,
+                "export_shards": n_shards,
             }
         )
     )
