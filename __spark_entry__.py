@@ -578,6 +578,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(emb, threshold=0.35, num_planes=LSH_PLANES, dims=EMBED_DIMS)
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.sampling import train_val_split
+
+    return train_val_split(_docs(spark, sf_dir), val_fraction=0.1)
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claude_readability_hook_spark.operators.sampling import cap_per_source
+
+    return cap_per_source(_docs(spark, sf_dir), max_docs=15)
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation gate over the planted-dups view (so the
     dedup leg has true positives): language + quality Column gates in
@@ -765,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_ann_topk": q_ivf_ann_topk,
         "curate": q_curate,
+        "train_val_split": q_train_val_split,
+        "cap_per_source": q_cap_per_source,
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,
@@ -1414,6 +1428,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cosine DESC, e.vec_id
             LIMIT {ANN_K}
+        """,
+        "train_val_split": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     {_H32_SQL.replace("md5(s)", "md5(doc_id::VARCHAR)")} % 10000
+                       AS bucket
+              FROM documents
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 1000 THEN 'val' ELSE 'train' END AS split
+            FROM h
+        """,
+        "cap_per_source": f"""
+            WITH h AS (
+              SELECT doc_id, source,
+                     {_H32_SQL.replace("md5(s)", "md5(doc_id::VARCHAR)")} AS hk
+              FROM documents
+            )
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+              FROM h) t
+            WHERE rn <= 15
         """,
         "curate": f"""
             WITH src AS ({_DUP_SQL}),

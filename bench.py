@@ -78,6 +78,8 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "sessionize_salted",
         "per_source_stats",
         "curate",
+        "train_val_split",
+        "cap_per_source",
         "rollup_priority",
         "running_revenue",
         "exists_semi_join",
