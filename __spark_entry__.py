@@ -196,6 +196,17 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(_docs(spark, sf_dir))
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary by frequency (token tiebreak)."""
+    from claude_readability_hook_spark.operators.textstats import vocabulary
+
+    return (
+        vocabulary(_docs(spark, sf_dir), min_count=2)
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
 def q_quality_score_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.functions.columns import quality_score_expr
 
@@ -759,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "vocab_topk": q_vocab_topk,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
         "url_transforms": q_url_transforms,
@@ -1276,6 +1288,12 @@ def oracle_sql() -> dict[str, str]:
                    md5({_NORM_SQL}) AS fp_full,
                    substr(md5({_NORM_SQL}), 1, 16) AS fp_prefix64
             FROM documents
+        """,
+        "vocab_topk": f"""
+            WITH tok AS (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+            SELECT lower(t) AS token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1 HAVING count(*) >= 2
+            ORDER BY n DESC, token LIMIT 100
         """,
         "quality_score_a1": f"""
             WITH tok AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)

@@ -66,6 +66,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "lang_id",
         "text_quality",
         "fingerprint",
+        "vocab_topk",
         "fingerprint_winnow",
         "ann_cosine_topk",
         "ann_lsh_buckets",

@@ -125,6 +125,24 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", lang_pred_expr(F.col(text_col)).alias("lang_pred"))
 
 
+def vocabulary(
+    df: DataFrame, min_count: int = 1, lowercase: bool = True, text_col: str = "text"
+) -> DataFrame:
+    """Corpus token-frequency table (token, n) — the tokenizer-training
+    precursor. explode → hash agg with map-side partials: the shuffle
+    carries one (token, partial-count) row per distinct token per
+    partition, bounded by vocabulary size, not corpus size."""
+    tok = F.explode(tokens_expr(F.col(text_col))).alias("token")
+    tokens = df.select(tok)
+    if lowercase:
+        tokens = tokens.select(F.lower("token").alias("token"))
+    return (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 # GPT-2-flavoured pretokenizer shape: contractions, letter runs, digit
 # runs, punctuation runs, whitespace collapsed away. ASCII classes only
 # so Java (Spark) and RE2 (DuckDB) agree.
