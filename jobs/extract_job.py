@@ -40,6 +40,20 @@ def main() -> None:
         "successful extractions to this path",
     )
     parser.add_argument("--export-shard-rows", type=int, default=100_000)
+    parser.add_argument(
+        "--engine-version",
+        type=int,
+        default=None,
+        help="override EngineConfig.engine_version: committed rows from "
+        "older versions re-extract (staleness policy)",
+    )
+    parser.add_argument(
+        "--reextract-ttl-hours",
+        type=float,
+        default=None,
+        help="also re-extract rows older than this many hours "
+        "(the reference's 24h cache TTL as a batch policy)",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,11 +69,22 @@ def main() -> None:
     else:
         src = spark.read.parquet(args.input)
 
+    from dataclasses import replace
+
+    from claude_readability_hook_spark.config import DEFAULT
+
+    cfg = DEFAULT
+    if args.engine_version is not None:
+        cfg = replace(cfg, engine_version=args.engine_version)
+    if args.reextract_ttl_hours is not None:
+        cfg = replace(cfg, reextract_ttl_hours=args.reextract_ttl_hours)
+
     catalog = TableCatalog(spark, args.output)
     result = run_extraction(
         spark,
         src,
         catalog=catalog,
+        cfg=cfg,
         num_partitions=args.partitions,
         run_id=args.run_id,
     )
