@@ -115,18 +115,36 @@ def make_extract_arrow_fn(cfg: EngineConfig = DEFAULT):
         ctx = TaskContext.get()
         partition_id = ctx.partitionId() if ctx is not None else -1
 
-        for batch in batches:
-            t0 = time.monotonic()
-            rows = batch.to_pylist()
-            records = [
-                _extract_one(str(r["doc_id"]), r["spans"], partition_id, cfg)
-                for r in rows
-            ]
-            wall_ms = int((time.monotonic() - t0) * 1000)
-            n = max(len(records), 1)
-            for i, r in enumerate(records):
-                r["udf_wall_ms"] = wall_ms // n + (1 if i < wall_ms % n else 0)
-            yield pa.RecordBatch.from_pylist(records, schema=arrow_schema)
+        # Byte-bounded sub-batching: maxRecordsPerBatch is a ROW cap,
+        # so a giant-doc stripe (salted_repartition groups >1 MB docs
+        # together) could hand us a multi-GB batch; to_pylist would
+        # materialize it as Python objects at ~5-10× the Arrow bytes.
+        # Slicing by buffer size bounds peak Python memory regardless
+        # of the session's row cap.
+        max_slice_bytes = cfg.target_partition_bytes
+
+        def slices(batch):
+            if batch.nbytes <= max_slice_bytes or batch.num_rows <= 1:
+                yield batch
+                return
+            n_slices = -(-batch.nbytes // max_slice_bytes)
+            step = max(1, batch.num_rows // n_slices)
+            for off in range(0, batch.num_rows, step):
+                yield batch.slice(off, step)
+
+        for full_batch in batches:
+            for batch in slices(full_batch):
+                t0 = time.monotonic()
+                rows = batch.to_pylist()
+                records = [
+                    _extract_one(str(r["doc_id"]), r["spans"], partition_id, cfg)
+                    for r in rows
+                ]
+                wall_ms = int((time.monotonic() - t0) * 1000)
+                n = max(len(records), 1)
+                for i, r in enumerate(records):
+                    r["udf_wall_ms"] = wall_ms // n + (1 if i < wall_ms % n else 0)
+                yield pa.RecordBatch.from_pylist(records, schema=arrow_schema)
 
     return extract_batches
 
