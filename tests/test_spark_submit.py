@@ -33,7 +33,7 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
     _zip_package(pkg_zip)
     out_dir = str(tmp_path / "warehouse")
 
-    def submit(run_id: str) -> dict:
+    def submit(run_id: str, *extra: str) -> dict:
         proc = subprocess.run(
             [
                 "spark-submit",
@@ -47,6 +47,7 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
                 "--partitions", "4",
                 "--run-id", run_id,
                 "--from-flat",
+                *extra,
             ],
             capture_output=True,
             text=True,
@@ -63,3 +64,19 @@ def test_spark_submit_pyfiles_roundtrip(tmp_path):
     # resubmit: resume anti-join leaves nothing to do
     second = submit("sub2")
     assert second["docs_in"] == 0
+
+    # staleness: an engine-version bump re-extracts everything once,
+    # and the export flag writes training shards of the latest view
+    shards_dir = str(tmp_path / "shards")
+    third = submit(
+        "sub3", "--engine-version", "3", "--export-jsonl", shards_dir,
+        "--export-shard-rows", "200",
+    )
+    assert third["docs_in"] == 500
+    assert third["export_shards"] >= 2
+    import glob
+
+    assert glob.glob(os.path.join(shards_dir, "part-*.json.gz"))
+
+    fourth = submit("sub4", "--engine-version", "3")
+    assert fourth["docs_in"] == 0
