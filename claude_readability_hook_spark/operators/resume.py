@@ -30,11 +30,18 @@ def fresh_extractions(
 ) -> DataFrame:
     """The committed rows that still count as cache hits. Rows from a
     table written before the stamp columns existed are treated as
-    stale when a policy is requested (they predate the policy)."""
+    STALE when a policy is requested (they predate the policy, so an
+    engine bump re-extracts them exactly once — after which they carry
+    stamps). NULL stamps from mixed-schema reads fail the filters the
+    same way."""
     fresh = done
-    if engine_version is not None and "engine_version" in done.columns:
+    if engine_version is not None:
+        if "engine_version" not in done.columns:
+            return done.filter(F.lit(False))
         fresh = fresh.filter(F.col("engine_version") >= engine_version)
-    if max_age_hours is not None and "extracted_at" in done.columns:
+    if max_age_hours is not None:
+        if "extracted_at" not in done.columns:
+            return done.filter(F.lit(False))
         cutoff = (now if now is not None else F.current_timestamp()) - F.expr(
             f"INTERVAL {int(max_age_hours * 3600)} SECONDS"
         )
@@ -65,14 +72,18 @@ def remaining_documents(
 
 def latest_extractions(done: DataFrame) -> DataFrame:
     """Read-side view after re-extraction appends: one row per doc_id,
-    preferring the newest (engine_version, extracted_at). With a real
-    Iceberg catalog this is a MERGE at write time instead; the
-    append-only Parquet seam resolves it at read time."""
-    order = [F.col("doc_id")]
+    preferring the newest (engine_version, extracted_at) — each stamp
+    column orders independently when present (a TTL-only table without
+    engine_version still resolves by timestamp). With neither stamp the
+    pick is arbitrary-but-deterministic-per-plan; callers needing a
+    guarantee must write stamps. Iceberg analog: MERGE at write time."""
+    order = []
     if "engine_version" in done.columns:
-        order = [F.col("engine_version").desc()]
-        if "extracted_at" in done.columns:
-            order.append(F.col("extracted_at").desc())
+        order.append(F.col("engine_version").desc_nulls_last())
+    if "extracted_at" in done.columns:
+        order.append(F.col("extracted_at").desc_nulls_last())
+    if not order:
+        order = [F.lit(1)]
     w = Window.partitionBy("doc_id").orderBy(*order)
     return (
         done.withColumn("_rn", F.row_number().over(w))
@@ -81,9 +92,18 @@ def latest_extractions(done: DataFrame) -> DataFrame:
     )
 
 
-def cache_hits(src: DataFrame, done: DataFrame) -> DataFrame:
-    """The complement — previously extracted rows (the 'cached=true'
-    responses of the reference), for metrics parity."""
-    return src.join(done.select("doc_id").distinct(), on="doc_id", how="left_semi").withColumn(
+def cache_hits(
+    src: DataFrame,
+    done: DataFrame,
+    engine_version: int | None = None,
+    max_age_hours: float | None = None,
+    now: Column | None = None,
+) -> DataFrame:
+    """The exact complement of remaining_documents under the same
+    staleness policy — previously extracted AND still-fresh rows (the
+    'cached=true' responses of the reference), for metrics parity:
+    hits ∪ remaining == src, disjoint."""
+    fresh = fresh_extractions(done, engine_version, max_age_hours, now)
+    return src.join(fresh.select("doc_id").distinct(), on="doc_id", how="left_semi").withColumn(
         "cached", F.lit(True)
     )

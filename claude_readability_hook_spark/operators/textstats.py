@@ -59,12 +59,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean_wl = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
     en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.filter(tokens, lambda t: F.array_contains(en_stops, F.lower(t))))
-    keep = (
-        (n_tokens >= 5)
-        & (mean_wl >= 2.0)
-        & (mean_wl <= 12.0)
-        & (alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)) >= 0.6)
-    )
+    # the gate is the single shared definition — curate() applies the
+    # same expression, so threshold tuning can't diverge
+    keep = quality_keep_expr(text)
     return df.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),

@@ -148,8 +148,11 @@ def run_extraction(
     nparts = num_partitions or partitions_for(todo, cfg)
     # Logical-plan partition estimate (no .rdd conversion — that would
     # sidestep AQE's view of the plan and force an analysis round-trip
-    # on the driver): leaf scan partitions from the file sizes.
-    src_parts = _estimated_scan_partitions(spark, todo)
+    # on the driver): leaf scan partitions from the file sizes. The
+    # estimate runs on the SOURCE plan (df), not todo — todo's leaf
+    # files include the committed-output side of the resume anti-join,
+    # which would inflate the estimate and wrongly skip the shuffle.
+    src_parts = _estimated_scan_partitions(spark, df)
     needs_shuffle = repartition == "force" or (
         repartition == "auto"
         and src_parts is not None

@@ -61,7 +61,13 @@ class TableCatalog:
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(name)
-        return self.spark.read.parquet(self._path(name))
+        # mergeSchema: an upgraded writer appends files with NEW columns
+        # (engine_version/extracted_at stamps) next to pre-upgrade files;
+        # without merging, the schema comes from one arbitrary footer and
+        # staleness/latest semantics become nondeterministic. Old rows
+        # read NULL stamps, which the staleness filters treat as stale —
+        # deterministic either way. (Iceberg evolves schema natively.)
+        return self.spark.read.option("mergeSchema", "true").parquet(self._path(name))
 
     def append(self, df: DataFrame, name: str) -> None:
         """Atomic-enough append: Spark's parquet committer writes to a

@@ -17,9 +17,11 @@ Two state regimes:
                              distinct keys (16-byte hash per doc). Only
                              for bounded replays/backfills.
 
-The hash is md5 of normalized text flattened from the span array — the
-same normalization as operators/dedup.exact_duplicates, so batch and
-stream agree on what "identical" means.
+The hash is md5 of the normalized, SEPARATOR-FRAMED flatten of the
+span texts: spans join on a \\x1f unit separator (survives the
+whitespace-collapsing normalization), so two documents whose span
+texts merely split the same string at different offsets do NOT
+collide — span boundaries are part of document identity.
 """
 
 from __future__ import annotations
@@ -29,13 +31,13 @@ from pyspark.sql import functions as F
 
 from ..operators.textcommon import norm_text_expr
 
+_SEP = "\x1f"  # unit separator: not whitespace, survives normalization
+
 
 def content_hash_expr() -> F.Column:
-    """md5 over the normalized concatenation of text-bearing spans."""
-    flat = F.aggregate(
-        "spans",
-        F.lit("").cast("string"),
-        lambda acc, s: F.concat(acc, F.coalesce(s["text"], F.lit(""))),
+    """md5 over the normalized \\x1f-joined text-bearing spans."""
+    flat = F.array_join(
+        F.transform("spans", lambda s: F.coalesce(s["text"], F.lit(""))), _SEP
     )
     return F.md5(norm_text_expr(flat))
 

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pytest
+import pyspark.sql.functions as F
 
 from claude_readability_hook_spark.config import EngineConfig
 from claude_readability_hook_spark.operators.extract import extract_spans, strip_metrics
@@ -157,8 +158,14 @@ def test_partial_write_resume_converges(spark, tmp_path):
     # run died after their task committed
     from claude_readability_hook_spark.operators.extract import extract_spans
 
+    # a real crashed run commits stamped rows (the pipeline stamps
+    # before append) — unstamped rows would be policy-stale by design
+    from claude_readability_hook_spark.config import DEFAULT as _CFG
+
     partial = strip_metrics(
         extract_spans(src.filter("doc_id in ('simple', 'with_code_block')"))
+    ).withColumn("engine_version", F.lit(_CFG.engine_version)).withColumn(
+        "extracted_at", F.current_timestamp()
     )
     catalog.append(partial, "extracted")
 

@@ -52,7 +52,10 @@ def test_ttl_staleness_with_pinned_now(spark):
     assert fresh == {"1", "2"}
 
 
-def test_pre_policy_tables_without_stamp_columns_still_resume(spark):
+def test_pre_policy_tables_reextract_fully_when_policy_requested(spark):
+    """A table written before the stamp columns existed predates the
+    policy: requesting one treats every committed row as stale (they
+    re-extract once and gain stamps). Without a policy, plain resume."""
     src = spark.createDataFrame([(str(i),) for i in range(4)], "doc_id string")
     done = spark.createDataFrame([("0",), ("1",)], "doc_id string")
     todo = {
@@ -61,7 +64,38 @@ def test_pre_policy_tables_without_stamp_columns_still_resume(spark):
             src, done, engine_version=2, max_age_hours=24
         ).collect()
     }
-    assert todo == {"2", "3"}  # no stamp columns → plain resume semantics
+    assert todo == {"0", "1", "2", "3"}
+    plain = {r["doc_id"] for r in remaining_documents(src, done).collect()}
+    assert plain == {"2", "3"}
+
+
+def test_cache_hits_complement_under_policy(spark):
+    from claude_readability_hook_spark.operators.resume import cache_hits
+
+    src = spark.createDataFrame([(str(i),) for i in range(10)], "doc_id string")
+    done = spark.createDataFrame(
+        [(str(i), 1 if i < 5 else 2) for i in range(8)],
+        "doc_id string, engine_version int",
+    )
+    todo = {r["doc_id"] for r in remaining_documents(src, done, engine_version=2).collect()}
+    hits = {r["doc_id"] for r in cache_hits(src, done, engine_version=2).collect()}
+    assert todo | hits == {str(i) for i in range(10)}
+    assert todo & hits == set()
+
+
+def test_latest_extractions_ttl_only_table(spark):
+    """extracted_at must order independently when engine_version is
+    absent (TTL-only deployment)."""
+    done = spark.createDataFrame(
+        [("a", "2026-01-01 00:00:00", "old"), ("a", "2026-01-02 00:00:00", "new")],
+        "doc_id string, extracted_at_s string, text string",
+    ).select(
+        "doc_id",
+        F.col("extracted_at_s").cast("timestamp").alias("extracted_at"),
+        "text",
+    )
+    rows = latest_extractions(done).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "new"
 
 
 def test_engine_bump_reextracts_exactly_stale_subset(spark, tmp_path):

@@ -43,22 +43,34 @@ def test_unbounded_stream_dedup_drops_recrawls(spark, tmp_path):
     assert len(out) == 5  # 4 originals + 1 new; 3 recrawls dropped
 
 
-def test_stream_hash_agrees_with_batch_dedup(spark):
-    """The stream's content hash must equal the batch operator's
-    normalization so both layers agree on 'identical'."""
-    from claude_readability_hook_spark.operators.textcommon import norm_text_expr
+def test_content_hash_respects_span_boundaries(spark):
+    """Separator framing: equal concatenations split at different span
+    offsets must NOT collide; identical span sequences under different
+    doc_ids must."""
 
-    df = spark.createDataFrame(fixture_rows()[:6], schema=DOCUMENTS)
-    stream_side = df.select("doc_id", content_hash_expr().alias("h"))
-    flat = F.aggregate(
-        "spans",
-        F.lit("").cast("string"),
-        lambda acc, s: F.concat(acc, F.coalesce(s["text"], F.lit(""))),
+    def doc(doc_id, texts):
+        return {
+            "doc_id": doc_id,
+            "url": "https://x/",
+            "host": "x",
+            "n_bytes": sum(len(t) for t in texts),
+            "spans": [
+                {"kind": "text", "text": t, "media_ref": "", "offset": i}
+                for i, t in enumerate(texts)
+            ],
+        }
+
+    df = spark.createDataFrame(
+        [
+            doc("a", ["foo", "bar"]),
+            doc("b", ["foob", "ar"]),  # same concatenation, different split
+            doc("c", ["foo", "bar"]),  # true duplicate of a
+        ],
+        schema=DOCUMENTS,
     )
-    batch_side = df.select("doc_id", F.md5(norm_text_expr(flat)).alias("h"))
-    assert {tuple(r) for r in stream_side.collect()} == {
-        tuple(r) for r in batch_side.collect()
-    }
+    h = {r["doc_id"]: r["h"] for r in df.select("doc_id", content_hash_expr().alias("h")).collect()}
+    assert h["a"] == h["c"]
+    assert h["a"] != h["b"]
 
 
 def test_watermarked_dedup_bounded_state(spark, tmp_path):
