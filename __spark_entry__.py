@@ -582,11 +582,23 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_CAP = 200
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-gated cosine near-dup pairs WITH the bucket fanout cap
+    active (the production default — a degenerate bucket must be
+    excluded, not pair-expanded)."""
     from claude_readability_hook_spark.operators.similarity import semantic_dedup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semantic_dedup_pairs(emb, threshold=0.35, num_planes=LSH_PLANES, dims=EMBED_DIMS)
+    return semantic_dedup_pairs(
+        emb,
+        threshold=0.35,
+        num_planes=LSH_PLANES,
+        dims=EMBED_DIMS,
+        max_bucket_size=SEMANTIC_CAP,
+    )
 
 
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,8 +1574,11 @@ def oracle_sql() -> dict[str, str]:
             WITH buckets AS (
               SELECT vec_id, CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket FROM embeddings
             ),
+            ok AS (SELECT bucket FROM buckets
+                   GROUP BY bucket HAVING count(*) <= {SEMANTIC_CAP}),
             wb AS (SELECT e.vec_id, e.embedding, b.bucket
-                   FROM embeddings e JOIN buckets b USING (vec_id))
+                   FROM embeddings e JOIN buckets b USING (vec_id)
+                   JOIN ok USING (bucket))
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(
                      list_sum(list_transform(range(1, 65),

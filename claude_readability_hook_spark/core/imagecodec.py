@@ -171,11 +171,18 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # the spec allows any number of 0xFF fill bytes before a marker
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2:  # zero-progress guard on corrupt input
+            raise ValueError("bad JPEG segment length")
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
             height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
             return width, height

@@ -259,18 +259,26 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     themselves by definition).
 
     Algorithm: iterative min-label propagation (the standard
-    Pregel-style CC; public algorithm). Each round every node adopts
-    the minimum label among itself and its neighbors; convergence in
-    O(component diameter) rounds — near-dup components are
-    star/clique-shaped (diameter ≤ ~3), so a handful of rounds closes
-    web-scale graphs. Per round: one groupBy(node) min-agg over the
-    edge list joined with current labels — shuffles carry (node,
-    label) longs only. The driver-side convergence check is one count
-    per round on a changed-labels filter (documented small agg).
+    Pregel-style CC; public algorithm) with POINTER JUMPING: each round
+    every node adopts the minimum label among itself and its neighbors,
+    then compresses one pointer hop (label ← label-of-label). The hop
+    doubles the propagation distance per round, so convergence is
+    O(log diameter) instead of O(diameter) — a 50-link chain of
+    pairwise near-dups closes in ~7 rounds, not 50 driver round-trips.
+    Near-dup components are usually star/clique-shaped (diameter ≤ ~3);
+    the jump is insurance against the pathological chain. Per round:
+    one groupBy(node) min-agg over the edge list joined with current
+    labels plus one self-join of the narrow (node, label) table —
+    shuffles carry longs only. The driver-side convergence check is
+    one count per round on a changed-labels filter (documented small
+    agg). If the round cap is hit before convergence, a warning is
+    raised rather than silently returning fragmented clusters.
 
     DuckDB twin: recursive-CTE transitive closure with min-label
     aggregation (exact for the test scales; the iterative form is the
     one that runs at 10^12 edges)."""
+    import warnings
+
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -284,18 +292,32 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hop = labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("hop_label"),
+            "label",
+        )
+        # pointer jump: follow the adopted label one more step. A label
+        # is always the id of a node in the table (min over member
+        # ids), so the self-join resolves; least() keeps monotonicity.
+        jump_src = hop.select(
+            F.col("node").alias("jnode"), F.col("hop_label").alias("jlabel")
+        )
         updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            hop.join(jump_src, hop["hop_label"] == jump_src["jnode"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("hop_label"), F.coalesce(F.col("jlabel"), F.col("hop_label"))
                 ).alias("new_label"),
                 "label",
             )
@@ -303,7 +325,16 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         changed = updated.filter(F.col("new_label") < F.col("label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{max_iterations} rounds — cluster_ids may be fragmented; "
+            f"raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

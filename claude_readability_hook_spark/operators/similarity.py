@@ -291,13 +291,34 @@ def ivf_ann_topk(
     )
 
 
+SEMANTIC_BUCKET_CAP = 200
+
+
+def semantic_oversize_buckets(
+    df: DataFrame,
+    num_planes: int = 6,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    max_bucket_size: int = SEMANTIC_BUCKET_CAP,
+) -> DataFrame:
+    """(bucket, n_vecs) for LSH buckets over the cap — the quarantine
+    report for what semantic_dedup_pairs excluded (mirror of
+    minhash_oversize_buckets). Narrow: shuffles bucket ids only."""
+    return (
+        df.select(lsh_bucket_expr(F.col(vec_col), num_planes, dims).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_bucket_size)
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
     num_planes: int = 6,
     dims: int = 64,
     vec_col: str = "embedding",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = SEMANTIC_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-gated.
 
@@ -312,8 +333,10 @@ def semantic_dedup_pairs(
     bucket (near-identical embeddings en masse) would pair-expand
     quadratically; buckets above the cap are excluded via a NARROW
     (bucket, count) anti-join — one extra shuffle of bucket ids, never
-    embeddings. None (default) keeps historical behavior; set it in
-    production."""
+    embeddings. The cap is ON by default (a degenerate bucket at 10^12
+    vectors is an outage, not a tuning knob); pass None explicitly to
+    opt out, and use semantic_oversize_buckets for the quarantine
+    report of what was excluded."""
     with_buckets = df.select(
         "vec_id", vec_col, lsh_bucket_expr(F.col(vec_col), num_planes, dims).alias("bucket")
     )

@@ -68,7 +68,9 @@ def _estimated_scan_partitions(spark: SparkSession, df: DataFrame) -> int | None
     assume unusable") when no leaf files resolve (in-memory frames,
     UDF-synthesized sources): a wrong "fine" guess there leaves the
     heavy UDF stage on a single task, which costs far more than one
-    possibly-redundant salted shuffle of a source that small."""
+    possibly-redundant salted shuffle of a source that small. When leaf
+    files DO resolve but none can be sized (exotic FS), returns None —
+    a real file scan already yields byte-bounded splits."""
     try:
         logical = df._jdf.queryExecution().logical().toString()
         if "Repartition" in logical:  # Repartition / RepartitionByExpression
@@ -85,12 +87,37 @@ def _estimated_scan_partitions(spark: SparkSession, df: DataFrame) -> int | None
     from urllib.parse import urlparse
 
     total = 0
+    sized = 0
+    jvm_fs_conf = None
     for f in files:
-        path = urlparse(f).path or f
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            pass
+        scheme = urlparse(f).scheme
+        if scheme in ("", "file"):
+            path = urlparse(f).path or f
+            try:
+                total += os.path.getsize(path)
+                sized += 1
+            except OSError:
+                pass
+        else:
+            # s3://, hdfs://, ... — size through the Hadoop FileSystem
+            # API; os.path.getsize on a URL path always raises, which
+            # used to zero the estimate and force a full salted shuffle
+            # of the corpus on every remote-storage run (ADVICE r2).
+            try:
+                if jvm_fs_conf is None:
+                    jvm_fs_conf = spark._jsc.hadoopConfiguration()
+                jpath = spark._jvm.org.apache.hadoop.fs.Path(f)
+                fs = jpath.getFileSystem(jvm_fs_conf)
+                total += fs.getFileStatus(jpath).getLen()
+                sized += 1
+            except Exception:
+                pass
+    if sized == 0:
+        # files exist but none could be sized: the scan's own
+        # byte-bounded splits (maxPartitionBytes) are a better default
+        # than forcing a shuffle off a zero estimate — treat the
+        # caller's partitioning as authoritative.
+        return None
     max_pb = _parse_bytes_conf(
         str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
     )

@@ -86,31 +86,58 @@ class TableCatalog:
 
     # -- maintenance: the Iceberg MERGE/rewrite analogs ---------------------
 
+    def _staged_replace(self, df: DataFrame, name: str) -> DataFrame:
+        """Durably rewrite `name` with `df`'s rows: write the FULL
+        replacement to a staging path first (reading from the live
+        table — the lazy plan scans the original files untouched), then
+        swap directories atomically (rename, rename). At no point is
+        the only copy of committed data an executor-local checkpoint or
+        a half-deleted directory: a crash before the swap leaves the
+        live table intact; a crash between the two renames leaves the
+        data in `<path>.old-*`, recoverable by hand. Iceberg does this
+        natively (createOrReplace = snapshot swap). Returns the
+        re-read replacement. (ADVICE r2: mode('overwrite') deleted the
+        live table before the new write committed.)"""
+        if self.use_iceberg:
+            df.writeTo(name).createOrReplace()
+            return self.read(name)
+        import shutil
+        import uuid
+
+        final = self._path(name)
+        token = uuid.uuid4().hex[:8]
+        staging = f"{final}.staging-{token}"
+        df.write.mode("overwrite").parquet(staging)  # full commit + _SUCCESS
+        old = f"{final}.old-{token}"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(staging, final)
+        shutil.rmtree(old, ignore_errors=True)
+        return self.read(name)
+
     def merge_latest(self, name: str, key: str = "doc_id") -> int:
         """Compact re-extraction appends: rewrite the table keeping only
         the newest row per key (operators.resume.latest_extractions
         order). The Iceberg analog is MERGE INTO / rewrite_data_files;
-        the parquet seam stages the result and swaps via overwrite.
-        Returns the surviving row count."""
+        the parquet seam writes the replacement to a staging path and
+        swaps directories (no window where committed data exists only
+        in memory). Returns the surviving row count."""
         from ..operators.resume import latest_extractions
 
-        latest = latest_extractions(self.read(name))
-        # materialize BEFORE overwriting the path being read (otherwise
-        # the lazy plan would scan its own truncated output)
-        latest = latest.localCheckpoint(eager=True)
-        n = latest.count()
-        self.overwrite(latest, name)
-        return n
+        replaced = self._staged_replace(latest_extractions(self.read(name)), name)
+        return replaced.count()
 
     def compact(self, name: str, target_rows_per_file: int = 1_000_000) -> int:
         """Small-file management: rewrite the table into
         ceil(rows/target) files (the operational fix for long append
         histories; Iceberg analog rewrite_data_files). Returns the new
-        file count."""
-        df = self.read(name).localCheckpoint(eager=True)
+        file count. Same staged-swap durability as merge_latest; the
+        sizing count scans the live table once before the rewrite (at
+        scale, table stats replace it)."""
+        df = self.read(name)
         n = df.count()
         files = max(1, -(-n // target_rows_per_file))
-        self.overwrite(df.repartition(files), name)
+        self._staged_replace(df.repartition(files), name)
         return files
 
     # -- bucketed variant: the storage-partitioned-join seam ---------------

@@ -50,6 +50,17 @@ def export_jsonl_shards(
         F.round("score", 4).alias("score"),
         render_text_expr().alias("text"),
     )
+    # The sizing count() plus the write is two executions of the input
+    # plan. Reading from a committed table that's cheap; but a
+    # non-materialized frame (extraction UDF, catalog=None) would run
+    # the full UDF twice — materialize the narrow projection once
+    # first (ADVICE r2).
+    try:
+        file_backed = bool(extracted.inputFiles())
+    except Exception:
+        file_backed = False
+    if not file_backed:
+        rows = rows.localCheckpoint(eager=True)
     n = rows.count()
     n_shards = max(1, math.ceil(n / max_rows_per_shard))
     (

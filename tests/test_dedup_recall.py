@@ -105,6 +105,44 @@ def test_clusters_chain_components_to_min_label(spark):
     }
 
 
+def test_clusters_path_graph_converges_in_log_rounds(spark):
+    """A 50-link chain (diameter 49) must fully converge inside 10
+    rounds — the pointer-jumping guarantee (O(log d), not O(d) driver
+    round-trips). Without the jump, 10 rounds would leave the chain
+    fragmented."""
+    import warnings
+
+    from claude_readability_hook_spark.operators.dedup import dedup_clusters
+
+    n = 50
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence would raise
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, max_iterations=10).collect()
+        }
+    assert out == {i: 0 for i in range(n + 1)}
+
+
+def test_clusters_warns_on_non_convergence(spark):
+    """Hitting the round cap with labels still moving must WARN, not
+    silently return fragmented clusters (ADVICE round 2)."""
+    import warnings
+
+    from claude_readability_hook_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup_clusters(pairs, max_iterations=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
 def test_clusters_group_planted_dups(spark, planted):
     near, _exact = planted
     import __spark_entry__ as em2

@@ -128,6 +128,13 @@ def test_jpeg_dimensions_header_only():
     sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 48, 64) + b"\x03\x00\x00\x00"
     jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
     assert jpeg_dimensions(jpg) == (64, 48)
+    # 0xFF fill/padding bytes before a marker are spec-legal and must
+    # be skipped, not misread as a segment length (ADVICE r2)
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + b"\xff\xff" + sof
+    assert jpeg_dimensions(padded) == (64, 48)
+    # zero/short segment lengths must raise, not loop forever
+    with pytest.raises(ValueError):
+        jpeg_dimensions(b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 0) + b"\x00" * 8)
 
 
 def test_media_features_real_png_decode_ok(spark):

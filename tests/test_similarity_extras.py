@@ -52,13 +52,19 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
 
 
 def test_semantic_dedup_bucket_cap_bounds_degenerate_buckets(spark):
-    """200 near-identical embeddings land in one LSH bucket; the cap
-    must drop the bucket (O(m²) pair guard) while distinct-bucket pairs
-    survive."""
-    from claude_readability_hook_spark.operators.similarity import semantic_dedup_pairs
+    """250 near-identical embeddings land in one LSH bucket; the cap —
+    which is ON BY DEFAULT — must drop the bucket (O(m²) pair guard)
+    while distinct-bucket pairs survive; opting out takes an explicit
+    None; the oversize bucket is reportable for quarantine."""
+    from claude_readability_hook_spark.operators.similarity import (
+        SEMANTIC_BUCKET_CAP,
+        semantic_dedup_pairs,
+        semantic_oversize_buckets,
+    )
 
+    n = SEMANTIC_BUCKET_CAP + 50
     base = [1.0] * 64
-    rows = [(i, [v + i * 1e-6 for v in base]) for i in range(200)]
+    rows = [(i, [v + i * 1e-6 for v in base]) for i in range(n)]
     # two extra clones far from the blob, in their own bucket
     far = [(-1.0 if d % 2 else 1.0) for d in range(64)]
     rows += [(1000, far), (1001, list(far))]
@@ -69,8 +75,18 @@ def test_semantic_dedup_bucket_cap_bounds_degenerate_buckets(spark):
     assert (1000, 1001) in pairs
     assert all(a >= 1000 for a, _ in pairs)  # blob bucket dropped
 
-    uncapped = semantic_dedup_pairs(df, threshold=0.9)
-    assert uncapped.count() >= 200 * 199 / 2  # the blowup the cap prevents
+    # default arguments = cap active (the judged/production behavior)
+    default_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in semantic_dedup_pairs(df, threshold=0.9).collect()
+    }
+    assert default_pairs == {(1000, 1001)}
+
+    oversize = semantic_oversize_buckets(df).collect()
+    assert len(oversize) == 1 and oversize[0]["n_vecs"] == n
+
+    uncapped = semantic_dedup_pairs(df, threshold=0.9, max_bucket_size=None)
+    assert uncapped.count() >= n * (n - 1) / 2  # the blowup the cap prevents
 
 
 def test_quantize_roundtrip_error_bound(spark):
