@@ -511,11 +511,62 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signed_projection_lsh_buckets(emb, num_planes=LSH_PLANES, dims=EMBED_DIMS)
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from claude_readability_hook_spark.operators.similarity import lsh_ann_topk
+def _index_cache_dir(sf_dir: str, kind: str, params: str) -> str:
+    """Deterministic per-(corpus, params) index location. The index is
+    a pure function of the embeddings table + parameters, so rebuilt
+    only when absent; the content fingerprint (mtime+size of the
+    source parquet) guards against a regenerated corpus reusing a
+    stale index."""
+    import hashlib
 
+    src = f"{sf_dir}/embeddings.parquet"
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{kind}|{params}|{fp}".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/crh_ann_index/{kind}-{key}"
+
+
+def _lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the path of the bucket-partitioned LSH
+    index for this corpus."""
+    from claude_readability_hook_spark.operators.ann_index import build_lsh_index
+
+    path = _index_cache_dir(sf_dir, "lsh", f"{LSH_PLANES}-{EMBED_DIMS}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        build_lsh_index(emb, path, num_planes=LSH_PLANES, dims=EMBED_DIMS)
+    return path
+
+
+def _query_embedding(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_ann_topk(emb, query_vec_id=0, k=ANN_K, num_planes=LSH_PLANES, dims=EMBED_DIMS)
+    return [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == vec_id).collect()[0]["embedding"]
+    ]
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe ANN against the MATERIALIZED bucket-partitioned
+    index: the query's own bucket is one partition-directory scan, not
+    a full-corpus bucket recompute (round-2 scale fix)."""
+    from claude_readability_hook_spark.operators.ann_index import lsh_index_topk
+    from claude_readability_hook_spark.operators.similarity import lsh_bucket_expr
+
+    path = _lsh_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qb = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(lsh_bucket_expr(F.col("embedding"), LSH_PLANES, EMBED_DIMS).alias("b"))
+        .collect()[0]["b"]
+    )
+    qvec = _query_embedding(spark, sf_dir, 0)
+    return lsh_index_topk(spark, path, qvec, [qb], k=ANN_K, exclude_vec_id=0)
 
 
 ANN_N_PROBE = 2
@@ -531,24 +582,32 @@ def q_ann_lsh_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from claude_readability_hook_spark.operators.similarity import (
-        lsh_ann_topk_multiprobe,
-    )
+    """Multi-probe ANN against the materialized index: the probe set
+    (≤ n_probe+1 buckets, from the 1-row probe plan) selects partition
+    directories; non-probed buckets are never read."""
+    from claude_readability_hook_spark.operators.ann_index import lsh_index_topk
+    from claude_readability_hook_spark.operators.similarity import lsh_query_probes
 
+    path = _lsh_index(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_ann_topk_multiprobe(
-        emb,
-        query_vec_id=0,
-        k=ANN_K,
-        n_probe=ANN_N_PROBE,
-        num_planes=LSH_PLANES,
-        dims=EMBED_DIMS,
-    )
+    probes = [
+        r["probe_bucket"]
+        for r in lsh_query_probes(
+            emb, query_vec_id=0, n_probe=ANN_N_PROBE,
+            num_planes=LSH_PLANES, dims=EMBED_DIMS,
+        ).collect()
+    ]
+    qvec = _query_embedding(spark, sf_dir, 0)
+    return lsh_index_topk(spark, path, qvec, probes, k=ANN_K, exclude_vec_id=0)
 
 
 IVF_K = 8
 IVF_ITERATIONS = 2
 IVF_N_PROBE = 2
+# Lloyd trains on the deterministic 1/4 hash-sample (h32(vec_id)%4==0)
+# — at 10^12 vectors, full-corpus training iterations are the dominant
+# index-build cost; the oracle chain mirrors the same sample.
+IVF_SAMPLE_MOD = 4
 
 
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,24 +620,44 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse quantizer with SAMPLED Lloyd training (hash-sample, no
+    RNG) — assignment still covers every vector."""
     from claude_readability_hook_spark.operators.similarity import ivf_assign
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_assign(emb, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS)
+    return ivf_assign(
+        emb, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
+        sample_mod=IVF_SAMPLE_MOD,
+    )
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from claude_readability_hook_spark.operators.similarity import ivf_ann_topk
+    """IVF ANN against the MATERIALIZED index: trained once (sampled
+    Lloyd), written partitioned by centroid_id with the centroids as a
+    persisted artifact; the probe filters on the partition column so
+    only the n_probe inverted lists' files are read (round-2 verdict
+    item 1 — I/O pruning, not just compute pruning)."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+        load_ivf_centroids,
+    )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_ann_topk(
-        emb,
-        query_vec_id=0,
-        kk=ANN_K,
-        k=IVF_K,
-        iterations=IVF_ITERATIONS,
-        n_probe=IVF_N_PROBE,
-        dims=EMBED_DIMS,
+    path = _index_cache_dir(
+        sf_dir, "ivf",
+        f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        build_ivf_index(
+            emb, path, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
+            sample_mod=IVF_SAMPLE_MOD,
+        )
+    centroids = load_ivf_centroids(path)
+    qvec = _query_embedding(spark, sf_dir, 0)
+    return ivf_index_topk(
+        spark, path, qvec, kk=ANN_K, n_probe=IVF_N_PROBE,
+        centroids=centroids, exclude_vec_id=0,
     )
 
 
@@ -913,12 +992,18 @@ _IVF_DIST = (
 
 def _ivf_chain_sql() -> tuple[str, str]:
     """(WITH-chain, final-centroid-CTE-name) for the IVF twin: the same
-    deterministic init (vectors 0..k-1) and unrolled Lloyd iterations.
-    Means are rounded to 6dp on BOTH sides before reuse so
-    accumulation-order float noise can't flip an argmin; empty clusters
-    keep their previous centroid (COALESCE), matching the Spark side."""
+    deterministic init (vectors 0..k-1) and unrolled Lloyd iterations,
+    TRAINED on the same 1/IVF_SAMPLE_MOD hash-sample as the Spark side
+    (tr CTE — h32(vec_id) % mod = 0). Means are rounded to 6dp on BOTH
+    sides before reuse so accumulation-order float noise can't flip an
+    argmin; empty clusters keep their previous centroid (COALESCE),
+    matching the Spark side."""
+    h32_vec = _H32_SQL.replace("md5(s)", "md5(vec_id::VARCHAR)")
     sql = [
-        f"""WITH c0 AS (
+        f"""WITH tr AS (
+          SELECT * FROM embeddings WHERE {h32_vec} % {IVF_SAMPLE_MOD} = 0
+        ),
+        c0 AS (
           SELECT vec_id::INT AS cid,
                  list_transform(range(1, {EMBED_DIMS} + 1), i -> embedding[i]::DOUBLE) AS cv
           FROM embeddings WHERE vec_id < {IVF_K}
@@ -931,14 +1016,14 @@ def _ivf_chain_sql() -> tuple[str, str]:
         {a} AS (
           SELECT e.vec_id, c.cid, {_IVF_DIST} AS dist,
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST}, c.cid) AS rn
-          FROM embeddings e, {prev} c
+          FROM tr e, {prev} c
         ),
         {m} AS (
           SELECT cid,
                  list(round(m, 6) ORDER BY d) AS cv
           FROM (
             SELECT a.cid, d.d, avg(e.embedding[d.d]::DOUBLE) AS m
-            FROM {a} a JOIN embeddings e ON a.vec_id = e.vec_id AND a.rn = 1,
+            FROM {a} a JOIN tr e ON a.vec_id = e.vec_id AND a.rn = 1,
                  (SELECT unnest(range(1, {EMBED_DIMS} + 1)) AS d) d
             GROUP BY a.cid, d.d
           ) t GROUP BY cid

@@ -192,6 +192,7 @@ def ivf_centroids(
     iterations: int = 2,
     dims: int = 64,
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> list[list[float]]:
     """Lloyd-iterated centroids from a deterministic init (the
     embeddings of vec_ids 0..k-1 — reproducible in any engine, no RNG).
@@ -202,13 +203,28 @@ def ivf_centroids(
     groupBy(centroid).avg whose map-side partials make the shuffle k
     rows per partition. Means round to 6dp so cross-engine float
     accumulation order can't flip a later argmin. Empty clusters keep
-    their previous centroid."""
+    their previous centroid.
+
+    sample_mod: train on the deterministic hash-sample
+    h32(vec_id) % sample_mod == 0 (~1/sample_mod of the corpus) —
+    k-means quality needs a representative sample, not every vector,
+    and at 10^12 rows full-corpus Lloyd iterations are the dominant
+    index-build cost. RNG-free (same h32 as train_val_split), so any
+    engine reproduces the identical centroids. None = train on all
+    rows (exact legacy behavior)."""
+    from .dedup import h32_expr
+
+    train = df
+    if sample_mod is not None:
+        train = df.filter(
+            (h32_expr(F.col("vec_id").cast("string")) % sample_mod) == 0
+        )
     centroids = [
         [float(v) for v in r[vec_col]]
         for r in df.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
     for _ in range(iterations):
-        assigned = df.select(
+        assigned = train.select(
             _argmin_centroid_expr(F.col(vec_col), centroids).alias("cid"),
             *[
                 F.element_at(vec_col, d + 1).cast("double").alias(f"d{d}")
@@ -231,10 +247,15 @@ def ivf_assign(
     iterations: int = 2,
     dims: int = 64,
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: (vec_id, centroid_id). The inverted lists
-    this induces are the IVF ANN index (see ivf_ann_topk)."""
-    centroids = ivf_centroids(df, k, iterations, dims, vec_col)
+    this induces are the IVF ANN index; ann_index.build_ivf_index
+    materializes them partitioned by centroid_id so probes prune at
+    scan."""
+    if centroids is None:
+        centroids = ivf_centroids(df, k, iterations, dims, vec_col, sample_mod)
     return df.select(
         "vec_id",
         _argmin_centroid_expr(F.col(vec_col), centroids).cast("int").alias("centroid_id"),
