@@ -45,25 +45,65 @@ def _decode_pdf(payload: bytes) -> list[Block]:
     string. Page index = content-stream order; PDF user space grows
     upward, Block y grows downward, so y0 = page_height − Ty.
 
-    Scope is deliberately minimal-but-real: no /Filter streams (a
-    FlateDecode stream would need only zlib, but object/xref plumbing
-    for arbitrary PDFs is a library's job), no font metrics — width is
-    approximated from the string length × font size. Compressed or
-    exotic PDFs raise NotImplementedError so decode_pdf falls back."""
+    Scope is deliberately minimal-but-real: FlateDecode streams inflate
+    via stdlib zlib (the same inflater the PNG codec's IDAT path uses —
+    FlateDecode covers the overwhelming majority of real-world PDF
+    content streams); other /Filter values (DCT, LZW, ASCII85, filter
+    ARRAYS) still raise NotImplementedError so decode_pdf falls back.
+    No font metrics — width is approximated from the string length ×
+    font size."""
     import re
+    import zlib
 
     if not payload.startswith(b"%PDF-"):
         raise NotImplementedError("not a PDF payload")
     global _STREAM_RE
     if _STREAM_RE is None:
-        _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
+        _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
     page_height = 792.0  # US Letter default MediaBox
     blocks: list[Block] = []
     page = -1
-    for m in _STREAM_RE.finditer(payload):
-        hdr, body = m.group(1), m.group(2)
+
+    # Walk (header, stream body) pairs. The body is sliced by the
+    # header's /Length when present — a compressed body may legally
+    # contain the byte sequence 'endstream', so scanning for the
+    # keyword alone would truncate it; /Length is authoritative.
+    def _streams():
+        pos = 0
+        while True:
+            sm = _STREAM_RE.search(payload, pos)
+            if sm is None:
+                return
+            hdr_b = sm.group(1)
+            body_start = sm.end()
+            lm = re.search(rb"/Length\s+(\d+)", hdr_b)
+            if lm is not None:
+                n = int(lm.group(1))
+                body_b = payload[body_start : body_start + n]
+                end = payload.find(b"endstream", body_start + n)
+                pos = (end + len(b"endstream")) if end != -1 else body_start + n
+            else:
+                end = payload.find(b"endstream", body_start)
+                if end == -1:
+                    return
+                body_b = payload[body_start:end]
+                pos = end + len(b"endstream")
+            yield hdr_b, body_b
+
+    for hdr, body in _streams():
         if b"/Filter" in hdr:
-            raise NotImplementedError("compressed PDF streams need a filter pipeline")
+            filt = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", hdr)
+            if filt is None or filt.group(1) != b"/FlateDecode":
+                raise NotImplementedError(
+                    "unsupported PDF stream filter (only FlateDecode)"
+                )
+            # decompressobj tolerates the spec-legal EOL bytes between
+            # the deflate data's end and the 'endstream' keyword
+            try:
+                d = zlib.decompressobj()
+                body = d.decompress(body) + d.flush()
+            except zlib.error as exc:
+                raise ValueError(f"bad FlateDecode stream: {exc}") from exc
         if b"BT" not in body:
             continue
         page += 1
@@ -137,10 +177,16 @@ def decode_pdf(payload: bytes) -> tuple[list[Block], str]:
         return [], f"decode error: {type(exc).__name__}"
 
 
-def synthesize_pdf(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
-    """A REAL minimal uncompressed PDF (tests/bench — no fixture data):
-    one content stream per page, each item = (x, y_from_top, font_size,
-    text). Round-trips through _decode_pdf exactly."""
+def synthesize_pdf(
+    pages: list[list[tuple[float, float, float, str]]], compress: bool = False
+) -> bytes:
+    """A REAL minimal PDF (tests/bench — no fixture data): one content
+    stream per page, each item = (x, y_from_top, font_size, text).
+    compress=True emits FlateDecode content streams (zlib), the form
+    the vast majority of real PDFs take. Round-trips through
+    _decode_pdf exactly either way."""
+    import zlib
+
     parts = [b"%PDF-1.4\n"]
     for items in pages:
         ops = [b"BT"]
@@ -151,9 +197,15 @@ def synthesize_pdf(pages: list[list[tuple[float, float, float, str]]]) -> bytes:
             ops.append(b"(" + esc.encode("latin-1") + b") Tj")
         ops.append(b"ET")
         body = b"\n".join(ops)
+        hdr = b"<< /Length "
+        filter_tag = b""
+        if compress:
+            body = zlib.compress(body)
+            filter_tag = b" /Filter /FlateDecode"
         parts.append(
-            b"<< /Length "
+            hdr
             + str(len(body)).encode()
+            + filter_tag
             + b" >>\nstream\n"
             + body
             + b"\nendstream\n"

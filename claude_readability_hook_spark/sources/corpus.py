@@ -162,9 +162,12 @@ def build_html_doc(doc_id: int, text: str) -> list[dict]:
         ]
         return [{"kind": "reddit_json", "text": json.dumps(reddit), "media_ref": "", "offset": 0}]
 
-    if doc_id % 83 == 0 and doc_id > 0:  # REAL (uncompressed) PDF span —
-        # round-trips through the actual content-stream decoder
-        # (core/pdflayout.py _decode_pdf), not the synthetic fallback
+    if doc_id % 83 == 0 and doc_id > 0:  # REAL PDF span — round-trips
+        # through the actual content-stream decoder (core/pdflayout.py
+        # _decode_pdf), not the synthetic fallback. Every other PDF doc
+        # (doc_id % 166 == 0) is FlateDecode-COMPRESSED, exercising the
+        # zlib filter path; decoded text is identical either way, so
+        # the flagship oracle needs no PDF-encoding case split.
         import base64
 
         from ..core.pdflayout import synthesize_pdf
@@ -176,7 +179,8 @@ def build_html_doc(doc_id: int, text: str) -> list[dict]:
                     (40, 300, 10, f"Pdf doc {doc_id} body paragraph."),
                 ],
                 [(40, 100, 10, f"Pdf doc {doc_id} closing page.")],
-            ]
+            ],
+            compress=(doc_id % 166 == 0),
         )
         return [
             {

@@ -242,7 +242,30 @@ def test_non_pdf_payload_still_falls_back_to_synthetic():
     assert status == "stubbed" and text
 
 
-def test_compressed_pdf_falls_back():
+def test_flatedecode_pdf_decodes_ok():
+    """FlateDecode content streams are REAL now (stdlib zlib — round-2
+    verdict item 3): compressed and uncompressed synthesis must decode
+    to identical text with status 'ok'."""
+    pages = [
+        [
+            (40, 100, 10, "Left column first paragraph."),
+            (40, 130, 10, "Left column second paragraph."),
+        ],
+        [(40, 100, 10, "Second page content here.")],
+    ]
+    plain_text, plain_status = pdf_to_text(synthesize_pdf(pages))
+    comp_text, comp_status = pdf_to_text(synthesize_pdf(pages, compress=True))
+    assert plain_status == comp_status == "ok"
+    assert comp_text == plain_text and "Second page content" in comp_text
+
+
+def test_corrupt_flatedecode_reports_decode_error():
     pdf = b"%PDF-1.4\n<< /Filter /FlateDecode /Length 5 >>\nstream\nxxxxx\nendstream\n%%EOF"
+    _text, status = pdf_to_text(pdf)
+    assert status.startswith("decode error")
+
+
+def test_unsupported_filter_still_falls_back():
+    pdf = b"%PDF-1.4\n<< /Filter /DCTDecode /Length 5 >>\nstream\nxxxxx\nendstream\n%%EOF"
     _text, status = pdf_to_text(pdf)
     assert status == "stubbed"
