@@ -717,6 +717,42 @@ def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_salted(events, gap_seconds=1800)
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregation
+    (streaming/windowed.py — window() is a plain expression on a batch
+    frame; the watermark is a no-op). Window bounds exported as epoch
+    seconds so the comparison is timezone-free."""
+    from claude_readability_hook_spark.streaming.windowed import windowed_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wc = windowed_counts(events, time_col="ts", key_col="event_type")
+    # ts is TIMESTAMP_NTZ: format the naive wall-clock value directly
+    # (no epoch cast — that would route through the session timezone)
+    return wc.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end_s"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dedup key (streaming/dedup_stream.py
+    content_hash_expr): md5 over the normalized \\x1f-joined span
+    texts. Two spans per doc (text, source) so the separator framing —
+    span boundaries are part of document identity — is exercised."""
+    from claude_readability_hook_spark.streaming.dedup_stream import content_hash_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = F.array(
+        F.struct(F.col("text").alias("text")),
+        F.struct(F.col("source").alias("text")),
+    )
+    return docs.select(
+        "doc_id", spans.alias("spans")
+    ).select("doc_id", content_hash_expr().alias("content_hash"))
+
+
 def _so_json_expr() -> F.Column:
     """Deterministic SO-API-shaped JSON built from doc_id: question by
     'asker<id>' plus (doc_id % 8) answers by authors u0..u2 cycling."""
@@ -885,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,
+        "windowed_counts": q_windowed_counts,
+        "content_hash": q_content_hash,
         "token_bpe": q_token_bpe,
         "fingerprint_winnow": q_fingerprint_winnow,
         "so_parse_score": q_so_parse_score,
@@ -1708,6 +1746,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(ns) + 1 AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
+        """,
+        # batch twin of the streaming tumbling-window agg: epoch-floor
+        # to the 600s grid on the NAIVE wall-clock value (tz-free)
+        "windowed_counts": """
+            SELECT strftime(make_timestamp(
+                     CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000),
+                     '%Y-%m-%d %H:%M:%S') AS window_start_s,
+                   strftime(make_timestamp(
+                     (CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) + 600) * 1000000),
+                     '%Y-%m-%d %H:%M:%S') AS window_end_s,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
+        # batch twin of the streaming dedup key: md5 over the
+        # normalized \x1f-framed (text, source) span join
+        "content_hash": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text || chr(31) || source),
+                       '\\s+', ' ', 'g'))) AS content_hash
+            FROM documents
         """,
         "token_bpe": f"""
             SELECT doc_id,
