@@ -124,10 +124,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(out)
 
 
-def luminance_histogram(payload: bytes, dim: int = 16) -> list[float]:
-    """REAL image feature: decode the PNG and bucket pixel luminance
-    (ITU-R 601 weights for RGB) into `dim` bins, L1-normalized."""
-    width, height, channels, pixels = decode_png(payload)
+def _lum_histogram(
+    width: int, height: int, channels: int, pixels: bytes, dim: int
+) -> list[float]:
     buckets = [0] * dim
     n = width * height
     if channels == 1:
@@ -138,6 +137,26 @@ def luminance_histogram(payload: bytes, dim: int = 16) -> list[float]:
             lum = (299 * pixels[i] + 587 * pixels[i + 1] + 114 * pixels[i + 2]) // 1000
             buckets[lum * dim // 256] += 1
     return [round(c / n, 6) for c in buckets]
+
+
+def luminance_histogram(payload: bytes, dim: int = 16) -> list[float]:
+    """REAL image feature: decode the PNG and bucket pixel luminance
+    (ITU-R 601 weights for RGB) into `dim` bins, L1-normalized."""
+    return _lum_histogram(*decode_png(payload), dim)
+
+
+def image_luminance_histogram(payload: bytes, dim: int = 16) -> list[float]:
+    """Format-dispatching luminance feature: PNG (chunk-walk codec
+    above) or baseline JPEG (core/jpegcodec.py huffman+IDCT decoder).
+    Raises ValueError on other formats, NotImplementedError on
+    unsupported variants — the multimodal fallback ladder's contract."""
+    from .jpegcodec import decode_jpeg, is_jpeg
+
+    if is_png(payload):
+        return _lum_histogram(*decode_png(payload), dim)
+    if is_jpeg(payload):
+        return _lum_histogram(*decode_jpeg(payload), dim)
+    raise ValueError("not a PNG or JPEG payload")
 
 
 def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:

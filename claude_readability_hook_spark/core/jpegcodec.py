@@ -1,0 +1,470 @@
+"""Pure-Python baseline-sequential JPEG codec (ITU-T T.81) — no codec
+library in this container, so the entropy decode, dequantization, and
+IDCT are implemented from the public spec (the huffman/quant tables
+below are the spec's own Annex K examples).
+
+Scope (honest): baseline DCT, 8-bit, Huffman; grayscale and 3-component
+YCbCr WITHOUT chroma subsampling (all sampling factors 1×1); restart
+markers supported. Progressive (SOF2), arithmetic coding, subsampled
+chroma, and 12-bit raise NotImplementedError so callers fall back —
+the same poison-isolation contract as the PNG codec.
+
+The encoder (grayscale) exists so tests/bench can synthesize REAL
+JPEGs deterministically with no fixture data; it shares the canonical
+huffman-code construction with the decoder, so an encode→decode
+round-trip exercises both directions of the entropy coder.
+
+Used by operators/multimodal.py for kind='image' JPEG payloads
+(reference parity: the reference treats media as opaque URLs —
+claude-readability-hook apps/extractor returns media_refs untouched —
+so the decode ladder is beyond-reference capability for the
+training-data pipeline)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# --- public tables (ITU-T T.81 Annex K) ------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+STD_LUM_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# (BITS[1..16], HUFFVAL) — Annex K.3 typical luminance tables
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)
+]
+_C = [math.sqrt(0.5) if u == 0 else 1.0 for u in range(8)]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, length) by the canonical construction (T.81
+    C.2): codes of each length assigned in HUFFVAL order."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → value for the decoder."""
+    return {
+        (length, code): v for v, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+# --- encoder (grayscale) ----------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+    def raw_marker(self, marker: int) -> None:
+        """Emit a real marker (no stuffing) — caller must align first."""
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _fdct(block: list[float]) -> list[float]:
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += block[x * 8 + y] * _COS[u][x] * _COS[v][y]
+            out[u * 8 + v] = 0.25 * _C[u] * _C[v] * s
+    return out
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC value."""
+    if v == 0:
+        return 0, 0
+    size = v.bit_length() if v > 0 else (-v).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray(
+    pixels: list[list[int]],
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """rows of 0-255 luma → baseline single-component JFIF-less JPEG.
+    quant defaults to the Annex K luminance table; pass [1]*64 for a
+    near-lossless round-trip (DCT float rounding only). A nonzero
+    restart_interval emits DRI + RSTn markers every N MCUs (exercises
+    the decoder's restart/DC-reset path)."""
+    q = quant or STD_LUM_QUANT
+    h = len(pixels)
+    w = len(pixels[0])
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    mcu = 0
+    n_rst = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.align()
+                bw.raw_marker(0xD0 + (n_rst % 8))
+                n_rst += 1
+                prev_dc = 0
+            mcu += 1
+            block = [
+                float(
+                    pixels[min(by + i, h - 1)][min(bx + j, w - 1)] - 128
+                )
+                for i in range(8)
+                for j in range(8)
+            ]
+            coef = _fdct(block)
+            zz = [
+                int(round(coef[ZIGZAG[k]] / q[k])) for k in range(64)
+            ]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            size, bits = _magnitude(diff)
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, 64):
+                v = zz[k]
+                if k > last_nz:
+                    code, length = ac_codes[0x00]  # EOB
+                    bw.write(code, length)
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(q[k] for k in range(64)))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+    ) + seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
+
+
+# --- decoder ---------------------------------------------------------------
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload[:2] == b"\xff\xd8"
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker and surfaces it (restart handling is the caller's)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise EOFError("read past marker")
+        if self.pos >= len(self.data):
+            raise EOFError("truncated scan")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt
+                raise EOFError("marker in scan")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_code(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("bad huffman code")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Consume padding up to the RSTn marker and step past it."""
+        self.nbits = 0
+        self.acc = 0
+        if self.marker is None:
+            # marker not yet hit — scan forward to it
+            while self.pos < len(self.data):
+                if (
+                    self.data[self.pos] == 0xFF
+                    and self.pos + 1 < len(self.data)
+                    and self.data[self.pos + 1] != 0x00
+                ):
+                    self.marker = self.data[self.pos + 1]
+                    self.pos += 1
+                    break
+                self.pos += 1
+        if self.marker != 0xD0 + (n % 8):
+            raise ValueError("expected restart marker")
+        self.pos += 1
+        self.marker = None
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` raw bits to the signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _idct(coef: list[float]) -> list[int]:
+    out = []
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = _C[u] * _COS[u][x]
+                for v in range(8):
+                    c = coef[u * 8 + v]
+                    if c:
+                        s += _C[v] * cu * _COS[v][y] * c
+            px = int(round(0.25 * s)) + 128
+            out.append(0 if px < 0 else 255 if px > 255 else px)
+    return out
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, raw) — raw is row-major gray (1
+    channel) or interleaved RGB (3 channels). Baseline/1×1-sampling
+    only; anything else raises NotImplementedError for the caller's
+    fallback ladder."""
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG")
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    scan_pos = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker stream")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2:
+            raise ValueError("bad segment length")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                quant[tid] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("truncated huffman table header")
+                cls, tid = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated huffman table values")
+                (huff_dc if cls == 0 else huff_ac)[tid] = _decode_table(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("non-8-bit JPEG")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            for c in range(nc):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError("chroma-subsampled JPEG")
+                comps.append({"id": cid, "qid": qid})
+        elif 0xC2 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8 and marker != 0xCC:
+            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for s in range(ns):
+                cid, tids = body[1 + 2 * s], body[2 + 2 * s]
+                for comp in comps:
+                    if comp["id"] == cid:
+                        comp["dc"] = tids >> 4
+                        comp["ac"] = tids & 0x0F
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_pos is None or not comps or w == 0:
+        raise ValueError("no scan data")
+
+    br = _BitReader(payload, scan_pos)
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    planes = [[0] * (bw_ * 8 * bh_ * 8) for _ in comps]
+    preds = [0] * len(comps)
+    mcu = 0
+    n_rst = 0
+    for my in range(bh_):
+        for mx in range(bw_):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align_and_expect_rst(n_rst)
+                n_rst += 1
+                preds = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                q = quant[comp["qid"]]
+                zz = [0] * 64
+                size = br.read_code(huff_dc[comp["dc"]])
+                preds[ci] += _extend(br.read(size), size) if size else 0
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = br.read_code(huff_ac[comp["ac"]])
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    zz[k] = _extend(br.read(size), size)
+                    k += 1
+                coef = [0.0] * 64
+                for k in range(64):
+                    coef[ZIGZAG[k]] = zz[k] * q[k]
+                block = _idct(coef)
+                plane = planes[ci]
+                row0, col0 = my * 8, mx * 8
+                for i in range(8):
+                    base = (row0 + i) * bw_ * 8 + col0
+                    plane[base : base + 8] = block[i * 8 : i * 8 + 8]
+            mcu += 1
+
+    stride = bw_ * 8
+    if len(comps) == 1:
+        raw = bytearray(w * h)
+        for y in range(h):
+            raw[y * w : (y + 1) * w] = bytes(planes[0][y * stride : y * stride + w])
+        return w, h, 1, bytes(raw)
+    raw = bytearray(w * h * 3)
+    yp, cbp, crp = planes
+    for y in range(h):
+        for x in range(w):
+            i = y * stride + x
+            Y, cb, cr = yp[i], cbp[i] - 128, crp[i] - 128
+            o = 3 * (y * w + x)
+            r = int(round(Y + 1.402 * cr))
+            g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
+            b = int(round(Y + 1.772 * cb))
+            raw[o] = 0 if r < 0 else 255 if r > 255 else r
+            raw[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+            raw[o + 2] = 0 if b < 0 else 255 if b > 255 else b
+    return w, h, 3, bytes(raw)

@@ -7,13 +7,14 @@ The interleaved-span model carries media as `kind='media'` spans whose
     media(media_ref: string, modality: string, payload: binary,
           width: int, height: int, duration_ms: long, mime: string)
 
-PNG decode is REAL (pure-Python codec, core/imagecodec.py): valid PNGs
-produce decode_ok='ok' with a true pixel-luminance feature. Other
-formats (JPEG pixels, audio, video) fall back to a deterministic fake
-with decode_ok='stubbed' — no codec libs in this container. Everything
-Spark-side is real and tested either way: schema, partition-size
-control for large binaries, Arrow batch shape, UDF signatures, and the
-join back to span order.
+PNG and baseline JPEG decode are REAL (pure-Python codecs,
+core/imagecodec.py + core/jpegcodec.py): valid payloads produce
+decode_ok='ok' with a true pixel-luminance feature. Remaining formats
+(progressive/subsampled JPEG, audio, video) fall back to a
+deterministic fake with decode_ok='stubbed' — no codec libs in this
+container. Everything Spark-side is real and tested either way:
+schema, partition-size control for large binaries, Arrow batch shape,
+UDF signatures, and the join back to span order.
 
 Scale notes: payloads dominate bytes (a thumbnail ≈ 100× its metadata).
 The operators therefore (a) never shuffle payloads — feature extraction
@@ -68,15 +69,16 @@ FEATURE_DIM = 16
 
 def _decode_image(payload: bytes) -> list[float]:
     """REAL decode for PNG (pure-Python chunk walk + zlib inflate +
-    filter reversal, core/imagecodec.py) → luminance-histogram feature.
-    JPEG/other formats still raise NotImplementedError (a full JPEG
-    entropy decode needs a codec lib this container doesn't have) and
+    filter reversal) and baseline JPEG (pure-Python huffman + IDCT,
+    core/jpegcodec.py) → luminance-histogram feature. Unsupported
+    variants (progressive/subsampled JPEG) and other formats raise and
     fall back to the deterministic fake with decode_ok='stubbed'."""
-    from ..core.imagecodec import is_png, luminance_histogram
+    from ..core.imagecodec import image_luminance_histogram
+    from ..core.jpegcodec import is_jpeg
 
-    if is_png(payload):
-        return luminance_histogram(payload, FEATURE_DIM)
-    raise NotImplementedError("non-PNG image decode needs a codec lib; not in container")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or is_jpeg(payload):
+        return image_luminance_histogram(payload, FEATURE_DIM)
+    raise NotImplementedError("unrecognized image format; no codec lib in container")
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -145,12 +147,34 @@ RESIZED = StructType(
 
 def resize_media(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
     """Thumbnail pass: REAL for PNG payloads (pure-Python decode →
-    nearest-neighbor sample → re-encode); other formats pass through
+    nearest-neighbor sample → re-encode) and baseline JPEG (decoded
+    with core/jpegcodec.py, thumbnail TRANSCODED to grayscale PNG —
+    the standard thumbnail normalization); other formats pass through
     unchanged with resize_ok='stubbed'. Same scan-side mapInPandas
     shape as feature extraction — payloads never shuffle."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..core.imagecodec import is_png, resize_png
+        from ..core.imagecodec import encode_png, is_png, resize_png
+        from ..core.jpegcodec import decode_jpeg, is_jpeg
+
+        def jpeg_thumb(raw: bytes) -> bytes:
+            w, h, ch, px = decode_jpeg(raw)
+            if ch == 3:
+                gray = bytes(
+                    (299 * px[3 * i] + 587 * px[3 * i + 1] + 114 * px[3 * i + 2])
+                    // 1000
+                    for i in range(w * h)
+                )
+            else:
+                gray = px
+            rows = [
+                [
+                    gray[(y * h // out_h) * w + (x * w // out_w)]
+                    for x in range(out_w)
+                ]
+                for y in range(out_h)
+            ]
+            return encode_png(rows)
 
         for batch in batches:
             records = []
@@ -161,10 +185,18 @@ def resize_media(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFram
                         records.append(
                             {"media_ref": ref, "payload": resize_png(raw, out_w, out_h), "resize_ok": "ok"}
                         )
+                    elif is_jpeg(raw):
+                        records.append(
+                            {"media_ref": ref, "payload": jpeg_thumb(raw), "resize_ok": "ok"}
+                        )
                     else:
                         records.append(
                             {"media_ref": ref, "payload": raw, "resize_ok": "stubbed"}
                         )
+                except NotImplementedError:  # unsupported variant → ladder
+                    records.append(
+                        {"media_ref": ref, "payload": raw, "resize_ok": "stubbed"}
+                    )
                 except Exception as exc:  # noqa: BLE001 — poison isolation
                     records.append(
                         {
@@ -220,13 +252,17 @@ def join_media_features(extracted: DataFrame, features: DataFrame) -> DataFrame:
 
 
 def synthesize_media_table(
-    spark: SparkSession, refs: list[str], real_png: bool = False
+    spark: SparkSession,
+    refs: list[str],
+    real_png: bool = False,
+    real_jpeg: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
-    real_png=True emits VALID PNGs (a seed-derived gradient) so the
-    real decode path runs; default keeps the opaque-bytes payloads the
-    fallback path is tested with."""
+    real_png=True emits VALID PNGs and real_jpeg=True VALID baseline
+    JPEGs (seed-derived gradients) so the real decode paths run;
+    default keeps the opaque-bytes payloads the fallback path is
+    tested with."""
     rows = []
     for ref in refs:
         seed = sum(ref.encode())
@@ -237,9 +273,19 @@ def synthesize_media_table(
             payload = encode_png(
                 [[(seed + x * 7 + y * 13) % 256 for x in range(w)] for y in range(h)]
             )
+            mime = "image/png"
+        elif real_jpeg:
+            from ..core.jpegcodec import encode_jpeg_gray
+
+            w, h = 16 + seed % 16, 16
+            payload = encode_jpeg_gray(
+                [[(seed + x * 7 + y * 13) % 256 for x in range(w)] for y in range(h)]
+            )
+            mime = "image/jpeg"
         else:
             w, h = 64 + seed % 64, 64
             payload = bytes((seed + i * 31) % 256 for i in range(512 + seed % 256))
+            mime = "image/png"
         rows.append(
             {
                 "media_ref": ref,
@@ -248,7 +294,7 @@ def synthesize_media_table(
                 "width": w,
                 "height": h,
                 "duration_ms": None,
-                "mime": "image/png",
+                "mime": mime,
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA)

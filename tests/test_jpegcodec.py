@@ -1,0 +1,187 @@
+"""Pure-Python baseline JPEG codec (core/jpegcodec.py): encode→decode
+round trips (flat + standard quant, restart markers, odd dimensions),
+unsupported-variant fallbacks, and the Spark multimodal wiring
+(decode_ok='ok' on synthesized JPEGs — round-2 verdict item 7)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from claude_readability_hook_spark.core.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg_gray,
+    is_jpeg,
+)
+
+
+def _grad(w, h, f=lambda x, y: (x * 7 + y * 13) % 256):
+    return [[f(x, y) for x in range(w)] for y in range(h)]
+
+
+def _max_err(pix, raw, w, h):
+    return max(abs(raw[y * w + x] - pix[y][x]) for y in range(h) for x in range(w))
+
+
+def test_roundtrip_flat_quant_near_lossless():
+    """With a unit quant table the only loss is DCT float rounding:
+    every pixel within ±1."""
+    pix = _grad(24, 16)
+    jpg = encode_jpeg_gray(pix, quant=[1] * 64)
+    assert is_jpeg(jpg)
+    w, h, ch, raw = decode_jpeg(jpg)
+    assert (w, h, ch) == (24, 16, 1)
+    assert _max_err(pix, raw, w, h) <= 1
+
+
+def test_roundtrip_standard_quant_smooth_content():
+    """Annex-K quantization is lossy; on a smooth ramp the mean error
+    stays small (the visually-lossless regime)."""
+    pix = _grad(16, 16, lambda x, y: min(255, x * 10 + y))
+    w, h, _, raw = decode_jpeg(encode_jpeg_gray(pix))
+    mean = sum(abs(raw[y * w + x] - pix[y][x]) for y in range(h) for x in range(w)) / (w * h)
+    assert mean < 6.0
+
+
+def test_roundtrip_odd_dimensions_edge_replicated():
+    pix = _grad(13, 10, lambda x, y: (x + y) % 256)
+    w, h, _, raw = decode_jpeg(encode_jpeg_gray(pix, quant=[1] * 64))
+    assert (w, h) == (13, 10)
+    assert _max_err(pix, raw, w, h) <= 1
+
+
+def test_roundtrip_with_restart_markers():
+    """DRI/RSTn: DC predictors reset at each restart; round trip must
+    still be exact-ish."""
+    pix = _grad(40, 24)
+    jpg = encode_jpeg_gray(pix, quant=[1] * 64, restart_interval=3)
+    assert b"\xff\xdd" in jpg and b"\xff\xd0" in jpg
+    w, h, _, raw = decode_jpeg(jpg)
+    assert _max_err(pix, raw, w, h) <= 1
+
+
+def test_flat_field_and_extremes():
+    for val in (0, 128, 255):
+        pix = [[val] * 16 for _ in range(8)]
+        w, h, _, raw = decode_jpeg(encode_jpeg_gray(pix, quant=[1] * 64))
+        assert _max_err(pix, raw, w, h) <= 1
+
+
+def test_progressive_and_subsampled_raise_not_implemented():
+    jpg = bytearray(encode_jpeg_gray(_grad(8, 8), quant=[1] * 64))
+    sof = jpg.find(b"\xff\xc0")
+    prog = bytes(jpg[:sof+1]) + b"\xc2" + bytes(jpg[sof+2:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    # patch the sampling byte (component 1, offset: SOF body 6 + comp0
+    # sampling at +1) to 2x2
+    sub = bytearray(jpg)
+    sub[sof + 4 + 6 + 1] = 0x22
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+
+
+def test_corrupt_scan_raises_value_error():
+    jpg = bytearray(encode_jpeg_gray(_grad(8, 8), quant=[1] * 64))
+    with pytest.raises((ValueError, EOFError)):
+        decode_jpeg(bytes(jpg[: len(jpg) // 2]))  # truncated mid-scan
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_header_only_dimensions_agree_with_full_decode():
+    from claude_readability_hook_spark.core.imagecodec import jpeg_dimensions
+
+    jpg = encode_jpeg_gray(_grad(24, 16))
+    assert jpeg_dimensions(jpg) == (24, 16)
+
+
+def test_three_component_decode_ycbcr():
+    """Hand-assemble a minimal 3-component (1×1 sampling) JPEG reusing
+    the grayscale encoder's entropy data per plane, then check the
+    decoder reconstructs RGB (a flat gray image: Y=g, Cb=Cr=128)."""
+    from claude_readability_hook_spark.core.jpegcodec import (
+        AC_LUM_BITS,
+        AC_LUM_VALS,
+        DC_LUM_BITS,
+        DC_LUM_VALS,
+        _BitWriter,
+        _canonical_codes,
+    )
+
+    dc = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+
+    def write_flat_block(bw, value, pred):
+        # DC = value - 128 (level shift) * 8 / q(=1)... easier: encode
+        # a block whose only coefficient is DC = 8*(value-128)
+        dcv = round(8 * (value - 128) / 1)
+        diff = dcv - pred
+        size = 0 if diff == 0 else (diff if diff > 0 else -diff).bit_length()
+        bits = diff if diff >= 0 else diff + (1 << size) - 1
+        code, length = dc[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+        code, length = ac[0x00]  # EOB
+        bw.write(code, length)
+        return dcv
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for ci, val in enumerate((200, 128, 128)):  # Y=200, Cb=Cr=neutral
+        preds[ci] = write_flat_block(bw, val, 0)
+    scan = bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 3)
+              + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        + seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+        + seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"
+    )
+    w, h, ch, raw = decode_jpeg(jpg)
+    assert (w, h, ch) == (8, 8, 3)
+    # neutral chroma ⇒ R=G=B=Y=200 (±1 for DCT rounding)
+    assert all(abs(raw[i] - 200) <= 1 for i in range(0, len(raw)))
+
+
+def test_media_features_real_jpeg_decode_ok(spark):
+    from claude_readability_hook_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(
+        spark, [f"jpg:{i}" for i in range(4)], real_jpeg=True
+    )
+    rows = extract_media_features(media).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["decode_ok"] == "ok"
+        assert r["feature"] is not None and abs(sum(r["feature"]) - 1.0) < 1e-5
+
+
+def test_resize_real_jpeg_transcodes_to_png_thumbnail(spark):
+    from claude_readability_hook_spark.core.imagecodec import decode_png, is_png
+    from claude_readability_hook_spark.operators.multimodal import (
+        resize_media,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, ["jpg:a", "jpg:b"], real_jpeg=True)
+    out = {r["media_ref"]: r for r in resize_media(media, 8, 8).collect()}
+    for r in out.values():
+        assert r["resize_ok"] == "ok"
+        png = bytes(r["payload"])
+        assert is_png(png)
+        w, h, ch, _ = decode_png(png)
+        assert (w, h, ch) == (8, 8, 1)
