@@ -130,7 +130,10 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
     big = big.repartition(128).persist()
     n_big = big.count()
     steady_sec = None
-    for _ in range(2):
+    # min-of-3: the steady rate is the headline metric and the first
+    # post-JIT run still wobbles ±25% on this shared host (measured
+    # 6.7k/11.2k/11.6k docs/s across 3 identical runs)
+    for _ in range(3):
         t0 = time.monotonic()
         materialize(run_extraction(spark, big, catalog=None, num_partitions=128).extracted)
         dt = time.monotonic() - t0
