@@ -664,6 +664,40 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMANTIC_CAP = 200
 
 
+KNN_QUERIES = 5
+
+
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN against the materialized IVF index: top-k neighbors
+    for EVERY query row in one plan (in-row probe selection → DPP
+    partition-pruned candidate join → one narrow top-k window) — the
+    batch-retrieval primitive; per-query jobs don't scale to 10^12
+    lookups."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_knn_join,
+        load_ivf_centroids,
+    )
+
+    path = _index_cache_dir(
+        sf_dir, "ivf",
+        f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ivf_index(
+            emb, path, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
+            sample_mod=IVF_SAMPLE_MOD,
+        )
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_knn_join(
+        spark, path, queries, kk=ANN_K, n_probe=IVF_N_PROBE,
+        centroids=load_ivf_centroids(path),
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-gated cosine near-dup pairs WITH the bucket fanout cap
     active (the production default — a degenerate bucket must be
@@ -915,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "ivf_assign": q_ivf_assign,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ann_knn_join": q_ann_knn_join,
         "curate": q_curate,
         "train_val_split": q_train_val_split,
         "cap_per_source": q_cap_per_source,
@@ -1106,6 +1141,45 @@ def _ivf_topk_oracle_sql() -> str:
         WHERE e.vec_id <> 0
         ORDER BY cosine DESC, e.vec_id
         LIMIT {ANN_K}
+    """
+
+
+def _ivf_knn_join_oracle_sql() -> str:
+    """k-NN-join twin: per-query probe lists (6dp-rounded distance,
+    cid tiebreak — mirroring probe_cids_expr), candidate join through
+    the full-corpus assignment, per-query top-k."""
+    chain, final = _ivf_chain_sql()
+    qdist = _IVF_DIST.replace("e.embedding", "qq.embedding")
+    return f"""{chain},
+        qq AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < {KNN_QUERIES}),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT qq.query_id, c.cid,
+                   row_number() OVER (PARTITION BY qq.query_id
+                     ORDER BY round({qdist}, 6), c.cid) AS rn
+            FROM qq, {final} c) t
+          WHERE rn <= {IVF_N_PROBE}
+        ),
+        assigned AS (
+          SELECT e.vec_id, c.cid
+          FROM embeddings e, {final} c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST}, c.cid) = 1
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id,
+                 round({_COSINE_SQL}, 6) AS cosine
+          FROM probes p
+          JOIN assigned a USING (cid)
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          JOIN embeddings q ON q.vec_id = p.query_id
+          WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {ANN_K}
     """
 
 
@@ -1678,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_assign": _ivf_oracle_sql(),
         "ivf_ann_topk": _ivf_topk_oracle_sql(),
+        "ann_knn_join": _ivf_knn_join_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -77,6 +77,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "ann_lsh_topk_multiprobe",
         "ivf_assign",
         "ivf_ann_topk",
+        "ann_knn_join",
         "embed_quantize",
         "sessionize",
         "sessionize_salted",

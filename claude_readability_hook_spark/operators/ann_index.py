@@ -135,6 +135,68 @@ def ivf_index_topk(
     )
 
 
+def ivf_knn_join(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    kk: int = 10,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN JOIN: top-k index neighbors for EVERY row of `queries`
+    (query_id, embedding) — the batch retrieval / semantic-dedup
+    primitive (one probe per document, not one job per query).
+
+    Plan shape, sized for 10^12 index rows × a large query batch:
+      1. each query row computes its n_probe nearest centroids IN-ROW
+         (probe_cids_expr over the literal centroid array) and explodes
+         to (query_id, qvec, probe centroid_id) — n_probe rows/query
+      2. the exploded queries BROADCAST-join the index on the
+         centroid_id PARTITION column. Spark's dynamic partition
+         pruning turns the broadcast side into a runtime partition
+         filter, so only probed inverted lists are read (test_ann_index
+         asserts the dynamicpruning expression in the scan)
+      3. cosine against the in-row query vector, then one window
+         (partitionBy query_id) keeps the top kk per query — the only
+         shuffle of the whole plan, carrying (query_id, vec_id, score)
+
+    A query batch too big to broadcast flips the join to shuffle-hash
+    on centroid_id — same candidate set, still never a full-index scan
+    per query, and the index side arrives pre-partitioned."""
+    from pyspark.sql import Window
+
+    from .similarity import probe_cids_expr
+
+    if centroids is None:
+        centroids = load_ivf_centroids(path)
+    exploded = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            probe_cids_expr(F.col(vec_col), centroids, n_probe)
+        ).alias("_probe_cid"),
+    )
+    index = spark.read.parquet(path)
+    cand = index.join(
+        F.broadcast(exploded), index["centroid_id"] == exploded["_probe_cid"]
+    ).filter(F.col("vec_id") != F.col("_qid"))
+    scored = cand.select(
+        F.col("_qid").alias(query_id_col),
+        "vec_id",
+        F.round(cosine_expr(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(query_id_col, "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucket index
 # ---------------------------------------------------------------------------

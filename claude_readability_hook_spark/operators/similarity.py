@@ -186,6 +186,26 @@ def _argmin_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def probe_cids_expr(
+    vec: Column, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """array<int> of the n_probe centroid ids nearest `vec` — the
+    IN-ROW probe selection a k-NN JOIN needs (one probe set per query
+    row; the single-query paths pick probes driver-side instead).
+    Distances round to 6dp before the sort so any engine orders
+    identically; ties break to the lower cid (struct sort)."""
+    cents = F.array(*[F.array(*[F.lit(c) for c in cv]) for cv in centroids])
+    scored = F.transform(
+        cents,
+        lambda cv, i: F.struct(
+            F.round(_sq_dist_expr(vec, cv), 6).alias("dist"), i.alias("cid")
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"].cast("int")
+    )
+
+
 def ivf_centroids(
     df: DataFrame,
     k: int = 8,

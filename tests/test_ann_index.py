@@ -127,6 +127,42 @@ def test_lsh_index_probe_matches_multiprobe_path(spark, tmp_path):
     assert pf and "bucket" in pf.group(1)
 
 
+def test_knn_join_matches_per_query_probes_and_uses_dpp(spark, tmp_path):
+    """ivf_knn_join == per-query ivf_index_topk for every query, and
+    the index scan carries a dynamic-partition-pruning expression from
+    the broadcast probe side (only probed inverted lists are read)."""
+    from claude_readability_hook_spark.operators.ann_index import ivf_knn_join
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, path, k=8, iterations=2, dims=64)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_knn_join(spark, path, queries, kk=10, n_probe=2, centroids=cents)
+    rows = out.collect()
+    assert len(rows) == 50  # 5 queries × k
+    for qid in range(5):
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_index_topk(
+                spark, path, _qvec(spark, qid), kk=10, n_probe=2,
+                centroids=cents, exclude_vec_id=qid,
+            ).collect()
+        ]
+        got = [
+            (r["vec_id"], r["cosine"])
+            for r in sorted(
+                (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert got == want
+
+    plan = _plan(out)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "dynamicpruning" in pf.group(1)
+
+
 def test_ivf_sampled_training_is_deterministic_and_close(spark):
     """sample_mod training must be reproducible and produce valid
     centroids (k lists of dims floats); with a 1/4 hash sample the
