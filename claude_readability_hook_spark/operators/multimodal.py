@@ -7,14 +7,15 @@ The interleaved-span model carries media as `kind='media'` spans whose
     media(media_ref: string, modality: string, payload: binary,
           width: int, height: int, duration_ms: long, mime: string)
 
-PNG and baseline JPEG decode are REAL (pure-Python codecs,
-core/imagecodec.py + core/jpegcodec.py): valid payloads produce
-decode_ok='ok' with a true pixel-luminance feature. Remaining formats
-(progressive/subsampled JPEG, audio, video) fall back to a
-deterministic fake with decode_ok='stubbed' — no codec libs in this
-container. Everything Spark-side is real and tested either way:
-schema, partition-size control for large binaries, Arrow batch shape,
-UDF signatures, and the join back to span order.
+PNG, baseline JPEG, and WAV/PCM audio decode are REAL (pure-Python
+codecs: core/imagecodec.py, core/jpegcodec.py, core/wavcodec.py):
+valid payloads produce decode_ok='ok' with a true feature (pixel
+luminance histogram / RMS energy envelope). Remaining formats
+(progressive/subsampled JPEG, compressed audio, video containers)
+fall back to a deterministic fake with decode_ok='stubbed' — no codec
+libs in this container. Everything Spark-side is real and tested
+either way: schema, partition-size control for large binaries, Arrow
+batch shape, UDF signatures, and the join back to span order.
 
 Scale notes: payloads dominate bytes (a thumbnail ≈ 100× its metadata).
 The operators therefore (a) never shuffle payloads — feature extraction
@@ -67,18 +68,23 @@ MEDIA_FEATURES = StructType(
 FEATURE_DIM = 16
 
 
-def _decode_image(payload: bytes) -> list[float]:
-    """REAL decode for PNG (pure-Python chunk walk + zlib inflate +
-    filter reversal) and baseline JPEG (pure-Python huffman + IDCT,
-    core/jpegcodec.py) → luminance-histogram feature. Unsupported
-    variants (progressive/subsampled JPEG) and other formats raise and
-    fall back to the deterministic fake with decode_ok='stubbed'."""
+def _decode_media(payload: bytes) -> list[float]:
+    """REAL decode ladder: PNG (chunk walk + zlib inflate + filter
+    reversal) and baseline JPEG (huffman + IDCT, core/jpegcodec.py) →
+    luminance histogram; WAV/PCM audio (RIFF walk, core/wavcodec.py) →
+    RMS energy envelope. Same FEATURE_DIM contract for every modality.
+    Unsupported variants (progressive/subsampled JPEG, compressed
+    audio) and unrecognized formats (video containers) raise and fall
+    back to the deterministic fake with decode_ok='stubbed'."""
     from ..core.imagecodec import image_luminance_histogram
     from ..core.jpegcodec import is_jpeg
+    from ..core.wavcodec import energy_envelope, is_wav
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n" or is_jpeg(payload):
         return image_luminance_histogram(payload, FEATURE_DIM)
-    raise NotImplementedError("unrecognized image format; no codec lib in container")
+    if is_wav(payload):
+        return energy_envelope(payload, FEATURE_DIM)
+    raise NotImplementedError("unrecognized media format; no codec lib in container")
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -110,7 +116,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             ):
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    feature = _decode_image(raw)
+                    feature = _decode_media(raw)
                     status = "ok"
                 except NotImplementedError:
                     feature = _fake_feature(raw)
@@ -256,16 +262,41 @@ def synthesize_media_table(
     refs: list[str],
     real_png: bool = False,
     real_jpeg: bool = False,
+    real_wav: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
-    real_png=True emits VALID PNGs and real_jpeg=True VALID baseline
-    JPEGs (seed-derived gradients) so the real decode paths run;
-    default keeps the opaque-bytes payloads the fallback path is
-    tested with."""
+    real_png/real_jpeg emit VALID images (seed-derived gradients) and
+    real_wav VALID PCM16 WAVs (seed-derived sine) so the real decode
+    paths run; default keeps the opaque-bytes payloads the fallback
+    path is tested with."""
+    import math as _math
+
     rows = []
     for ref in refs:
         seed = sum(ref.encode())
+        if real_wav:
+            from ..core.wavcodec import encode_wav
+
+            rate = 8000
+            n = 800 + seed % 400  # 100-150 ms
+            freq = 200 + seed % 500
+            samples = [
+                int(12000 * _math.sin(2 * _math.pi * freq * i / rate))
+                for i in range(n)
+            ]
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "modality": "audio",
+                    "payload": encode_wav(samples, sample_rate=rate),
+                    "width": None,
+                    "height": None,
+                    "duration_ms": int(round(1000 * n / rate)),
+                    "mime": "audio/wav",
+                }
+            )
+            continue
         if real_png:
             from ..core.imagecodec import encode_png
 
