@@ -89,6 +89,27 @@ def load_ivf_centroids(path: str) -> list[list[float]]:
         return json.load(fh)
 
 
+def append_to_ivf_index(
+    df_new: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors to the
+    EXISTING centroids and append them into the partition layout —
+    no retrain, no rewrite of committed lists (each task appends files
+    under at most k directories). This is how a live corpus keeps its
+    ANN index current per ingest batch; centroid drift is handled by a
+    periodic full rebuild (build_ivf_index), exactly the
+    FAISS-style split between add() and retrain."""
+    if centroids is None:
+        centroids = load_ivf_centroids(path)
+    assigned = df_new.withColumn(
+        "centroid_id", _argmin_centroid_expr(F.col(vec_col), centroids)
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def ivf_probe_cids(
     qvec: list[float], centroids: list[list[float]], n_probe: int
 ) -> list[int]:

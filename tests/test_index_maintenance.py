@@ -1,0 +1,105 @@
+"""Incremental IVF-index maintenance: batch append equivalence (build
+on half + append half == probe results of build on all, same
+centroids) and the streaming foreachBatch maintenance path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from claude_readability_hook_spark.operators.ann_index import (
+    append_to_ivf_index,
+    build_ivf_index,
+    ivf_index_topk,
+    load_ivf_centroids,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _qvec(spark, vec_id=0):
+    return [
+        float(v)
+        for v in _emb(spark).filter(F.col("vec_id") == vec_id).collect()[0]["embedding"]
+    ]
+
+
+def test_append_matches_full_build_given_same_centroids(spark, tmp_path):
+    emb = _emb(spark)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    full_path = str(tmp_path / "full")
+    cents = build_ivf_index(emb, full_path, k=8, iterations=2, dims=64)
+
+    inc_path = str(tmp_path / "inc")
+    build_ivf_index(half_a, inc_path, k=8, iterations=2, dims=64, centroids=cents)
+    append_to_ivf_index(half_b, inc_path)  # centroids from the artifact
+
+    assert load_ivf_centroids(inc_path) == cents
+    qvec = _qvec(spark)
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_index_topk(
+            spark, full_path, qvec, kk=10, n_probe=2, centroids=cents,
+            exclude_vec_id=0,
+        ).collect()
+    ]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_index_topk(
+            spark, inc_path, qvec, kk=10, n_probe=2, centroids=cents,
+            exclude_vec_id=0,
+        ).collect()
+    ]
+    assert got == want
+    n_full = spark.read.parquet(full_path).count()
+    n_inc = spark.read.parquet(inc_path).count()
+    assert n_inc == n_full
+
+
+def test_streaming_maintenance_appends_each_microbatch(spark, tmp_path):
+    from claude_readability_hook_spark.streaming.index_stream import (
+        maintain_ivf_index,
+    )
+
+    emb = _emb(spark)
+    index_path = str(tmp_path / "idx")
+    cents = build_ivf_index(
+        emb.filter(F.col("vec_id") < 50), index_path, k=4, iterations=1, dims=64
+    )
+
+    # arrivals: two parquet files → two micro-batches (maxFilesPerTrigger=1)
+    in_dir = str(tmp_path / "in")
+    emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 150)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    emb.filter(F.col("vec_id") >= 150).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = maintain_ivf_index(
+        stream, index_path, checkpoint_dir=str(tmp_path / "ckpt"), centroids=cents
+    )
+    q.awaitTermination(120)
+
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == emb.count()  # every vector indexed exactly once
+    assert idx.select("vec_id").distinct().count() == emb.count()
+
+    # probes see the streamed vectors
+    qvec = _qvec(spark)
+    got = {
+        r["vec_id"]
+        for r in ivf_index_topk(
+            spark, index_path, qvec, kk=10, n_probe=4, centroids=cents,
+            exclude_vec_id=0,
+        ).collect()
+    }
+    assert any(v >= 50 for v in got)  # streamed vectors are probe-visible
