@@ -787,6 +787,125 @@ def q_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", content_hash_expr().alias("content_hash"))
 
 
+MEDIA_ORACLE_REFS = 64
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated oracle for the REAL PNG decode path: the synthesized
+    media table is seed-deterministic (seed = byte-sum of the ref), so
+    the decoded luminance histogram is an arithmetic function of the
+    ref string — DuckDB recomputes it without touching a byte of PNG.
+    Any drift in encode_png/decode_png/filter reversal/histogram
+    breaks the hash. Feature floats use banker's rounding on both
+    sides (Python round ↔ DuckDB round_even)."""
+    from claude_readability_hook_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    refs = [f"img:{i}" for i in range(MEDIA_ORACLE_REFS)]
+    media = synthesize_media_table(spark, refs, real_png=True)
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_ref",
+        "decode_ok",
+        *[
+            F.element_at("feature", i + 1).cast("double").alias(f"b{i}")
+            for i in range(16)
+        ],
+    )
+
+
+def _media_features_oracle_sql() -> str:
+    buckets = ",\n                   ".join(
+        f"round_even(sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END)::DOUBLE"
+        f" / (w * h), 6) AS b{i}"
+        for i in range(16)
+    )
+    return f"""
+        WITH refs AS (
+          SELECT 'img:' || i::VARCHAR AS media_ref
+          FROM range(0, {MEDIA_ORACLE_REFS}) t(i)
+        ),
+        s AS (
+          SELECT media_ref,
+                 list_sum(list_transform(range(1, length(media_ref) + 1),
+                   j -> ascii(substr(media_ref, j, 1)))) AS seed
+          FROM refs
+        ),
+        dims AS (SELECT media_ref, seed, 16 + seed % 16 AS w, 16 AS h FROM s),
+        px AS (
+          SELECT media_ref, w, h,
+                 ((seed + x.x * 7 + y.y * 13) % 256) // 16 AS bucket
+          FROM dims, range(0, 32) x(x), range(0, 16) y(y)
+          WHERE x.x < w AND y.y < h
+        )
+        SELECT media_ref, 'ok' AS decode_ok,
+               {buckets}
+        FROM px GROUP BY media_ref, w, h
+    """
+
+
+AUDIO_ORACLE_REFS = 32
+
+
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated oracle for the REAL WAV/PCM decode path: the
+    synthesized audio is a seed-derived sine, so sample count,
+    duration, and PEAK amplitude (an order-independent reduction — no
+    float-accumulation hazard) are arithmetic functions of the ref
+    string that DuckDB recomputes without parsing a byte of RIFF."""
+    from claude_readability_hook_spark.operators.multimodal import (
+        audio_stats,
+        synthesize_media_table,
+    )
+
+    refs = [f"aud:{i}" for i in range(AUDIO_ORACLE_REFS)]
+    media = synthesize_media_table(spark, refs, real_wav=True)
+    st = audio_stats(media)
+    return st.select(
+        "media_ref",
+        "decode_ok",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        "n_samples",
+        "duration_ms",
+        F.col("peak").cast("long").alias("peak"),
+    )
+
+
+def _media_audio_oracle_sql() -> str:
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    return f"""
+        WITH refs AS (
+          SELECT 'aud:' || i::VARCHAR AS media_ref
+          FROM range(0, {AUDIO_ORACLE_REFS}) t(i)
+        ),
+        s AS (SELECT media_ref, {asciisum} AS seed FROM refs),
+        p AS (SELECT media_ref, 800 + seed % 400 AS n,
+                     200 + seed % 500 AS freq
+              FROM s),
+        pk AS (
+          SELECT p.media_ref,
+                 CAST(max(abs(trunc(12000 * sin(2 * pi() * p.freq * i.i / 8000))))
+                      AS BIGINT) AS peak
+          FROM p, range(0, 1200) i(i)
+          WHERE i.i < p.n
+          GROUP BY p.media_ref
+        )
+        SELECT p.media_ref, 'ok' AS decode_ok,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(p.n AS BIGINT) AS n_samples,
+               CAST(round_even(p.n / 8.0, 0) AS BIGINT) AS duration_ms,
+               pk.peak
+        FROM p JOIN pk USING (media_ref)
+    """
+
+
 def _so_json_expr() -> F.Column:
     """Deterministic SO-API-shaped JSON built from doc_id: question by
     'asker<id>' plus (doc_id % 8) answers by authors u0..u2 cycling."""
@@ -958,6 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_salted": q_sessionize_salted,
         "windowed_counts": q_windowed_counts,
         "content_hash": q_content_hash,
+        "media_features": q_media_features,
+        "media_audio_stats": q_media_audio_stats,
         "token_bpe": q_token_bpe,
         "fingerprint_winnow": q_fingerprint_winnow,
         "so_parse_score": q_so_parse_score,
@@ -1753,6 +1874,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": _ivf_oracle_sql(),
         "ivf_ann_topk": _ivf_topk_oracle_sql(),
         "ann_knn_join": _ivf_knn_join_oracle_sql(),
+        "media_features": _media_features_oracle_sql(),
+        "media_audio_stats": _media_audio_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

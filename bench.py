@@ -97,6 +97,8 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "reddit_parse_score",
         "windowed_counts",
         "content_hash",
+        "media_features",
+        "media_audio_stats",
     ]
 
     times: dict[str, float] = {}

@@ -142,6 +142,65 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return narrow.mapInPandas(featurize, schema=MEDIA_FEATURES)
 
 
+AUDIO_STATS = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("decode_ok", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("peak", IntegerType(), True),  # max |int16 sample|
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio metadata + signal stats from the WAV decode
+    (core/wavcodec.py): sample rate, channels, length, duration, and
+    peak amplitude (max |sample| on the int16 scale — an
+    order-independent reduction, so it is DuckDB-oracle-able for the
+    deterministic synthesized corpus). Same scan-side mapInPandas
+    shape as feature extraction; non-WAV/compressed payloads report
+    decode_ok='stubbed' with NULL stats."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.wavcodec import decode_wav, is_wav
+
+        for batch in batches:
+            records = []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                rec = {
+                    "media_ref": ref, "decode_ok": "stubbed", "sample_rate": None,
+                    "channels": None, "n_samples": None, "duration_ms": None,
+                    "peak": None,
+                }
+                if is_wav(raw):
+                    try:
+                        rate, ch, samples = decode_wav(raw)
+                        rec.update(
+                            decode_ok="ok",
+                            sample_rate=rate,
+                            channels=ch,
+                            n_samples=len(samples),
+                            duration_ms=int(round(1000 * len(samples) / rate))
+                            if rate
+                            else 0,
+                            # float samples are raw/32768 exactly (dyadic),
+                            # so ×32768 recovers the stored int16
+                            peak=int(round(max((abs(s) for s in samples), default=0.0) * 32768)),
+                        )
+                    except NotImplementedError:
+                        pass
+                    except Exception as exc:  # noqa: BLE001 — poison isolation
+                        rec["decode_ok"] = f"decode error: {type(exc).__name__}"
+                records.append(rec)
+            yield pd.DataFrame.from_records(records)
+
+    return media.select("media_ref", "payload").mapInPandas(stats, schema=AUDIO_STATS)
+
+
 RESIZED = StructType(
     [
         StructField("media_ref", StringType(), False),

@@ -91,6 +91,26 @@ def test_not_wav_raises_value_error():
         decode_wav(b"\x89PNG\r\n\x1a\n not audio")
 
 
+def test_audio_stats_real_and_fallback(spark):
+    from claude_readability_hook_spark.operators.multimodal import (
+        audio_stats,
+        synthesize_media_table,
+    )
+
+    real = synthesize_media_table(spark, ["aud:x", "aud:y"], real_wav=True)
+    rows = {r["media_ref"]: r for r in audio_stats(real).collect()}
+    for ref, r in rows.items():
+        seed = sum(ref.encode())
+        assert r["decode_ok"] == "ok"
+        assert r["sample_rate"] == 8000 and r["channels"] == 1
+        assert r["n_samples"] == 800 + seed % 400
+        assert 0 < r["peak"] <= 12000
+
+    fake = synthesize_media_table(spark, ["aud:z"])  # opaque bytes
+    out = audio_stats(fake).collect()[0]
+    assert out["decode_ok"] == "stubbed" and out["peak"] is None
+
+
 def test_media_features_real_wav_decode_ok(spark):
     from claude_readability_hook_spark.operators.multimodal import (
         extract_media_features,
