@@ -495,6 +495,77 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with zero-preserving aggregation: every nation's
+    customer count, INCLUDING nations with none (the null-side
+    coalesce that an inner join silently drops). Dim side broadcast."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    counts = customer.groupBy("c_nationkey").agg(F.count("*").alias("n"))
+    return (
+        nation.join(
+            F.broadcast(counts), nation["n_nationkey"] == counts["c_nationkey"], "left"
+        )
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_customers"),
+        )
+    )
+
+
+def q_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 family): parts priced
+    below 99% of their type's average price. Decorrelates to one agg +
+    one join — the plan Catalyst rewrites a correlated subquery into;
+    decimal-exact average cast after, so the comparison is
+    order-independent."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    avg_by_type = part.groupBy(F.col("p_type").alias("t")).agg(
+        F.avg(F.col("p_retailprice").cast("decimal(18,4)")).cast("double").alias("avg_price")
+    )
+    return (
+        part.join(F.broadcast(avg_by_type), part["p_type"] == avg_by_type["t"])
+        .filter(F.col("p_retailprice").cast("double") < 0.99 * F.col("avg_price"))
+        .select("p_partkey", "p_type", F.round(F.col("p_retailprice").cast("double"), 2).alias("price"))
+    )
+
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: decile assignment of events by value within each
+    event_type (deterministic tiebreak on event_id), rolled up to
+    (event_type, decile) counts + decile mean."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return (
+        events.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("mean_value"),
+        )
+        .select("event_type", F.col("decile").cast("long").alias("decile"), "n", "mean_value")
+    )
+
+
+def q_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.7): INTERSECT and EXCEPT between the
+    long-doc and high-quality doc_id sets, tagged and unioned so one
+    result covers both operators."""
+    docs = _docs(spark, sf_dir)
+    long_docs = docs.filter(F.col("n_chars") > 400).select("doc_id")
+    early = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    both = long_docs.intersect(early).select(F.lit("both").alias("tag"), "doc_id")
+    only_long = long_docs.exceptAll(early).select(
+        F.lit("only_long").alias("tag"), "doc_id"
+    )
+    return both.unionByName(only_long)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import cosine_topk
 
@@ -1087,6 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join3_topk": q_join3_topk,
         "rollup_priority": q_rollup_priority,
         "running_revenue": q_running_revenue,
+        "left_outer_counts": q_left_outer_counts,
+        "below_avg_parts": q_below_avg_parts,
+        "value_deciles": q_value_deciles,
+        "source_set_ops": q_source_set_ops,
         "exists_semi_join": q_exists_semi_join,
         "per_source_stats": q_per_source_stats,
     }
@@ -1752,6 +1827,46 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                      AS running_revenue
             FROM orders WHERE o_custkey % 100 = 0
+        """,
+        "left_outer_counts": """
+            SELECT n.n_nationkey, n.n_name,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_customers
+            FROM nation n
+            LEFT JOIN (SELECT c_nationkey, count(*) AS n
+                       FROM customer GROUP BY c_nationkey) c
+              ON n.n_nationkey = c.c_nationkey
+        """,
+        "below_avg_parts": """
+            WITH a AS (
+              SELECT p_type AS t,
+                     CAST(avg(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS avg_price
+              FROM part GROUP BY p_type)
+            SELECT p_partkey, p_type,
+                   round(p_retailprice::DOUBLE, 2) AS price
+            FROM part JOIN a ON p_type = a.t
+            WHERE p_retailprice::DOUBLE < 0.99 * a.avg_price
+        """,
+        "value_deciles": """
+            WITH d AS (
+              SELECT event_type, value,
+                     ntile(10) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS decile
+              FROM events)
+            SELECT event_type, CAST(decile AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(avg(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                     AS mean_value
+            FROM d GROUP BY event_type, decile
+        """,
+        "source_set_ops": """
+            WITH long_docs AS (SELECT doc_id FROM documents WHERE n_chars > 400),
+            early AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+            SELECT 'both' AS tag, doc_id
+            FROM (SELECT doc_id FROM long_docs INTERSECT SELECT doc_id FROM early)
+            UNION ALL
+            SELECT 'only_long' AS tag, doc_id
+            FROM (SELECT doc_id FROM long_docs EXCEPT ALL SELECT doc_id FROM early)
         """,
         "ann_cosine_topk": f"""
             SELECT e.vec_id, round({_COSINE_SQL}, 6) AS cosine

@@ -87,6 +87,10 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "cap_per_source",
         "rollup_priority",
         "running_revenue",
+        "left_outer_counts",
+        "below_avg_parts",
+        "value_deciles",
+        "source_set_ops",
         "exists_semi_join",
         "topk_per_group",
         "pricing_summary",
