@@ -806,6 +806,32 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(_docs_with_planted_dups(spark, sf_dir))
 
 
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-pipeline composition — the manifest a user materializes
+    before tokenizing: curation gate (lang ∧ quality ∧ not-dup-loser)
+    ∧ deterministic train split ∧ per-source cap, joined on the narrow
+    doc_id key (text never travels past the gate)."""
+    from claude_readability_hook_spark.operators.curation import curate
+    from claude_readability_hook_spark.operators.sampling import (
+        cap_per_source,
+        train_val_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    kept = (
+        curate(docs.select("doc_id", "text"))
+        .filter(F.col("keep"))
+        .select("doc_id", "lang_pred")
+    )
+    train = train_val_split(docs).filter(F.col("split") == "train").select("doc_id")
+    capped = cap_per_source(docs, max_docs=15)
+    return (
+        kept.join(train, "doc_id")
+        .join(capped, "doc_id")
+        .select("doc_id", "source", "lang_pred")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.sessions import sessionize
 
@@ -1141,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "ann_knn_join": q_ann_knn_join,
         "curate": q_curate,
+        "training_manifest": q_training_manifest,
         "train_val_split": q_train_val_split,
         "cap_per_source": q_cap_per_source,
         "dedup_semantic": q_dedup_semantic,
@@ -1572,6 +1599,69 @@ FROM html
 """
 
 
+def _curate_sql(src_sql: str) -> str:
+    """Curation-gate twin over an arbitrary (doc_id, text) source:
+    language-ID argmax, quality gate, exact-dup loser check, composed
+    keep flag — reused by the `curate` oracle (planted-dups view) and
+    the `training_manifest` composition (plain documents)."""
+    return f"""
+            WITH src AS ({src_sql}),
+            tok AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM src),
+            gates AS (
+              SELECT doc_id,
+                CASE WHEN greatest(
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('the','a','of','and','to','in','is','it','that','for'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('der','die','das','und','ist','ein','eine','zu','den','nicht'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('le','la','les','et','est','un','une','que','pour','dans'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('el','la','los','y','es','un','una','que','por','para')))) = 0
+                     THEN 'und'
+                     WHEN len(list_filter(toks, t -> lower(t) IN
+                         ('the','a','of','and','to','in','is','it','that','for')))
+                       >= greatest(
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('der','die','das','und','ist','ein','eine','zu','den','nicht'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('le','la','les','et','est','un','une','que','pour','dans'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('el','la','los','y','es','un','una','que','por','para'))))
+                     THEN 'en'
+                     WHEN len(list_filter(toks, t -> lower(t) IN
+                         ('der','die','das','und','ist','ein','eine','zu','den','nicht')))
+                       >= greatest(
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('le','la','les','et','est','un','une','que','pour','dans'))),
+                       len(list_filter(toks, t -> lower(t) IN
+                         ('el','la','los','y','es','un','una','que','por','para'))))
+                     THEN 'de'
+                     WHEN len(list_filter(toks, t -> lower(t) IN
+                         ('le','la','les','et','est','un','une','que','pour','dans')))
+                       >= len(list_filter(toks, t -> lower(t) IN
+                         ('el','la','los','y','es','un','una','que','por','para')))
+                     THEN 'fr' ELSE 'es' END AS lang_pred,
+                (len(toks) >= 5
+                 AND CASE WHEN len(toks) > 0
+                          THEN length(text)::DOUBLE / len(toks) ELSE 0.0 END
+                     BETWEEN 2.0 AND 12.0
+                 AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1) >= 0.6) AS quality_keep
+              FROM tok),
+            losers AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                  PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+                FROM src) t WHERE rn >= 2)
+            SELECT g.doc_id, g.lang_pred, g.quality_keep,
+                   (l.doc_id IS NOT NULL) AS is_dup_loser,
+                   (g.quality_keep AND g.lang_pred = 'en'
+                    AND l.doc_id IS NULL) AS keep
+            FROM gates g LEFT JOIN losers l USING (doc_id)
+    """
+
+
 _COSINE_SQL = (
     "list_sum(list_transform(range(1, 65), "
     "i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) / "
@@ -1915,62 +2005,29 @@ def oracle_sql() -> dict[str, str]:
               FROM h) t
             WHERE rn <= 15
         """,
-        "curate": f"""
-            WITH src AS ({_DUP_SQL}),
-            tok AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM src),
-            gates AS (
-              SELECT doc_id,
-                CASE WHEN greatest(
-                       len(list_filter(toks, t -> lower(t) IN
-                         ('the','a','of','and','to','in','is','it','that','for'))),
-                       len(list_filter(toks, t -> lower(t) IN
-                         ('der','die','das','und','ist','ein','eine','zu','den','nicht'))),
-                       len(list_filter(toks, t -> lower(t) IN
-                         ('le','la','les','et','est','un','une','que','pour','dans'))),
-                       len(list_filter(toks, t -> lower(t) IN
-                         ('el','la','los','y','es','un','una','que','por','para')))) = 0
-                     THEN 'und'
-                     WHEN len(list_filter(toks, t -> lower(t) IN
-                         ('the','a','of','and','to','in','is','it','that','for')))
-                       >= greatest(
-                       len(list_filter(toks, t -> lower(t) IN
-                         ('der','die','das','und','ist','ein','eine','zu','den','nicht'))),
-                       len(list_filter(toks, t -> lower(t) IN
-                         ('le','la','les','et','est','un','une','que','pour','dans'))),
-                       len(list_filter(toks, t -> lower(t) IN
-                         ('el','la','los','y','es','un','una','que','por','para'))))
-                     THEN 'en'
-                     WHEN len(list_filter(toks, t -> lower(t) IN
-                         ('der','die','das','und','ist','ein','eine','zu','den','nicht')))
-                       >= greatest(
-                       len(list_filter(toks, t -> lower(t) IN
-                         ('le','la','les','et','est','un','une','que','pour','dans'))),
-                       len(list_filter(toks, t -> lower(t) IN
-                         ('el','la','los','y','es','un','una','que','por','para'))))
-                     THEN 'de'
-                     WHEN len(list_filter(toks, t -> lower(t) IN
-                         ('le','la','les','et','est','un','une','que','pour','dans')))
-                       >= len(list_filter(toks, t -> lower(t) IN
-                         ('el','la','los','y','es','un','una','que','por','para')))
-                     THEN 'fr' ELSE 'es' END AS lang_pred,
-                (len(toks) >= 5
-                 AND CASE WHEN len(toks) > 0
-                          THEN length(text)::DOUBLE / len(toks) ELSE 0.0 END
-                     BETWEEN 2.0 AND 12.0
-                 AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                     / greatest(length(text), 1) >= 0.6) AS quality_keep
-              FROM tok),
-            losers AS (
-              SELECT doc_id FROM (
-                SELECT doc_id, row_number() OVER (
-                  PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
-                FROM src) t WHERE rn >= 2)
-            SELECT g.doc_id, g.lang_pred, g.quality_keep,
-                   (l.doc_id IS NOT NULL) AS is_dup_loser,
-                   (g.quality_keep AND g.lang_pred = 'en'
-                    AND l.doc_id IS NULL) AS keep
-            FROM gates g LEFT JOIN losers l USING (doc_id)
-        """,
+        "curate": _curate_sql(_DUP_SQL),
+        # full-pipeline composition: curation gate ∧ train split ∧
+        # per-source cap — what a user materializes before tokenizing
+        "training_manifest": f"""
+            WITH cur AS ({{curate}}),
+            h AS (
+              SELECT doc_id, source,
+                     {_H32_SQL.replace("md5(s)", "md5(doc_id::VARCHAR)")} AS hk
+              FROM documents
+            ),
+            cap AS (
+              SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY hk, doc_id) AS rn
+                FROM h) t WHERE rn <= 15
+            )
+            SELECT c.doc_id, cap.source, c.lang_pred
+            FROM cur c
+            JOIN cap USING (doc_id)
+            JOIN h USING (doc_id)
+            WHERE c.keep AND h.hk % 10000 >= 1000
+        """.format(curate=_curate_sql("SELECT doc_id, text FROM documents")),
         "embed_quantize": """
             WITH m AS (
               SELECT vec_id, embedding,

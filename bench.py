@@ -83,6 +83,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "sessionize_salted",
         "per_source_stats",
         "curate",
+        "training_manifest",
         "train_val_split",
         "cap_per_source",
         "rollup_priority",
