@@ -207,6 +207,19 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams by frequency (bigram tiebreak) — the
+    BPE merge-candidate table; in-row pair expansion, vocab-bounded
+    shuffle."""
+    from claude_readability_hook_spark.operators.textstats import bigrams
+
+    return (
+        bigrams(_docs(spark, sf_dir), min_count=2)
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(100)
+    )
+
+
 def q_quality_score_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.functions.columns import quality_score_expr
 
@@ -1148,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
+        "bigram_topk": q_bigram_topk,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
         "url_transforms": q_url_transforms,
@@ -1789,6 +1803,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lower(t) AS token, CAST(count(*) AS BIGINT) AS n
             FROM tok GROUP BY 1 HAVING count(*) >= 2
             ORDER BY n DESC, token LIMIT 100
+        """,
+        "bigram_topk": f"""
+            WITH toks AS (
+              SELECT list_transform({_TOKS_SQL}, t -> lower(t)) AS ts
+              FROM documents
+            ),
+            bg AS (
+              SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                       i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM toks WHERE len(ts) >= 2
+            )
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM bg GROUP BY bigram HAVING count(*) >= 2
+            ORDER BY n DESC, bigram LIMIT 100
         """,
         "quality_score_a1": f"""
             WITH tok AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)

@@ -70,6 +70,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "text_quality",
         "fingerprint",
         "vocab_topk",
+        "bigram_topk",
         "fingerprint_winnow",
         "ann_cosine_topk",
         "ann_lsh_buckets",

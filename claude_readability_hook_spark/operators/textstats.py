@@ -140,6 +140,36 @@ def vocabulary(
     )
 
 
+def bigrams(
+    df: DataFrame, min_count: int = 1, lowercase: bool = True, text_col: str = "text"
+) -> DataFrame:
+    """Corpus adjacent-token-pair frequency table (bigram, n) — the
+    merge-candidate precursor for BPE-style tokenizer training. The
+    pairs expand IN-ROW (sequence over the token array, no self-join);
+    the shuffle is the same vocabulary-bounded hash agg as
+    vocabulary()."""
+    toks = tokens_expr(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    # materialize the token array as a column FIRST: element-wise
+    # access on the inlined tokenize expression re-evaluates the whole
+    # split per element (measured 9 s where this takes 0.6 s). Then
+    # one zip_with over shifted slices is a single O(n) pass.
+    ts = F.col("ts")
+    pairs = F.zip_with(
+        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.select(toks.alias("ts"))
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 # GPT-2-flavoured pretokenizer shape: contractions, letter runs, digit
 # runs, punctuation runs, whitespace collapsed away. ASCII classes only
 # so Java (Spark) and RE2 (DuckDB) agree.
