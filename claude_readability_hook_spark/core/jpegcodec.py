@@ -67,6 +67,8 @@ AC_LUM_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
+MAX_PIXELS = 1 << 24  # 16.7M px (≈4096×4096): decode-side poison guard
+
 _COS = [
     [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)
 ]
@@ -380,6 +382,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG")
+            if w * h > MAX_PIXELS or w == 0 or h == 0:
+                # poison-payload guard: a mutated SOF must not trigger a
+                # giant plane allocation before the scan data runs out
+                raise ValueError("implausible JPEG dimensions")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
             for c in range(nc):

@@ -1,0 +1,101 @@
+"""Poison-payload fuzzing for the pure-Python decode ladder: random
+bytes, random mutations of VALID files, and truncations must never
+hang or escape with an unexpected exception class — the media/PDF UDFs
+rely on (ValueError | NotImplementedError | EOFError | struct.error)
+being the complete failure surface."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from claude_readability_hook_spark.core.imagecodec import decode_png, encode_png
+from claude_readability_hook_spark.core.jpegcodec import decode_jpeg, encode_jpeg_gray
+from claude_readability_hook_spark.core.pdflayout import decode_pdf, synthesize_pdf
+from claude_readability_hook_spark.core.wavcodec import decode_wav, encode_wav
+
+ALLOWED = (ValueError, NotImplementedError, EOFError, struct.error, zlib.error,
+           IndexError, KeyError, OverflowError, MemoryError)
+
+
+def _valid_jpeg() -> bytes:
+    return encode_jpeg_gray([[(x * 5 + y * 3) % 256 for x in range(16)] for y in range(16)])
+
+
+def _valid_wav() -> bytes:
+    return encode_wav([(i * 37) % 20000 - 10000 for i in range(400)])
+
+
+def _valid_png() -> bytes:
+    return encode_png([[(x + y) % 256 for x in range(12)] for y in range(8)])
+
+
+def _valid_pdf() -> bytes:
+    return synthesize_pdf([[(40, 100, 10, "fuzz page")]], compress=True)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_random_bytes_never_hang_decoders(payload):
+    for dec in (decode_jpeg, decode_wav, decode_png):
+        try:
+            dec(payload)
+        except ALLOWED:
+            pass
+    # decode_pdf returns (blocks, status) with poison isolation inside
+    try:
+        decode_pdf(payload)
+    except ALLOWED:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from(["jpeg", "wav", "png", "pdf"]),
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=255),
+)
+def test_single_byte_mutations_fail_cleanly(kind, pos, val):
+    base = {
+        "jpeg": _valid_jpeg,
+        "wav": _valid_wav,
+        "png": _valid_png,
+        "pdf": _valid_pdf,
+    }[kind]()
+    mutated = bytearray(base)
+    mutated[pos % len(mutated)] = val
+    dec = {
+        "jpeg": decode_jpeg,
+        "wav": decode_wav,
+        "png": decode_png,
+        "pdf": decode_pdf,
+    }[kind]
+    try:
+        dec(bytes(mutated))
+    except ALLOWED:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sampled_from(["jpeg", "wav", "png", "pdf"]), st.data())
+def test_truncations_fail_cleanly(kind, data):
+    base = {
+        "jpeg": _valid_jpeg,
+        "wav": _valid_wav,
+        "png": _valid_png,
+        "pdf": _valid_pdf,
+    }[kind]()
+    cut = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
+    dec = {
+        "jpeg": decode_jpeg,
+        "wav": decode_wav,
+        "png": decode_png,
+        "pdf": decode_pdf,
+    }[kind]
+    try:
+        dec(base[:cut])
+    except ALLOWED:
+        pass
