@@ -220,6 +220,14 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition curation signals over the planted-dups
+    view (clones guarantee repeated content exists)."""
+    from claude_readability_hook_spark.operators.textstats import repetition_features
+
+    return repetition_features(_docs_with_planted_dups(spark, sf_dir))
+
+
 def q_quality_score_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.functions.columns import quality_score_expr
 
@@ -782,6 +790,23 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH k-NN JOIN against the materialized bucket index
+    (the LSH twin of ann_knn_join): per-row in-row probe sets,
+    DPP-pruned candidate scan, one narrow top-k window."""
+    from claude_readability_hook_spark.operators.ann_index import lsh_knn_join
+
+    path = _lsh_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_knn_join(
+        spark, path, queries, k=ANN_K, n_probe=ANN_N_PROBE,
+        num_planes=LSH_PLANES, dims=EMBED_DIMS,
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-gated cosine near-dup pairs WITH the bucket fanout cap
     active (the production default — a degenerate bucket must be
@@ -1162,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
         "bigram_topk": q_bigram_topk,
+        "text_repetition": q_text_repetition,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
         "url_transforms": q_url_transforms,
@@ -1180,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ann_knn_join": q_ann_knn_join,
+        "lsh_knn_join": q_lsh_knn_join,
         "curate": q_curate,
         "training_manifest": q_training_manifest,
         "train_val_split": q_train_val_split,
@@ -1446,6 +1473,54 @@ def _lsh_probes_sql() -> str:
         )
         SELECT DISTINCT CAST(probe_bucket AS BIGINT) AS probe_bucket
         FROM flat ORDER BY probe_bucket
+    """
+
+
+def _lsh_knn_join_oracle_sql() -> str:
+    """Per-query multi-probe twin of lsh_knn_join: each query's probe
+    set (own bucket + least-confident flips), DISTINCT (query, bucket)
+    pairs, bucket-joined candidates, per-query top-k."""
+    proj = (
+        "list_sum(list_transform(range(1, {dims} + 1), "
+        "d -> embedding[d]::DOUBLE * "
+        "(CASE WHEN strpos('02468ace', substr(md5(p::VARCHAR || '-' || (d - 1)::VARCHAR), 1, 1)) > 0 "
+        "THEN 1.0 ELSE -1.0 END)))"
+    ).format(dims=EMBED_DIMS)
+    return f"""
+        WITH qq AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                    WHERE vec_id < {KNN_QUERIES}),
+        c AS (
+          SELECT query_id,
+                 list_sort(list_transform(range(0, {LSH_PLANES}), p ->
+                   struct_pack(conf := round(abs({proj}), 6), plane := p)
+                 )) AS ordered,
+                 CAST({_lsh_bucket_sql()} AS BIGINT) AS qb
+          FROM qq
+        ),
+        pr0 AS (
+          SELECT query_id,
+                 unnest(list_prepend(qb, list_transform(ordered[1:{ANN_N_PROBE}],
+                   s -> xor(qb, CAST(1 << s.plane AS BIGINT))))) AS pb
+          FROM c
+        ),
+        pr AS (SELECT DISTINCT query_id, pb FROM pr0),
+        buckets AS (
+          SELECT vec_id, CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT pr.query_id, e.vec_id, round({_COSINE_SQL}, 6) AS cosine
+          FROM pr
+          JOIN buckets b ON b.bucket = pr.pb
+          JOIN embeddings e ON e.vec_id = b.vec_id
+          JOIN embeddings q ON q.vec_id = pr.query_id
+          WHERE e.vec_id <> pr.query_id
+        )
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {ANN_K}
     """
 
 
@@ -1804,6 +1879,38 @@ def oracle_sql() -> dict[str, str]:
             FROM tok GROUP BY 1 HAVING count(*) >= 2
             ORDER BY n DESC, token LIMIT 100
         """,
+        # Spark F.round is HALF_UP; DuckDB round() is half-away-from-
+        # zero — identical for the positive ratios here (Python round
+        # would need round_even instead, cf. media_features)
+        "text_repetition": f"""
+            WITH src AS ({_DUP_SQL}),
+            t AS (
+              SELECT doc_id,
+                     list_transform({_TOKS_SQL}, x -> lower(x)) AS ts
+              FROM src
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)),
+                       i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+              FROM t WHERE len(ts) >= 2
+            ),
+            topc AS (
+              SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, bigram, count(*) AS c
+                FROM bg GROUP BY doc_id, bigram) x
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(t.ts) > 0
+                        THEN round(len(list_distinct(t.ts))::DOUBLE / len(t.ts), 6)
+                        ELSE 0.0 END AS distinct_token_ratio,
+                   CASE WHEN len(t.ts) > 0
+                        THEN round(COALESCE(topc.top_c, 0)::DOUBLE * 2.0 / len(t.ts), 6)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM t LEFT JOIN topc USING (doc_id)
+        """,
         "bigram_topk": f"""
             WITH toks AS (
               SELECT list_transform({_TOKS_SQL}, t -> lower(t)) AS ts
@@ -2074,6 +2181,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": _ivf_oracle_sql(),
         "ivf_ann_topk": _ivf_topk_oracle_sql(),
         "ann_knn_join": _ivf_knn_join_oracle_sql(),
+        "lsh_knn_join": _lsh_knn_join_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_audio_stats": _media_audio_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),

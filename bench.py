@@ -79,6 +79,8 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "ivf_assign",
         "ivf_ann_topk",
         "ann_knn_join",
+        "lsh_knn_join",
+        "text_repetition",
         "embed_quantize",
         "sessionize",
         "sessionize_salted",

@@ -240,6 +240,70 @@ def build_lsh_index(
     ).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
+def append_to_lsh_index(
+    df_new: DataFrame,
+    path: str,
+    num_planes: int = 8,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental LSH-index maintenance: bucket new vectors with the
+    SAME md5-derived hyperplanes (pure literals — nothing to load) and
+    append into the partition layout. The LSH twin of
+    append_to_ivf_index; no retrain exists to drift."""
+    df_new.withColumn(
+        "bucket", lsh_bucket_expr(F.col(vec_col), num_planes, dims)
+    ).write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def lsh_knn_join(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    num_planes: int = 8,
+    dims: int = 64,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe k-NN JOIN against the bucket-partitioned LSH index:
+    every query row computes its probe-bucket set IN-ROW
+    (multi_probe_buckets_expr), explodes to ≤ n_probe+1 rows, and
+    broadcast-joins the index on the bucket PARTITION column — dynamic
+    partition pruning reads only probed buckets; one narrow window
+    keeps top-k per query. The LSH twin of ivf_knn_join (no centroids
+    artifact — hyperplanes re-derive from md5 literals)."""
+    from pyspark.sql import Window
+
+    from .similarity import multi_probe_buckets_expr
+
+    exploded = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            multi_probe_buckets_expr(F.col(vec_col), n_probe, num_planes, dims)
+        ).alias("_pb"),
+    )
+    index = spark.read.parquet(path)
+    cand = index.join(
+        F.broadcast(exploded), index["bucket"] == exploded["_pb"]
+    ).filter(F.col("vec_id") != F.col("_qid"))
+    scored = cand.select(
+        F.col("_qid").alias(query_id_col),
+        "vec_id",
+        F.round(cosine_expr(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_index_topk(
     spark: SparkSession,
     path: str,

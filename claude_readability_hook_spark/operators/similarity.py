@@ -408,6 +408,37 @@ def semantic_dedup_pairs(
     )
 
 
+def multi_probe_buckets_expr(
+    vec: Column, n_probe: int = 2, num_planes: int = 8, dims: int = 64
+) -> Column:
+    """array<long> of a row's multi-probe buckets: its own bucket plus
+    the n_probe buckets reached by flipping its LEAST-CONFIDENT bits —
+    the planes with the smallest |projection|, i.e. the hyperplanes
+    the vector sits closest to, where true neighbors most likely
+    landed on the other side (the classic multi-probe LSH heuristic;
+    public algorithm). Pure in-row Column algebra (array of
+    (|proj|, plane) structs → array_sort → slice → XOR via a 2^p
+    lookup), so it runs per QUERY ROW in a k-NN join as well as on a
+    single probe row; confidences round to 6dp so any engine sorts
+    identically."""
+    conf = F.array(
+        *[
+            F.struct(
+                F.round(F.abs(hyperplane_proj_expr(vec, p, dims)), 6).alias("conf"),
+                F.lit(p).alias("plane"),
+            )
+            for p in range(num_planes)
+        ]
+    )
+    flips = F.slice(F.array_sort(conf), 1, n_probe)
+    pow2 = F.array(*[F.lit(2**p).cast("long") for p in range(num_planes)])
+    bucket = lsh_bucket_expr(vec, num_planes, dims)
+    return F.array_union(
+        F.array(bucket),
+        F.transform(flips, lambda s: bucket.bitwiseXOR(F.element_at(pow2, s["plane"] + 1))),
+    )
+
+
 def lsh_query_probes(
     df: DataFrame,
     query_vec_id: int = 0,
@@ -416,36 +447,11 @@ def lsh_query_probes(
     dims: int = 64,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Multi-probe set for the query: its own bucket plus the n_probe
-    buckets reached by flipping its LEAST-CONFIDENT bits — the planes
-    with the smallest |projection|, i.e. the hyperplanes the query sits
-    closest to, where true neighbors most likely landed on the other
-    side (the classic multi-probe LSH heuristic; public algorithm).
-
-    Everything is in-row Column algebra over the single query row
-    (array of (|proj|, plane) structs → array_sort → slice → XOR via a
-    2^p lookup array), so the identical formula runs in any engine —
-    the DuckDB twin uses list_sort + xor(). Returns (probe_bucket),
-    sorted-unique, n_probe+1 rows."""
+    """Multi-probe set for one query row (see
+    multi_probe_buckets_expr). Returns (probe_bucket), sorted-unique,
+    ≤ n_probe+1 rows."""
     q = df.filter(F.col("vec_id") == query_vec_id)
-    conf = F.array(
-        *[
-            F.struct(
-                F.round(F.abs(hyperplane_proj_expr(F.col(vec_col), p, dims)), 6).alias(
-                    "conf"
-                ),
-                F.lit(p).alias("plane"),
-            )
-            for p in range(num_planes)
-        ]
-    )
-    flips = F.slice(F.array_sort(conf), 1, n_probe)
-    pow2 = F.array(*[F.lit(2**p).cast("long") for p in range(num_planes)])
-    bucket = lsh_bucket_expr(F.col(vec_col), num_planes, dims)
-    probes = F.array_union(
-        F.array(bucket),
-        F.transform(flips, lambda s: bucket.bitwiseXOR(F.element_at(pow2, s["plane"] + 1))),
-    )
+    probes = multi_probe_buckets_expr(F.col(vec_col), n_probe, num_planes, dims)
     return (
         q.select(F.explode(probes).alias("probe_bucket"))
         .distinct()

@@ -170,6 +170,61 @@ def bigrams(
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per doc: distinct-token ratio
+    (low ⇒ looping/boilerplate text) and top-bigram mass fraction
+    (share of tokens covered by the single most-repeated adjacent
+    pair). distinct ratio is pure in-row; the bigram mode needs one
+    (doc_id, bigram) hash agg + a per-doc max — the shuffle carries
+    short hash-aggregated rows, never text. Docs with <2 tokens report
+    0.0 top-bigram mass via the left join restore."""
+    toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
+    base = df.select("doc_id", toks.alias("ts")).select(
+        "doc_id",
+        "ts",
+        F.size("ts").alias("n_tok"),
+    )
+    ts = F.col("ts")
+    pairs = F.zip_with(
+        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_bigram = (
+        base.select("doc_id", F.explode(pairs).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return (
+        base.join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            F.when(
+                F.col("n_tok") > 0,
+                F.round(
+                    F.size(F.array_distinct("ts")).cast("double") / F.col("n_tok"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("distinct_token_ratio"),
+            F.when(
+                F.col("n_tok") > 0,
+                F.round(
+                    F.coalesce(F.col("top_c"), F.lit(0)).cast("double")
+                    * 2.0
+                    / F.col("n_tok"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
 # GPT-2-flavoured pretokenizer shape: contractions, letter runs, digit
 # runs, punctuation runs, whitespace collapsed away. ASCII classes only
 # so Java (Spark) and RE2 (DuckDB) agree.

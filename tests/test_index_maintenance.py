@@ -61,6 +61,55 @@ def test_append_matches_full_build_given_same_centroids(spark, tmp_path):
     assert n_inc == n_full
 
 
+def test_lsh_append_matches_full_build(spark, tmp_path):
+    from claude_readability_hook_spark.operators.ann_index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        lsh_knn_join,
+    )
+
+    emb = _emb(spark)
+    full = str(tmp_path / "full")
+    build_lsh_index(emb, full, num_planes=6, dims=64)
+    inc = str(tmp_path / "inc")
+    build_lsh_index(emb.filter(F.col("vec_id") % 2 == 0), inc, num_planes=6, dims=64)
+    append_to_lsh_index(
+        emb.filter(F.col("vec_id") % 2 == 1), inc, num_planes=6, dims=64
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = lsh_knn_join(spark, full, queries, k=5, num_planes=6, dims=64).collect()
+    got = lsh_knn_join(spark, inc, queries, k=5, num_planes=6, dims=64).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"]) for r in rows)
+    assert key(got) == key(want) and len(got) > 0
+
+
+def test_lsh_knn_join_uses_dpp(spark, tmp_path):
+    import re
+
+    from claude_readability_hook_spark.operators.ann_index import (
+        build_lsh_index,
+        lsh_knn_join,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "lsh")
+    build_lsh_index(emb, path, num_planes=6, dims=64)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_knn_join(spark, path, queries, k=5, num_planes=6, dims=64)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert pf and "dynamicpruning" in pf.group(1)
+
+
 def test_streaming_maintenance_appends_each_microbatch(spark, tmp_path):
     from claude_readability_hook_spark.streaming.index_stream import (
         maintain_ivf_index,
