@@ -823,6 +823,20 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as dedup_semantic (same oracle), computed over the
+    MATERIALIZED LSH index: stored buckets (projections computed zero
+    times) and a partition-column-only scan for the cap count."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        semantic_dedup_pairs_indexed,
+    )
+
+    path = _lsh_index(spark, sf_dir)
+    return semantic_dedup_pairs_indexed(
+        spark, path, threshold=0.35, max_bucket_size=SEMANTIC_CAP
+    )
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.sampling import train_val_split
 
@@ -1212,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "cap_per_source": q_cap_per_source,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_semantic_indexed": q_dedup_semantic_indexed,
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,
         "windowed_counts": q_windowed_counts,
@@ -2198,6 +2213,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cosine DESC, e.vec_id
             LIMIT {ANN_K}
+        """,
+        # identical result contract for the expression path and the
+        # materialized-index path — they differ only in physical plan
+        "dedup_semantic_indexed": f"""
+            WITH buckets AS (
+              SELECT vec_id, CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket FROM embeddings
+            ),
+            ok AS (SELECT bucket FROM buckets
+                   GROUP BY bucket HAVING count(*) <= {SEMANTIC_CAP}),
+            wb AS (SELECT e.vec_id, e.embedding, b.bucket
+                   FROM embeddings e JOIN buckets b USING (vec_id)
+                   JOIN ok USING (bucket))
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(
+                     list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                     (sqrt(list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+                      sqrt(list_sum(list_transform(range(1, 65),
+                       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6
+                   ) AS cosine
+            FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(
+                     list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                     (sqrt(list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+                      sqrt(list_sum(list_transform(range(1, 65),
+                       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6
+                   ) >= 0.35
         """,
         "dedup_semantic": f"""
             WITH buckets AS (

@@ -63,6 +63,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_semantic",
+        "dedup_semantic_indexed",
         "dedup_clusters",
         "token_stats",
         "token_bpe",

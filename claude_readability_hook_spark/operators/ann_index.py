@@ -240,6 +240,54 @@ def build_lsh_index(
     ).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
+def semantic_dedup_pairs_indexed(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.35,
+    max_bucket_size: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """similarity.semantic_dedup_pairs over the MATERIALIZED LSH index:
+    identical output, better scan economics — the bucket is a stored
+    partition column, so (a) the hyperplane projections are computed
+    zero times instead of twice (cap pass + pair pass), and (b) the
+    oversize-bucket count reads ONLY the partition column (column
+    pruning leaves embeddings on disk). The bucket-key self-join is
+    the one embedding shuffle, same as the expression path."""
+    from .similarity import SEMANTIC_BUCKET_CAP, cosine_expr
+
+    if max_bucket_size is None:
+        max_bucket_size = SEMANTIC_BUCKET_CAP
+    index = spark.read.parquet(path).select("vec_id", vec_col, "bucket")
+    if max_bucket_size is not None:
+        oversized = (
+            spark.read.parquet(path)
+            .select("bucket")  # partition column only — embeddings unread
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("bucket")
+        )
+        index = index.join(F.broadcast(oversized), "bucket", "left_anti")
+    a = index.alias("a")
+    b = index.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def append_to_lsh_index(
     df_new: DataFrame,
     path: str,
