@@ -1,0 +1,69 @@
+"""End-to-end launch test for the curation pipeline: package the
+library, run jobs/curate_job.py through actual `spark-submit
+--py-files` (the north_rule launch mode), and verify the manifest and
+training shards."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from tests.test_spark_submit import _zip_package
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_curate_job_manifest_and_shards(tmp_path):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    out_dir = str(tmp_path / "out")
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", pkg_zip,
+            os.path.join(root, "jobs", "curate_job.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_dir,
+            "--cap-per-source", "50",
+            "--shard-rows", "100",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),  # NOT the repo root: the zip must satisfy imports
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    assert summary["docs_in"] == 500
+    assert 0 < summary["manifest_rows"] <= 500
+    assert summary["train_rows"] + summary["val_rows"] == summary["manifest_rows"]
+    assert summary["export_shards"] >= 1
+
+    # manifest is a valid parquet with the expected surface
+    import duckdb
+
+    man = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM read_parquet('{out_dir}/manifest/*.parquet')"
+    ).fetchone()
+    assert man[0] == summary["manifest_rows"] == man[1]
+
+    # shards: gzip JSONL rows, one per train doc, text non-empty
+    rows = 0
+    for path in glob.glob(f"{out_dir}/shards/part-*.json.gz"):
+        with gzip.open(path, "rt") as fh:
+            for line in fh:
+                rec = json.loads(line)
+                assert rec["text"] and rec["engine"] == "curate"
+                rows += 1
+    assert rows == summary["train_rows"]
