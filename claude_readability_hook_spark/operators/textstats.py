@@ -190,9 +190,14 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # count on a 64-bit hash of the pair, not the string: the shuffle
+    # then carries (long, long) rows instead of text (the packed-key
+    # trick ngram_jaccard uses). An in-doc hash collision would need
+    # ~2^32 distinct bigrams in ONE document — not a real corpus.
     top_bigram = (
         base.select("doc_id", F.explode(pairs).alias("bigram"))
-        .groupBy("doc_id", "bigram")
+        .select("doc_id", F.xxhash64("bigram").alias("bg_h"))
+        .groupBy("doc_id", "bg_h")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_c"))
