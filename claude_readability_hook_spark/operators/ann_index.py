@@ -240,6 +240,46 @@ def build_lsh_index(
     ).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
+def compact_ivf_index(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Small-file maintenance for an appended-to index: streaming /
+    incremental appends leave one file per (batch × partition); probes
+    then pay per-file open costs. Rewrite the index into
+    ceil(rows/target) files per the SAME partition layout, with the
+    sources/catalog staged-swap durability (full replacement written
+    to a staging path, directories swapped, centroids artifact
+    re-persisted — a crash never leaves the only copy half-deleted).
+    Returns the total file count after compaction."""
+    import shutil
+    import uuid
+
+    centroids = load_ivf_centroids(path)
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}.staging-{token}"
+    (
+        df.repartition(files, "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(staging)
+    )
+    with open(os.path.join(staging, CENTROIDS_ARTIFACT), "w") as fh:
+        json.dump(centroids, fh)
+    old = f"{path}.old-{token}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return sum(
+        1
+        for _dir, _sub, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
 def semantic_dedup_pairs_indexed(
     spark: SparkSession,
     path: str,

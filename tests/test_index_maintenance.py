@@ -61,6 +61,40 @@ def test_append_matches_full_build_given_same_centroids(spark, tmp_path):
     assert n_inc == n_full
 
 
+def test_compact_after_appends_preserves_probes(spark, tmp_path):
+    """Many small appends → compact → far fewer files, identical probe
+    results, centroids artifact preserved."""
+    import glob
+
+    from claude_readability_hook_spark.operators.ann_index import compact_ivf_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    cents = build_ivf_index(
+        emb.filter(F.col("vec_id") < 100), path, k=4, iterations=1, dims=64
+    )
+    for lo in range(100, 500, 50):  # 8 small appends
+        append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)), path
+        )
+    qvec = _qvec(spark)
+    before = ivf_index_topk(
+        spark, path, qvec, kk=10, n_probe=4, centroids=cents, exclude_vec_id=0
+    ).collect()
+    n_files_before = len(glob.glob(f"{path}/centroid_id=*/*.parquet"))
+
+    n_files_after = compact_ivf_index(spark, path, target_rows_per_file=1_000_000)
+    assert n_files_after < n_files_before
+    assert load_ivf_centroids(path) == cents
+    after = ivf_index_topk(
+        spark, path, qvec, kk=10, n_probe=4, centroids=cents, exclude_vec_id=0
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in after] == [
+        (r["vec_id"], r["cosine"]) for r in before
+    ]
+    assert spark.read.parquet(path).count() == 500
+
+
 def test_lsh_append_matches_full_build(spark, tmp_path):
     from claude_readability_hook_spark.operators.ann_index import (
         append_to_lsh_index,
