@@ -1,0 +1,184 @@
+"""WARC (ISO 28500) ingestion — the source format web-scale corpora
+actually arrive in (Common Crawl ships gzipped WARC segments).
+
+Pure-Python record walk, no warc library: records are
+"WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<Content-Length bytes>\\r\\n\\r\\n";
+Content-Length is authoritative for the body slice (bodies are binary
+and may contain anything). Both packaging conventions are handled:
+
+  plain / whole-file gzip   one deflate stream over the whole segment
+  member-per-record gzip    Common Crawl's convention — each record its
+                            own gzip member, concatenated; the reader
+                            loops gzip members via zlib unused_data
+
+Spark shape: one WARC segment file = one task (`binaryFile` source —
+segments are sized ~1 GB by convention, which bounds task memory; the
+same reason Common Crawl ships thousands of segment files). The parse
+runs scan-side in mapInPandas and emits a documents-shaped frame
+(doc_id, url, source, text) that feeds corpus_from_flat /
+run_extraction directly — WARC in, extracted spans out.
+
+Reference parity: claude-readability-hook fetches live HTML per URL
+(apps/gateway); a batch engine ingests the crawl archive instead —
+same documents, no fetch.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Concatenated gzip members → concatenated plaintext (the
+    member-per-record convention); a single member is the degenerate
+    case, so this also handles whole-file gzip."""
+    out = []
+    rest = payload
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(rest))
+        out.append(d.flush())
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc(payload: bytes) -> Iterator[dict]:
+    """Yield {type, uri, record_id, body} per WARC record. Tolerant of
+    leading noise between records (scans to the next WARC/ magic);
+    Content-Length slices the body so binary bodies never confuse the
+    walk. Malformed headers raise ValueError (poison isolation is the
+    caller's mapInPandas try/except)."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    pos = 0
+    while True:
+        start = payload.find(b"WARC/", pos)
+        if start == -1:
+            return
+        hdr_end = payload.find(_CRLF2, start)
+        if hdr_end == -1:
+            return
+        headers: dict[str, str] = {}
+        lines = payload[start:hdr_end].split(b"\r\n")
+        for line in lines[1:]:
+            if b":" in line:
+                k, v = line.split(b":", 1)
+                headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                    "latin-1"
+                )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("WARC record without valid Content-Length") from exc
+        body_start = hdr_end + len(_CRLF2)
+        body = payload[body_start : body_start + length]
+        yield {
+            "type": headers.get("warc-type", ""),
+            "uri": headers.get("warc-target-uri", ""),
+            "record_id": headers.get("warc-record-id", ""),
+            "body": body,
+        }
+        pos = body_start + length
+
+
+def http_response_body(body: bytes) -> bytes:
+    """A WARC 'response' record body is an HTTP message; the payload
+    follows the first blank line. Non-HTTP bodies pass through."""
+    if body[:5] in (b"HTTP/",):
+        sep = body.find(_CRLF2)
+        if sep != -1:
+            return body[sep + len(_CRLF2) :]
+    return body
+
+
+def synthesize_warc(
+    docs: list[tuple[str, str]], member_gzip: bool = False
+) -> bytes:
+    """Valid WARC 1.0 segment from (url, html) pairs (tests/bench — no
+    fixture data): one warcinfo record + one HTTP response record per
+    doc. member_gzip=True gzips each record separately (the Common
+    Crawl packaging)."""
+
+    def record(rtype: str, uri: str, body: bytes, rid: str) -> bytes:
+        hdrs = [
+            b"WARC/1.0",
+            b"WARC-Type: " + rtype.encode(),
+            b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">",
+        ]
+        if uri:
+            hdrs.append(b"WARC-Target-URI: " + uri.encode())
+        hdrs.append(b"Content-Length: " + str(len(body)).encode())
+        return b"\r\n".join(hdrs) + _CRLF2 + body + _CRLF2
+
+    parts = [record("warcinfo", "", b"software: crh-spark-synth\r\n", "info-0")]
+    for i, (url, html) in enumerate(docs):
+        payload = html.encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+            + str(len(payload)).encode()
+            + _CRLF2
+            + payload
+        )
+        parts.append(record("response", url, http, f"r-{i}"))
+    if member_gzip:
+        return b"".join(gzip.compress(p) for p in parts)
+    return b"".join(parts)
+
+
+def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
+    """WARC segment files (optionally .gz) → documents-shaped frame
+    (doc_id, url, source, text). One segment per task via the
+    binaryFile source; parse + HTTP-payload strip run scan-side;
+    unparseable segments yield zero rows with the error surfaced in
+    the _warc_error column of a sibling row (poison isolation — a bad
+    segment must not kill the job)."""
+    import pandas as pd
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            records = []
+            for fpath, content in zip(batch["path"], batch["content"]):
+                seg = fpath.rsplit("/", 1)[-1]
+                try:
+                    for i, rec in enumerate(parse_warc(bytes(content))):
+                        if rec["type"] != "response":
+                            continue
+                        text = http_response_body(rec["body"]).decode(
+                            "utf-8", errors="replace"
+                        )
+                        records.append(
+                            {
+                                "doc_id": f"{seg}#{i}",
+                                "url": rec["uri"],
+                                "source": seg,
+                                "text": text,
+                                "_warc_error": None,
+                            }
+                        )
+                except Exception as exc:  # noqa: BLE001 — poison isolation
+                    records.append(
+                        {
+                            "doc_id": f"{seg}#error",
+                            "url": None,
+                            "source": seg,
+                            "text": None,
+                            "_warc_error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                records,
+                columns=["doc_id", "url", "source", "text", "_warc_error"],
+            )
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        parse,
+        schema="doc_id string, url string, source string, text string, _warc_error string",
+    )
