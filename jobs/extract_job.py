@@ -34,6 +34,12 @@ def main() -> None:
         help="input is a flat documents table dir; synthesize the span corpus",
     )
     parser.add_argument(
+        "--from-warc",
+        action="store_true",
+        help="input is a directory of WARC segments (Common-Crawl-style, "
+        "optionally gzipped); records become single-HTML-span docs",
+    )
+    parser.add_argument(
         "--export-jsonl",
         default=None,
         help="also write training shards (gzip JSONL) of the latest "
@@ -66,6 +72,24 @@ def main() -> None:
 
     if args.from_flat:
         src = corpus_from_flat(spark, args.input)
+    elif args.from_warc:
+        from pyspark.sql import functions as F
+
+        from claude_readability_hook_spark.sources.warc import warc_to_documents
+
+        docs = warc_to_documents(spark, args.input)
+        src = docs.filter(F.col("_warc_error").isNull()).select(
+            "doc_id",
+            "url",
+            F.array(
+                F.struct(
+                    F.lit("html").alias("kind"),
+                    F.col("text").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+        )
     else:
         src = spark.read.parquet(args.input)
 
