@@ -99,12 +99,16 @@ def http_response_body(body: bytes) -> bytes:
 
 
 def synthesize_warc(
-    docs: list[tuple[str, str]], member_gzip: bool = False
+    docs: list[tuple[str, str]],
+    member_gzip: bool = False,
+    record_type: str = "response",
 ) -> bytes:
-    """Valid WARC 1.0 segment from (url, html) pairs (tests/bench — no
-    fixture data): one warcinfo record + one HTTP response record per
-    doc. member_gzip=True gzips each record separately (the Common
-    Crawl packaging)."""
+    """Valid WARC 1.0 segment from (url, text) pairs (tests/bench — no
+    fixture data): one warcinfo record + one record per doc.
+    record_type='response' wraps bodies in an HTTP envelope (a WARC
+    crawl segment); 'conversion' writes bare text bodies (a WET
+    extracted-text segment). member_gzip=True gzips each record
+    separately (the Common Crawl packaging)."""
 
     def record(rtype: str, uri: str, body: bytes, rid: str) -> bytes:
         hdrs = [
@@ -118,18 +122,27 @@ def synthesize_warc(
         return b"\r\n".join(hdrs) + _CRLF2 + body + _CRLF2
 
     parts = [record("warcinfo", "", b"software: crh-spark-synth\r\n", "info-0")]
-    for i, (url, html) in enumerate(docs):
-        payload = html.encode("utf-8")
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
-            + str(len(payload)).encode()
-            + _CRLF2
-            + payload
-        )
-        parts.append(record("response", url, http, f"r-{i}"))
+    for i, (url, text) in enumerate(docs):
+        payload = text.encode("utf-8")
+        if record_type == "response":
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+                + str(len(payload)).encode()
+                + _CRLF2
+                + payload
+            )
+        parts.append(record(record_type, url, payload, f"r-{i}"))
     if member_gzip:
         return b"".join(gzip.compress(p) for p in parts)
     return b"".join(parts)
+
+
+def wet_to_documents(spark: SparkSession, path: str) -> DataFrame:
+    """WET segments (Common Crawl's extracted-text sibling of WARC:
+    'conversion' records whose bodies are already plain text, no HTTP
+    envelope) → the same documents-shaped frame. Shares the record
+    walk; differs only in record type and body handling."""
+    return _warc_like_to_documents(spark, path, record_type="conversion", strip_http=False)
 
 
 def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
@@ -139,6 +152,12 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     unparseable segments yield zero rows with the error surfaced in
     the _warc_error column of a sibling row (poison isolation — a bad
     segment must not kill the job)."""
+    return _warc_like_to_documents(spark, path, record_type="response", strip_http=True)
+
+
+def _warc_like_to_documents(
+    spark: SparkSession, path: str, record_type: str, strip_http: bool
+) -> DataFrame:
     import pandas as pd
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -148,11 +167,14 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
                 seg = fpath.rsplit("/", 1)[-1]
                 try:
                     for i, rec in enumerate(parse_warc(bytes(content))):
-                        if rec["type"] != "response":
+                        if rec["type"] != record_type:
                             continue
-                        text = http_response_body(rec["body"]).decode(
-                            "utf-8", errors="replace"
+                        body = (
+                            http_response_body(rec["body"])
+                            if strip_http
+                            else rec["body"]
                         )
+                        text = body.decode("utf-8", errors="replace")
                         records.append(
                             {
                                 "doc_id": f"{seg}#{i}",
