@@ -220,6 +220,14 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf·(N/df) terms — the retrieval-weighting
+    primitive with exact rational weights (engine-portable; no log)."""
+    from claude_readability_hook_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition curation signals over the planted-dups
     view (clones guarantee repeated content exists)."""
@@ -1202,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "bigram_topk": q_bigram_topk,
         "text_repetition": q_text_repetition,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
         "url_transforms": q_url_transforms,
@@ -1925,6 +1934,24 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(COALESCE(topc.top_c, 0)::DOUBLE * 2.0 / len(t.ts), 6)
                         ELSE 0.0 END AS top_bigram_frac
             FROM t LEFT JOIN topc USING (doc_id)
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_transform({_TOKS_SQL}, t -> lower(t))) AS token
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+                      FROM toks GROUP BY token),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT doc_id, token,
+                   round(tf::DOUBLE * n_docs / df, 6) AS weight,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY round(tf::DOUBLE * n_docs / df, 6) DESC, token)
+                        AS BIGINT) AS rank
+            FROM tf JOIN dfreq USING (token), n
+            QUALIFY rank <= 3
         """,
         "bigram_topk": f"""
             WITH toks AS (

@@ -82,6 +82,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "ann_knn_join",
         "lsh_knn_join",
         "text_repetition",
+        "tfidf_top_terms",
         "embed_quantize",
         "sessionize",
         "sessionize_salted",

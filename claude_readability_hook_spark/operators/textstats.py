@@ -170,6 +170,44 @@ def bigrams(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc top-k terms by tf·(N/df) — the raw-rational tf-idf
+    variant (no log), so the weight is exact integer arithmetic in
+    doubles and any engine reproduces it bit-for-bit (a log-based idf
+    differs across libm implementations in the last ulp).
+
+    Plan shape: one (doc_id, token) count agg (tf), one token-keyed
+    distinct-doc agg (df — bounded by vocabulary), a token join of two
+    NARROW tables, and a per-doc top-k window. N rides along as a
+    broadcast scalar (cross join of a 1-row agg). Ties break on the
+    token string."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id", F.explode(F.transform(tokens_expr(F.col(text_col)), F.lower)).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("token"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf").cast("double") * F.col("n_docs") / F.col("df"), 6
+            ).alias("weight"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "weight", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per doc: distinct-token ratio
     (low ⇒ looping/boilerplate text) and top-bigram mass fraction
