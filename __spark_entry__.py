@@ -631,15 +631,40 @@ def _index_cache_dir(sf_dir: str, kind: str, params: str) -> str:
     return f"/tmp/crh_ann_index/{kind}-{key}"
 
 
+def _publish_index(path: str, build_fn) -> None:
+    """Fill an index cache dir racelessly: build into a unique temp
+    sibling, then atomically rename into place — a concurrent builder
+    either wins the rename or discards its copy; nobody ever probes a
+    half-written directory (parquet overwrite is NOT atomic)."""
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    build_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # another builder published first — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _lsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) and return the path of the bucket-partitioned LSH
     index for this corpus."""
     from claude_readability_hook_spark.operators.ann_index import build_lsh_index
 
     path = _index_cache_dir(sf_dir, "lsh", f"{LSH_PLANES}-{EMBED_DIMS}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        build_lsh_index(emb, path, num_planes=LSH_PLANES, dims=EMBED_DIMS)
+    _publish_index(
+        path,
+        lambda tmp: build_lsh_index(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            tmp,
+            num_planes=LSH_PLANES,
+            dims=EMBED_DIMS,
+        ),
+    )
     return path
 
 
@@ -747,12 +772,14 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, "ivf",
         f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        build_ivf_index(
-            emb, path, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
+    _publish_index(
+        path,
+        lambda tmp: build_ivf_index(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
             sample_mod=IVF_SAMPLE_MOD,
-        )
+        ),
+    )
     centroids = load_ivf_centroids(path)
     qvec = _query_embedding(spark, sf_dir, 0)
     return ivf_index_topk(
@@ -784,11 +811,13 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_ivf_index(
-            emb, path, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
+    _publish_index(
+        path,
+        lambda tmp: build_ivf_index(
+            emb, tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
             sample_mod=IVF_SAMPLE_MOD,
-        )
+        ),
+    )
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
