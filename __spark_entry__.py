@@ -886,6 +886,50 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_source(_docs(spark, sf_dir), max_docs=15)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fraction reweighting: src0 keeps 80%, src1 keeps
+    20%, everything else 50% — deterministic (hash-gated), zero
+    shuffle."""
+    from claude_readability_hook_spark.operators.sampling import (
+        source_weighted_sample,
+    )
+
+    frac = (
+        F.when(F.col("source") == "src0", F.lit(0.8))
+        .when(F.col("source") == "src1", F.lit(0.2))
+        .otherwise(F.lit(0.5))
+    )
+    return source_weighted_sample(_docs(spark, sf_dir), frac).select(
+        "doc_id", "source"
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the crawl-frontier collapse: amp / mobile
+    / print variants of the same page canonicalize (F1-F3 transforms)
+    to one URL; keeper = lowest doc_id per canonical group. Groups of
+    4 synthesized variants per page."""
+    from claude_readability_hook_spark.functions.columns import transform_url_expr
+
+    page = F.expr("doc_id DIV 4").cast("string")
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://www.example.com/articles/"), page))
+        .when(variant == 1, F.concat(F.lit("https://m.example.com/articles/"), page))
+        .when(variant == 2, F.concat(F.lit("https://www.example.com/articles/"), page, F.lit("/amp")))
+        .otherwise(F.concat(F.lit("https://www.example.com/articles/"), page, F.lit("?print=1")))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", transform_url_expr(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation gate over the planted-dups view (so the
     dedup leg has true positives): language + quality Column gates in
@@ -1261,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_join": q_lsh_knn_join,
         "curate": q_curate,
         "training_manifest": q_training_manifest,
+        "weighted_sample": q_weighted_sample,
+        "url_dedup": q_url_dedup,
         "train_val_split": q_train_val_split,
         "cap_per_source": q_cap_per_source,
         "dedup_semantic": q_dedup_semantic,
@@ -2013,6 +2059,26 @@ def oracle_sql() -> dict[str, str]:
                    'https://www.example.com/articles/' || doc_id || '?q=' || doc_id
                      AS clean_url
             FROM documents
+        """,
+        "weighted_sample": f"""
+            WITH h AS (
+              SELECT doc_id, source,
+                     {_H32_SQL.replace("md5(s)", "md5(doc_id::VARCHAR)")} % 10000
+                       AS hk
+              FROM documents
+            )
+            SELECT doc_id, source FROM h
+            WHERE hk < CAST((CASE WHEN source = 'src0' THEN 0.8
+                                  WHEN source = 'src1' THEN 0.2
+                                  ELSE 0.5 END) * 10000 AS BIGINT)
+        """,
+        # all four synthesized variants canonicalize to the bare page URL
+        "url_dedup": """
+            SELECT 'https://www.example.com/articles/' || (doc_id // 4)::VARCHAR
+                     AS canonical_url,
+                   CAST(count(*) AS BIGINT) AS n_variants,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY 1
         """,
         "ssrf_route": """
             SELECT doc_id,

@@ -90,6 +90,8 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "curate",
         "training_manifest",
         "train_val_split",
+        "weighted_sample",
+        "url_dedup",
         "cap_per_source",
         "rollup_priority",
         "running_revenue",

@@ -42,6 +42,22 @@ def train_val_split(
     )
 
 
+def source_weighted_sample(
+    df: DataFrame, fraction_expr: "F.Column", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-row downsampling by a FRACTION that may vary
+    per source/stratum (corpus reweighting — cap_per_source bounds
+    counts, this scales proportions, e.g. downweight a boilerplate-
+    heavy source to 20%). Keep iff h32(id) % 10000 < fraction·10000:
+    RNG-free, stable under corpus growth, zero shuffle (a scan
+    free-rider like train_val_split). fraction_expr is a Column in
+    [0, 1] (a literal, or a CASE over the source column)."""
+    gate = (h32_expr(F.col(id_col).cast("string")) % 10_000) < (
+        fraction_expr * 10_000
+    ).cast("long")
+    return df.filter(gate)
+
+
 def cap_per_source(
     df: DataFrame, max_docs: int = 100, source_col: str = "source", id_col: str = "doc_id"
 ) -> DataFrame:
