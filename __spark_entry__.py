@@ -2068,9 +2068,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, source FROM h
-            WHERE hk < CAST((CASE WHEN source = 'src0' THEN 0.8
-                                  WHEN source = 'src1' THEN 0.2
-                                  ELSE 0.5 END) * 10000 AS BIGINT)
+            WHERE hk < CAST(floor((CASE WHEN source = 'src0' THEN 0.8
+                                        WHEN source = 'src1' THEN 0.2
+                                        ELSE 0.5 END) * 10000) AS BIGINT)
         """,
         # all four synthesized variants canonicalize to the bare page URL
         "url_dedup": """

