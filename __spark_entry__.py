@@ -615,39 +615,35 @@ def _index_cache_dir(sf_dir: str, kind: str, params: str) -> str:
     """Deterministic per-(corpus, params) index location. The index is
     a pure function of the embeddings table + parameters, so rebuilt
     only when absent; the content fingerprint (mtime+size of the
-    source parquet) guards against a regenerated corpus reusing a
-    stale index."""
+    source parquet, via the FS seam so s3a://hdfs:// corpora key
+    correctly too) guards against a regenerated corpus reusing a
+    stale index. The cache ROOT is sandbox-local /tmp; a deployment
+    points it at shared storage — the commit protocol underneath
+    (ann_index manifest snapshots) is storage-portable either way."""
     import hashlib
 
-    src = f"{sf_dir}/embeddings.parquet"
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_mtime_ns}-{st.st_size}"
-    except OSError:
-        fp = "nostat"
+    from claude_readability_hook_spark.sources import fs as fsio
+
+    fp = fsio.file_fingerprint(f"{sf_dir}/embeddings.parquet")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{kind}|{params}|{fp}".encode()
+        f"{os.path.abspath(sf_dir)}|{kind}|{params}|{fp}|manifest-v1".encode()
     ).hexdigest()[:16]
     return f"/tmp/crh_ann_index/{kind}-{key}"
 
 
 def _publish_index(path: str, build_fn) -> None:
-    """Fill an index cache dir racelessly: build into a unique temp
-    sibling, then atomically rename into place — a concurrent builder
-    either wins the rename or discards its copy; nobody ever probes a
-    half-written directory (parquet overwrite is NOT atomic)."""
-    import shutil
-    import uuid
+    """Build the index at `path` iff no snapshot is published there
+    yet. Atomicity and concurrent-builder safety live in the manifest
+    commit protocol itself (operators/ann_index): builders write
+    immutable data dirs and claim the next manifest version with an
+    exclusive create — racing builders publish consecutive snapshots
+    of identical content and readers resolve the newest; nobody ever
+    probes a half-written directory (r3 verdict: the former
+    os.rename-on-/tmp swap was local-FS-only)."""
+    from claude_readability_hook_spark.operators.ann_index import current_manifest
 
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
-    build_fn(tmp)
-    try:
-        os.rename(tmp, path)
-    except OSError:  # another builder published first — use theirs
-        shutil.rmtree(tmp, ignore_errors=True)
+    if current_manifest(path) is None:
+        build_fn(path)
 
 
 def _lsh_index(spark: SparkSession, sf_dir: str) -> str:

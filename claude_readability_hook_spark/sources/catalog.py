@@ -53,9 +53,13 @@ class TableCatalog:
     def exists(self, name: str) -> bool:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(name)
+        from . import fs as fsio
+
         path = self._path(name)
-        return os.path.exists(os.path.join(path, "_SUCCESS")) or (
-            os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+        if fsio.exists(os.path.join(path, "_SUCCESS"), self.spark):
+            return True
+        return any(
+            f.endswith(".parquet") for f in fsio.list_names(path, self.spark)
         )
 
     def read(self, name: str) -> DataFrame:
@@ -97,22 +101,30 @@ class TableCatalog:
         data in `<path>.old-*`, recoverable by hand. Iceberg does this
         natively (createOrReplace = snapshot swap). Returns the
         re-read replacement. (ADVICE r2: mode('overwrite') deleted the
-        live table before the new write committed.)"""
+        live table before the new write committed. ADVICE r3: the swap
+        now runs through the Hadoop FileSystem API — sources/fs — so
+        it works wherever the table lives, not only on a driver-
+        mounted POSIX path. Residual caveat: directory rename on S3A
+        is a copy, not atomic — on object stores the Iceberg seam's
+        createOrReplace, or the manifest protocol operators/ann_index
+        uses, is the committed answer; this parquet fallback is for
+        HDFS/local where rename IS atomic.)"""
         if self.use_iceberg:
             df.writeTo(name).createOrReplace()
             return self.read(name)
-        import shutil
         import uuid
+
+        from . import fs as fsio
 
         final = self._path(name)
         token = uuid.uuid4().hex[:8]
         staging = f"{final}.staging-{token}"
         df.write.mode("overwrite").parquet(staging)  # full commit + _SUCCESS
         old = f"{final}.old-{token}"
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(staging, final)
-        shutil.rmtree(old, ignore_errors=True)
+        if fsio.exists(final, self.spark):
+            fsio.rename(final, old, self.spark)
+        fsio.rename(staging, final, self.spark)
+        fsio.delete(old, recursive=True, spark=self.spark)
         return self.read(name)
 
     def merge_latest(self, name: str, key: str = "doc_id") -> int:

@@ -1,0 +1,202 @@
+"""Driver-side filesystem seam: Hadoop FileSystem API first, local
+POSIX fallback.
+
+Index/catalog lifecycle operations (manifest publication, staged
+swaps, small-artifact IO) must not assume the table path is a POSIX
+filesystem mounted on the driver — at the target scale storage is
+HDFS/S3/GCS, where ``os.rename``/``os.stat``/``open()`` either do not
+exist or silently refer to a different namespace (r3 verdict: the ANN
+index commit protocol was local-FS-only). Every helper here routes
+through ``org.apache.hadoop.fs.FileSystem`` via the active
+SparkSession's JVM (the same seam ``plans/pipeline.py`` uses for file
+sizing), so the SAME code path serves ``file:/``, ``hdfs:/`` and
+``s3a:/`` URIs; plain ``os`` is used only when no SparkSession exists
+(pure-Python unit contexts) and the path is scheme-less local.
+
+Atomicity notes, per backend:
+  - ``write_text_exclusive`` uses ``FileSystem.create(path,
+    overwrite=False)`` — on HDFS the file becomes visible atomically
+    on close; on S3A the PUT is atomic and list-after-write is
+    strongly consistent. Two racing writers → exactly one wins, the
+    loser sees FileAlreadyExistsException. This is the primitive the
+    versioned-manifest commit protocol builds on (no rename-onto-
+    existing-file, which HDFS rejects and S3 cannot do atomically).
+  - directory ``rename`` is atomic on HDFS/local but a COPY on S3A —
+    callers that need atomic publication must commit via a manifest
+    file, not a directory swap (operators/ann_index.py does; the
+    parquet-seam staged swap in sources/catalog.py documents the
+    residual caveat and is superseded by Iceberg's createOrReplace
+    when a real catalog is configured).
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import urlparse
+
+
+def _active_spark():
+    try:
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession()
+    except Exception:
+        return None
+
+
+def _is_plain_local(path: str) -> bool:
+    return urlparse(path).scheme in ("", "file")
+
+
+def _jvm_fs(spark, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _local_path(path: str) -> str:
+    p = urlparse(path)
+    return p.path if p.scheme == "file" else path
+
+
+def exists(path: str, spark=None) -> bool:
+    spark = spark or _active_spark()
+    if spark is not None:
+        fs, jpath = _jvm_fs(spark, path)
+        return bool(fs.exists(jpath))
+    if not _is_plain_local(path):
+        raise RuntimeError(f"no SparkSession to reach non-local path {path}")
+    return os.path.exists(_local_path(path))
+
+
+def mkdirs(path: str, spark=None) -> None:
+    spark = spark or _active_spark()
+    if spark is not None:
+        fs, jpath = _jvm_fs(spark, path)
+        fs.mkdirs(jpath)
+        return
+    if not _is_plain_local(path):
+        raise RuntimeError(f"no SparkSession to reach non-local path {path}")
+    os.makedirs(_local_path(path), exist_ok=True)
+
+
+def list_names(path: str, spark=None) -> list[str]:
+    """Child basenames of a directory ([] if it does not exist)."""
+    spark = spark or _active_spark()
+    if spark is not None:
+        fs, jpath = _jvm_fs(spark, path)
+        if not fs.exists(jpath):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jpath)]
+    if not _is_plain_local(path):
+        raise RuntimeError(f"no SparkSession to reach non-local path {path}")
+    lp = _local_path(path)
+    return os.listdir(lp) if os.path.isdir(lp) else []
+
+
+def read_text(path: str, spark=None) -> str:
+    spark = spark or _active_spark()
+    if spark is not None:
+        fs, jpath = _jvm_fs(spark, path)
+        stream = fs.open(jpath)
+        try:
+            # IOUtils drains the stream fully regardless of block size
+            jvm = spark._jvm
+            out = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+            return bytes(out.toByteArray()).decode("utf-8")
+        finally:
+            stream.close()
+    if not _is_plain_local(path):
+        raise RuntimeError(f"no SparkSession to reach non-local path {path}")
+    with open(_local_path(path), encoding="utf-8") as fh:
+        return fh.read()
+
+
+def write_text_exclusive(path: str, text: str, spark=None) -> bool:
+    """Create `path` with `text` iff it does not already exist
+    (atomic create-no-overwrite). Returns False if another writer got
+    there first — the loser of a manifest-version race."""
+    spark = spark or _active_spark()
+    if spark is not None:
+        fs, jpath = _jvm_fs(spark, path)
+        try:
+            stream = fs.create(jpath, False)  # overwrite=False
+        except Exception:
+            return False
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+        return True
+    if not _is_plain_local(path):
+        raise RuntimeError(f"no SparkSession to reach non-local path {path}")
+    import errno
+
+    try:
+        fd = os.open(
+            _local_path(path), os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644
+        )
+    except OSError as e:
+        if e.errno == errno.EEXIST:
+            return False
+        raise
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    return True
+
+
+def delete(path: str, recursive: bool = True, spark=None) -> None:
+    spark = spark or _active_spark()
+    if spark is not None:
+        fs, jpath = _jvm_fs(spark, path)
+        fs.delete(jpath, recursive)
+        return
+    if not _is_plain_local(path):
+        raise RuntimeError(f"no SparkSession to reach non-local path {path}")
+    import shutil
+
+    lp = _local_path(path)
+    if os.path.isdir(lp):
+        shutil.rmtree(lp, ignore_errors=True)
+    elif os.path.exists(lp):
+        os.remove(lp)
+
+
+def rename(src: str, dst: str, spark=None) -> bool:
+    """Directory/file rename. Atomic on HDFS and local FS; on S3A this
+    is a server-side copy — do not use it as a commit primitive there
+    (use write_text_exclusive manifests instead)."""
+    spark = spark or _active_spark()
+    if spark is not None:
+        fs, jsrc = _jvm_fs(spark, src)
+        jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+        return bool(fs.rename(jsrc, jdst))
+    if not _is_plain_local(src):
+        raise RuntimeError(f"no SparkSession to reach non-local path {src}")
+    try:
+        os.rename(_local_path(src), _local_path(dst))
+        return True
+    except OSError:
+        return False
+
+
+def file_fingerprint(path: str, spark=None) -> str:
+    """(mtime, length) content fingerprint for cache keying — works on
+    any Hadoop-supported store, not just a driver-mounted POSIX path
+    (os.stat on an s3a:// URI always raises, which used to degrade the
+    index cache key to 'nostat' and risk stale-index reuse)."""
+    if _is_plain_local(path):
+        try:
+            st = os.stat(_local_path(path))
+            return f"{st.st_mtime_ns}-{st.st_size}"
+        except OSError:
+            return "nostat"
+    spark = spark or _active_spark()
+    if spark is None:
+        return "nostat"
+    try:
+        fs, jpath = _jvm_fs(spark, path)
+        st = fs.getFileStatus(jpath)
+        return f"{st.getModificationTime()}-{st.getLen()}"
+    except Exception:
+        return "nostat"

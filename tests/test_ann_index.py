@@ -84,13 +84,21 @@ def test_ivf_index_probe_prunes_partitions_at_scan(spark, tmp_path):
     assert "centroid_id" in pf.group(1) and pf.group(1).strip()
     # the full-corpus scan the round-2 verdict flagged would read every
     # partition directory; the probe must read fewer files than exist
+    from claude_readability_hook_spark.operators.ann_index import (
+        index_data_paths,
+        read_index,
+    )
+
     all_parts = {
-        d for d in os.listdir(path) if d.startswith("centroid_id=")
+        d
+        for data_dir in index_data_paths(path)
+        for d in os.listdir(data_dir)
+        if d.startswith("centroid_id=")
     }
     probed = ivf_probe_cids(qvec, cents, 2)
     assert len(probed) == 2 and len(all_parts) > 2
     # executed rows: every surviving row belongs to a probed list
-    with_cid = spark.read.parquet(path).filter(
+    with_cid = read_index(spark, path).filter(
         F.col("centroid_id").isin(probed)
     )
     assert set(

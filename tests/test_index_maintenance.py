@@ -9,8 +9,11 @@ from pyspark.sql import functions as F
 from claude_readability_hook_spark.operators.ann_index import (
     append_to_ivf_index,
     build_ivf_index,
+    current_manifest,
+    index_data_paths,
     ivf_index_topk,
     load_ivf_centroids,
+    read_index,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -56,8 +59,8 @@ def test_append_matches_full_build_given_same_centroids(spark, tmp_path):
         ).collect()
     ]
     assert got == want
-    n_full = spark.read.parquet(full_path).count()
-    n_inc = spark.read.parquet(inc_path).count()
+    n_full = read_index(spark, full_path).count()
+    n_inc = read_index(spark, inc_path).count()
     assert n_inc == n_full
 
 
@@ -81,18 +84,24 @@ def test_compact_after_appends_preserves_probes(spark, tmp_path):
     before = ivf_index_topk(
         spark, path, qvec, kk=10, n_probe=4, centroids=cents, exclude_vec_id=0
     ).collect()
-    n_files_before = len(glob.glob(f"{path}/centroid_id=*/*.parquet"))
+    n_files_before = len(glob.glob(f"{path}/data-*/centroid_id=*/*.parquet"))
+    assert len(current_manifest(path)["dirs"]) == 9  # build + 8 appends
 
     n_files_after = compact_ivf_index(spark, path, target_rows_per_file=1_000_000)
     assert n_files_after < n_files_before
     assert load_ivf_centroids(path) == cents
+    # snapshot expiry: one live data dir, superseded dirs + manifests gone
+    m = current_manifest(path)
+    assert len(m["dirs"]) == 1
+    assert len(glob.glob(f"{path}/manifest-v*.json")) == 1
+    assert len(glob.glob(f"{path}/data-*")) == 1
     after = ivf_index_topk(
         spark, path, qvec, kk=10, n_probe=4, centroids=cents, exclude_vec_id=0
     ).collect()
     assert [(r["vec_id"], r["cosine"]) for r in after] == [
         (r["vec_id"], r["cosine"]) for r in before
     ]
-    assert spark.read.parquet(path).count() == 500
+    assert read_index(spark, path).count() == 500
 
 
 def test_lsh_append_matches_full_build(spark, tmp_path):
@@ -172,7 +181,7 @@ def test_streaming_maintenance_appends_each_microbatch(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    idx = spark.read.parquet(index_path)
+    idx = read_index(spark, index_path)
     assert idx.count() == emb.count()  # every vector indexed exactly once
     assert idx.select("vec_id").distinct().count() == emb.count()
 
@@ -186,3 +195,69 @@ def test_streaming_maintenance_appends_each_microbatch(spark, tmp_path):
         ).collect()
     }
     assert any(v >= 50 for v in got)  # streamed vectors are probe-visible
+
+
+def test_crash_between_data_write_and_publish_keeps_old_snapshot(spark, tmp_path):
+    """The r3-verdict commit-protocol requirement: a writer that dies
+    AFTER writing its data dir but BEFORE publishing the manifest must
+    leave the previous snapshot fully live — readers never see the
+    orphan. (The old os.rename directory swap had a window where the
+    live table was the half-swapped directory.)"""
+    from claude_readability_hook_spark.operators.similarity import (
+        _argmin_centroid_expr,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = build_ivf_index(half_a, path, k=4, iterations=1, dims=64)
+    v1 = current_manifest(path)
+    n_v1 = read_index(spark, path).count()
+
+    # simulated crash: the append's DATA write lands, the manifest
+    # publish never happens (exactly what append_to_ivf_index does,
+    # minus the final _publish_manifest call)
+    orphan = f"{path}/data-deadbeefcafe"
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    half_b.withColumn(
+        "centroid_id", _argmin_centroid_expr(F.col("embedding"), cents)
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(orphan)
+
+    # readers still resolve snapshot v1: same row count, same probes,
+    # orphan invisible
+    m = current_manifest(path)
+    assert m["version"] == v1["version"] and m["dirs"] == v1["dirs"]
+    assert read_index(spark, path).count() == n_v1
+    assert orphan not in index_data_paths(path)
+    got = ivf_index_topk(
+        spark, path, _qvec(spark), kk=5, n_probe=4, centroids=cents
+    ).collect()
+    assert all(r["vec_id"] % 2 == 0 for r in got)  # only committed rows
+
+    # recovery: the SAME append re-runs to completion → new snapshot
+    # includes everything exactly once
+    append_to_ivf_index(half_b, path)
+    assert current_manifest(path)["version"] == v1["version"] + 1
+    assert read_index(spark, path).count() == emb.count()
+    assert read_index(spark, path).select("vec_id").distinct().count() == emb.count()
+
+
+def test_racing_commits_publish_consecutive_snapshots(spark, tmp_path):
+    """Two committers racing for the same next version: exclusive
+    manifest create means exactly one wins each version; the protocol
+    retries the loser onto the next. Emulated deterministically by
+    pre-claiming the version a writer would want."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        _publish_manifest,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") < 100), path, k=4, iterations=1, dims=64)
+    m1 = current_manifest(path)
+    # a rival claims v2 first
+    v_rival = _publish_manifest(path, dict(m1, note="rival"))
+    assert v_rival == m1["version"] + 1
+    # our append still commits, on the NEXT version, without clobbering
+    append_to_ivf_index(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), path)
+    assert current_manifest(path)["version"] == v_rival + 1
