@@ -4,15 +4,21 @@ IDCT are implemented from the public spec (the huffman/quant tables
 below are the spec's own Annex K examples).
 
 Scope (honest): baseline DCT, 8-bit, Huffman; grayscale and 3-component
-YCbCr WITHOUT chroma subsampling (all sampling factors 1×1); restart
-markers supported. Progressive (SOF2), arithmetic coding, subsampled
-chroma, and 12-bit raise NotImplementedError so callers fall back —
-the same poison-isolation contract as the PNG codec.
+YCbCr with per-component sampling factors h,v ∈ {1..4} — 4:4:4, 4:2:2
+and 4:2:0 chroma subsampling all decode (r3 ADVICE: the overwhelming
+majority of real-world JPEGs are 4:2:0; a 1×1-only decoder effectively
+covered synthesized fixtures only). Subsampled planes are decoded at
+their stored resolution and box-replicated up to full resolution at the
+YCbCr→RGB step. Restart markers supported. Progressive (SOF2),
+arithmetic coding, and 12-bit raise NotImplementedError so callers fall
+back — the same poison-isolation contract as the PNG codec.
 
-The encoder (grayscale) exists so tests/bench can synthesize REAL
-JPEGs deterministically with no fixture data; it shares the canonical
+The encoders (grayscale, and color with selectable 4:4:4/4:2:2/4:2:0
+subsampling) exist so tests/bench can synthesize REAL JPEGs
+deterministically with no fixture data; they share the canonical
 huffman-code construction with the decoder, so an encode→decode
-round-trip exercises both directions of the entropy coder.
+round-trip exercises both directions of the entropy coder, including
+the interleaved multi-block MCU path.
 
 Used by operators/multimodal.py for kind='image' JPEG payloads
 (reference parity: the reference treats media as opaque URLs —
@@ -152,6 +158,59 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _encode_block(
+    bw: "_BitWriter",
+    block: list[float],
+    q: list[int],
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + huffman-encode one level-shifted 8×8 block;
+    returns the new DC predictor (shared by the gray and color
+    encoders)."""
+    coef = _fdct(block)
+    zz = [int(round(coef[ZIGZAG[k]] / q[k])) for k in range(64)]
+    diff = zz[0] - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, 64):
+        v = zz[k]
+        if k > last_nz:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    return zz[0]
+
+
+def _plane_block(plane: list[list[float]], by: int, bx: int) -> list[float]:
+    """Edge-replicated 8×8 block starting at (by, bx)."""
+    h = len(plane)
+    w = len(plane[0])
+    return [
+        plane[min(by + i, h - 1)][min(bx + j, w - 1)]
+        for i in range(8)
+        for j in range(8)
+    ]
+
+
 def encode_jpeg_gray(
     pixels: list[list[int]],
     quant: list[int] | None = None,
@@ -167,6 +226,7 @@ def encode_jpeg_gray(
     w = len(pixels[0])
     dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
     ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    shifted = [[float(v - 128) for v in row] for row in pixels]
     bw = _BitWriter()
     prev_dc = 0
     mcu = 0
@@ -179,44 +239,9 @@ def encode_jpeg_gray(
                 n_rst += 1
                 prev_dc = 0
             mcu += 1
-            block = [
-                float(
-                    pixels[min(by + i, h - 1)][min(bx + j, w - 1)] - 128
-                )
-                for i in range(8)
-                for j in range(8)
-            ]
-            coef = _fdct(block)
-            zz = [
-                int(round(coef[ZIGZAG[k]] / q[k])) for k in range(64)
-            ]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            size, bits = _magnitude(diff)
-            code, length = dc_codes[size]
-            bw.write(code, length)
-            if size:
-                bw.write(bits, size)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, 64):
-                v = zz[k]
-                if k > last_nz:
-                    code, length = ac_codes[0x00]  # EOB
-                    bw.write(code, length)
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(bits, size)
-                run = 0
+            prev_dc = _encode_block(
+                bw, _plane_block(shifted, by, bx), q, dc_codes, ac_codes, prev_dc
+            )
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -231,6 +256,95 @@ def encode_jpeg_gray(
     ) + seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_color(
+    pixels: list[list[tuple[int, int, int]]],
+    luma_sampling: tuple[int, int] = (2, 2),
+    quant: list[int] | None = None,
+) -> bytes:
+    """rows of (r,g,b) → baseline 3-component YCbCr JPEG with chroma
+    subsampling selected by the LUMA sampling factors: (1,1) = 4:4:4,
+    (2,1) = 4:2:2, (2,2) = 4:2:0 (the real-world default). Chroma is
+    box-averaged down by (sh, sv); all three components share the
+    Annex-K luminance huffman tables (legal — the scan header just
+    references table 0) and the given quant table. Exists so tests can
+    synthesize REAL subsampled JPEGs deterministically — the decoder's
+    4:2:0 path is then exercised by true interleaved multi-block MCUs,
+    not hand-patched headers."""
+    sh, sv = luma_sampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("luma sampling factors must be 1 or 2")
+    q = quant or STD_LUM_QUANT
+    h = len(pixels)
+    w = len(pixels[0])
+    # RGB → YCbCr (JFIF/BT.601 full-range), level-shifted by 128
+    yp = [[0.0] * w for _ in range(h)]
+    cbp = [[0.0] * w for _ in range(h)]
+    crp = [[0.0] * w for _ in range(h)]
+    for yy in range(h):
+        for xx in range(w):
+            r, g, b = pixels[yy][xx]
+            yp[yy][xx] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            cbp[yy][xx] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            crp[yy][xx] = 0.5 * r - 0.418688 * g - 0.081312 * b
+    # chroma box-downsample by (sh, sv) with edge replication
+    cw = -(-w // sh)
+    ch_ = -(-h // sv)
+
+    def downsample(plane: list[list[float]]) -> list[list[float]]:
+        if sh == 1 and sv == 1:
+            return plane
+        out = [[0.0] * cw for _ in range(ch_)]
+        for yy in range(ch_):
+            for xx in range(cw):
+                s = 0.0
+                for dy in range(sv):
+                    for dx in range(sh):
+                        s += plane[min(yy * sv + dy, h - 1)][min(xx * sh + dx, w - 1)]
+                out[yy][xx] = s / (sh * sv)
+        return out
+
+    cb_s, cr_s = downsample(cbp), downsample(crp)
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    bw = _BitWriter()
+    mcus_x = -(-w // (8 * sh))
+    mcus_y = -(-h // (8 * sv))
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            # luma: sv×sh blocks, raster order within the MCU
+            for by_ in range(sv):
+                for bx_ in range(sh):
+                    preds[0] = _encode_block(
+                        bw,
+                        _plane_block(yp, (my * sv + by_) * 8, (mx * sh + bx_) * 8),
+                        q, dc_codes, ac_codes, preds[0],
+                    )
+            preds[1] = _encode_block(
+                bw, _plane_block(cb_s, my * 8, mx * 8), q, dc_codes, ac_codes, preds[1]
+            )
+            preds[2] = _encode_block(
+                bw, _plane_block(cr_s, my * 8, mx * 8), q, dc_codes, ac_codes, preds[2]
+            )
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    samp_luma = (sh << 4) | sv
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_luma, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dqt = seg(0xDB, b"\x00" + bytes(q[k] for k in range(64)))
+    dht = seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)) + seg(
+        0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
 # --- decoder ---------------------------------------------------------------
@@ -331,9 +445,10 @@ def _idct(coef: list[float]) -> list[int]:
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, raw) — raw is row-major gray (1
-    channel) or interleaved RGB (3 channels). Baseline/1×1-sampling
-    only; anything else raises NotImplementedError for the caller's
-    fallback ladder."""
+    channel) or interleaved RGB (3 channels). Baseline Huffman with
+    any T.81 sampling factors (4:4:4 / 4:2:2 / 4:2:0 / …);
+    progressive, arithmetic and 12-bit raise NotImplementedError for
+    the caller's fallback ladder."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG")
     quant: dict[int, list[int]] = {}
@@ -390,9 +505,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(f"{nc}-component JPEG")
             for c in range(nc):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("chroma-subsampled JPEG")
-                comps.append({"id": cid, "qid": qid})
+                sx, sy = samp >> 4, samp & 0x0F
+                if not (1 <= sx <= 4 and 1 <= sy <= 4):
+                    raise ValueError("bad sampling factors")
+                comps.append({"id": cid, "qid": qid, "h": sx, "v": sy})
+            if nc == 1:
+                # single-component scans are never interleaved (T.81
+                # A.2.2): sampling factors do not shape the data
+                comps[0]["h"] = comps[0]["v"] = 1
+            if sum(c["h"] * c["v"] for c in comps) > 10:
+                raise ValueError("sampling factors exceed T.81 MCU budget")
         elif 0xC2 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8 and marker != 0xCC:
             raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
         elif marker == 0xDD:  # DRI
@@ -412,60 +534,81 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("no scan data")
 
     br = _BitReader(payload, scan_pos)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    planes = [[0] * (bw_ * 8 * bh_ * 8) for _ in comps]
+    # interleaved-MCU geometry (T.81 A.2.3): the MCU covers 8·Hmax ×
+    # 8·Vmax pixels; component i contributes v_i×h_i blocks per MCU and
+    # stores its plane at (h_i/Hmax, v_i/Vmax) of full resolution —
+    # this is how 4:2:0/4:2:2 chroma arrives
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    strides = [mcus_x * c["h"] * 8 for c in comps]
+    planes = [[0] * (strides[ci] * mcus_y * comps[ci]["v"] * 8) for ci in range(len(comps))]
     preds = [0] * len(comps)
     mcu = 0
     n_rst = 0
-    for my in range(bh_):
-        for mx in range(bw_):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.align_and_expect_rst(n_rst)
                 n_rst += 1
                 preds = [0] * len(comps)
             for ci, comp in enumerate(comps):
                 q = quant[comp["qid"]]
-                zz = [0] * 64
-                size = br.read_code(huff_dc[comp["dc"]])
-                preds[ci] += _extend(br.read(size), size) if size else 0
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = br.read_code(huff_ac[comp["ac"]])
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    zz[k] = _extend(br.read(size), size)
-                    k += 1
-                coef = [0.0] * 64
-                for k in range(64):
-                    coef[ZIGZAG[k]] = zz[k] * q[k]
-                block = _idct(coef)
-                plane = planes[ci]
-                row0, col0 = my * 8, mx * 8
-                for i in range(8):
-                    base = (row0 + i) * bw_ * 8 + col0
-                    plane[base : base + 8] = block[i * 8 : i * 8 + 8]
+                for by_ in range(comp["v"]):
+                    for bx_ in range(comp["h"]):
+                        zz = [0] * 64
+                        size = br.read_code(huff_dc[comp["dc"]])
+                        preds[ci] += _extend(br.read(size), size) if size else 0
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_code(huff_ac[comp["ac"]])
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read(size), size)
+                            k += 1
+                        coef = [0.0] * 64
+                        for k in range(64):
+                            coef[ZIGZAG[k]] = zz[k] * q[k]
+                        block = _idct(coef)
+                        plane = planes[ci]
+                        stride = strides[ci]
+                        row0 = (my * comp["v"] + by_) * 8
+                        col0 = (mx * comp["h"] + bx_) * 8
+                        for i in range(8):
+                            base = (row0 + i) * stride + col0
+                            plane[base : base + 8] = block[i * 8 : i * 8 + 8]
             mcu += 1
 
-    stride = bw_ * 8
     if len(comps) == 1:
+        stride = strides[0]
         raw = bytearray(w * h)
         for y in range(h):
             raw[y * w : (y + 1) * w] = bytes(planes[0][y * stride : y * stride + w])
         return w, h, 1, bytes(raw)
     raw = bytearray(w * h * 3)
     yp, cbp, crp = planes
+    ys, cbs, crs = strides
+    # per-component upsample maps: full-res (x, y) → stored plane index
+    # (box replication — each stored chroma sample covers an
+    # (Hmax/h)×(Vmax/v) pixel cell)
+    c1, c2, c3 = comps
     for y in range(h):
+        y0 = (y * c1["v"] // vmax) * ys
+        y1 = (y * c2["v"] // vmax) * cbs
+        y2 = (y * c3["v"] // vmax) * crs
         for x in range(w):
-            i = y * stride + x
-            Y, cb, cr = yp[i], cbp[i] - 128, crp[i] - 128
+            Y = yp[y0 + (x * c1["h"] // hmax)]
+            cb = cbp[y1 + (x * c2["h"] // hmax)] - 128
+            cr = crp[y2 + (x * c3["h"] // hmax)] - 128
             o = 3 * (y * w + x)
             r = int(round(Y + 1.402 * cr))
             g = int(round(Y - 0.344136 * cb - 0.714136 * cr))

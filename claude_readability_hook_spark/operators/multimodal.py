@@ -73,9 +73,11 @@ def _decode_media(payload: bytes) -> list[float]:
     reversal) and baseline JPEG (huffman + IDCT, core/jpegcodec.py) →
     luminance histogram; WAV/PCM audio (RIFF walk, core/wavcodec.py) →
     RMS energy envelope. Same FEATURE_DIM contract for every modality.
-    Unsupported variants (progressive/subsampled JPEG, compressed
-    audio) and unrecognized formats (video containers) raise and fall
-    back to the deterministic fake with decode_ok='stubbed'."""
+    JPEG covers baseline Huffman at any sampling (4:2:0/4:2:2/4:4:4 —
+    the real-world spread); unsupported variants (progressive JPEG,
+    compressed audio) and unrecognized formats (video containers)
+    raise and fall back to the deterministic fake with
+    decode_ok='stubbed'."""
     from ..core.imagecodec import image_luminance_histogram
     from ..core.jpegcodec import is_jpeg
     from ..core.wavcodec import energy_envelope, is_wav
@@ -322,13 +324,15 @@ def synthesize_media_table(
     real_png: bool = False,
     real_jpeg: bool = False,
     real_wav: bool = False,
+    real_jpeg_420: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
-    real_png/real_jpeg emit VALID images (seed-derived gradients) and
-    real_wav VALID PCM16 WAVs (seed-derived sine) so the real decode
-    paths run; default keeps the opaque-bytes payloads the fallback
-    path is tested with."""
+    real_png/real_jpeg emit VALID images (seed-derived gradients),
+    real_jpeg_420 VALID 4:2:0 chroma-subsampled COLOR JPEGs (the
+    real-world majority format), and real_wav VALID PCM16 WAVs
+    (seed-derived sine) so the real decode paths run; default keeps
+    the opaque-bytes payloads the fallback path is tested with."""
     import math as _math
 
     rows = []
@@ -364,6 +368,25 @@ def synthesize_media_table(
                 [[(seed + x * 7 + y * 13) % 256 for x in range(w)] for y in range(h)]
             )
             mime = "image/png"
+        elif real_jpeg_420:
+            from ..core.jpegcodec import encode_jpeg_color
+
+            w, h = 16 + (seed % 2) * 16, 16
+            payload = encode_jpeg_color(
+                [
+                    [
+                        (
+                            (seed + x * 7 + y * 13) % 256,
+                            (seed * 3 + x * 11) % 256,
+                            (seed * 5 + y * 17) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ],
+                luma_sampling=(2, 2),
+            )
+            mime = "image/jpeg"
         elif real_jpeg:
             from ..core.jpegcodec import encode_jpeg_gray
 
