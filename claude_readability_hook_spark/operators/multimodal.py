@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -277,11 +278,87 @@ def resize_media(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFram
     return media.select("media_ref", "payload").mapInPandas(do_resize, schema=RESIZED)
 
 
+VIDEO_SAMPLES = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("sample_idx", LongType(), True),
+        StructField("offset", LongType(), True),  # absolute byte offset
+        StructField("size", LongType(), True),
+        StructField("timestamp_ms", LongType(), True),
+        StructField("is_sync", BooleanType(), True),
+        StructField("decode_ok", StringType(), False),  # ok | stubbed | error
+    ]
+)
+
+
+def demux_video_samples(media: DataFrame, sync_only: bool = False) -> DataFrame:
+    """REAL frame-sampling metadata for kind='video' payloads: the
+    ISO-BMFF box walk (core/mp4codec.py — moov/trak/stbl: stts, stsz,
+    stsc, stco, stss) resolves each video sample to its absolute byte
+    offset, size, decode timestamp and keyframe flag. Frame DECODE
+    stays out of scope (no codec libs in this container) — but a
+    downstream frame extractor seeks straight to these offsets, which
+    is the part a sampling pipeline needs from the container.
+    sync_only=True keeps keyframes only (the standard thumbnail /
+    shot-sampling policy — decodable without reference frames).
+    Same scan-side mapInPandas shape as the other media operators:
+    payloads never shuffle, the output is narrow metadata. Non-MP4 /
+    fragmented payloads degrade per-row to decode_ok='stubbed' (poison
+    isolation; the duration_ms-based sample_video_frames below remains
+    the metadata-only fallback)."""
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.mp4codec import demux_mp4, is_mp4
+
+        for batch in batches:
+            records = []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                stub = {
+                    "media_ref": ref, "sample_idx": None, "offset": None,
+                    "size": None, "timestamp_ms": None, "is_sync": None,
+                    "decode_ok": "stubbed",
+                }
+                if not is_mp4(raw):
+                    records.append(stub)
+                    continue
+                try:
+                    parsed = demux_mp4(raw)
+                    vid = [t for t in parsed["tracks"] if t["handler"] == "vide"]
+                    if not vid:
+                        records.append(stub)
+                        continue
+                    for i, (off, size, ts, sync) in enumerate(vid[0]["samples"]):
+                        if sync_only and not sync:
+                            continue
+                        records.append(
+                            {
+                                "media_ref": ref, "sample_idx": i, "offset": off,
+                                "size": size, "timestamp_ms": ts,
+                                "is_sync": sync, "decode_ok": "ok",
+                            }
+                        )
+                except NotImplementedError:
+                    records.append(stub)
+                except Exception as exc:  # noqa: BLE001 — poison isolation
+                    records.append(
+                        dict(stub, decode_ok=f"demux error: {type(exc).__name__}")
+                    )
+            yield pd.DataFrame.from_records(records)
+
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_ref", "payload")
+        .mapInPandas(demux, schema=VIDEO_SAMPLES)
+    )
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing for kind='video' payloads. The actual
-    container/codec demux is STUBBED (no av/ffmpeg in this container):
-    frame offsets are derived from duration_ms metadata — the REAL part
-    is the schema/explode shape a demuxer would feed."""
+    """Metadata-only frame-sampling fallback for video payloads whose
+    container demux_video_samples cannot walk (non-ISO-BMFF,
+    fragmented): frame offsets derived from duration_ms metadata —
+    the schema/explode shape a demuxer would feed, minus real byte
+    offsets."""
     frames = F.when(
         F.col("duration_ms").isNotNull(),
         F.transform(
@@ -325,6 +402,7 @@ def synthesize_media_table(
     real_jpeg: bool = False,
     real_wav: bool = False,
     real_jpeg_420: bool = False,
+    real_mp4: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
@@ -338,6 +416,26 @@ def synthesize_media_table(
     rows = []
     for ref in refs:
         seed = sum(ref.encode())
+        if real_mp4:
+            from ..core.mp4codec import encode_minimal_mp4
+
+            # arithmetic layout mirrored by the media_video_demux
+            # DuckDB oracle: n samples of seeded sizes, 40 ms cadence,
+            # keyframe every 2nd sample
+            n = 4 + seed % 4
+            sizes = [50 + ((seed + 31 * i) % 100) for i in range(n)]
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "modality": "video",
+                    "payload": encode_minimal_mp4(sizes, seed=seed),
+                    "width": None,
+                    "height": None,
+                    "duration_ms": 40 * n,
+                    "mime": "video/mp4",
+                }
+            )
+            continue
         if real_wav:
             from ..core.wavcodec import encode_wav
 

@@ -14,6 +14,7 @@ from hypothesis import strategies as st
 
 from claude_readability_hook_spark.core.imagecodec import decode_png, encode_png
 from claude_readability_hook_spark.core.jpegcodec import decode_jpeg, encode_jpeg_gray
+from claude_readability_hook_spark.core.mp4codec import demux_mp4, encode_minimal_mp4
 from claude_readability_hook_spark.core.pdflayout import decode_pdf, synthesize_pdf
 from claude_readability_hook_spark.core.wavcodec import decode_wav, encode_wav
 
@@ -37,10 +38,14 @@ def _valid_pdf() -> bytes:
     return synthesize_pdf([[(40, 100, 10, "fuzz page")]], compress=True)
 
 
+def _valid_mp4() -> bytes:
+    return encode_minimal_mp4([50, 80, 64], seed=9)
+
+
 @settings(max_examples=150, deadline=None)
 @given(st.binary(max_size=400))
 def test_random_bytes_never_hang_decoders(payload):
-    for dec in (decode_jpeg, decode_wav, decode_png):
+    for dec in (decode_jpeg, decode_wav, decode_png, demux_mp4):
         try:
             dec(payload)
         except ALLOWED:
@@ -54,7 +59,7 @@ def test_random_bytes_never_hang_decoders(payload):
 
 @settings(max_examples=60, deadline=None)
 @given(
-    st.sampled_from(["jpeg", "wav", "png", "pdf"]),
+    st.sampled_from(["jpeg", "wav", "png", "pdf", "mp4"]),
     st.integers(min_value=0, max_value=10_000),
     st.integers(min_value=0, max_value=255),
 )
@@ -64,6 +69,7 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
         "wav": _valid_wav,
         "png": _valid_png,
         "pdf": _valid_pdf,
+        "mp4": _valid_mp4,
     }[kind]()
     mutated = bytearray(base)
     mutated[pos % len(mutated)] = val
@@ -72,6 +78,7 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
         "wav": decode_wav,
         "png": decode_png,
         "pdf": decode_pdf,
+        "mp4": demux_mp4,
     }[kind]
     try:
         dec(bytes(mutated))
@@ -80,13 +87,14 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.sampled_from(["jpeg", "wav", "png", "pdf"]), st.data())
+@given(st.sampled_from(["jpeg", "wav", "png", "pdf", "mp4"]), st.data())
 def test_truncations_fail_cleanly(kind, data):
     base = {
         "jpeg": _valid_jpeg,
         "wav": _valid_wav,
         "png": _valid_png,
         "pdf": _valid_pdf,
+        "mp4": _valid_mp4,
     }[kind]()
     cut = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
     dec = {
@@ -94,6 +102,7 @@ def test_truncations_fail_cleanly(kind, data):
         "wav": decode_wav,
         "png": decode_png,
         "pdf": decode_pdf,
+        "mp4": demux_mp4,
     }[kind]
     try:
         dec(base[:cut])

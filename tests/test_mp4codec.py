@@ -1,0 +1,132 @@
+"""ISO-BMFF demux (core/mp4codec.py): synthesized-container round
+trips (offsets byte-exact against the mdat payload), sample-table
+resolution (stts/stsz/stsc/stco/stss), unsupported-variant fallbacks,
+and the Spark demux_video_samples wiring (r3 verdict item 5: frame
+SAMPLING gets real offsets; frame decode stays out of scope)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from claude_readability_hook_spark.core.mp4codec import (
+    MDAT_DATA_START,
+    demux_mp4,
+    encode_minimal_mp4,
+    is_mp4,
+)
+
+
+def test_roundtrip_offsets_sizes_timestamps_sync():
+    sizes = [50, 73, 60, 99, 51]
+    mp4 = encode_minimal_mp4(sizes, seed=7, delta=40, timescale=1000)
+    assert is_mp4(mp4)
+    d = demux_mp4(mp4)
+    assert d["duration_ms"] == 40 * len(sizes)
+    (track,) = d["tracks"]
+    assert track["handler"] == "vide" and track["timescale"] == 1000
+    samples = track["samples"]
+    assert [s[1] for s in samples] == sizes
+    # offsets: contiguous from MDAT_DATA_START
+    expect = MDAT_DATA_START
+    for i, (off, size, ts, sync) in enumerate(samples):
+        assert off == expect
+        expect += size
+        assert ts == 40 * i
+        assert sync == (i % 2 == 0)  # stss every 2nd sample
+    # offsets are REAL: the bytes at each offset are the seeded payload
+    for i, (off, size, _ts, _sync) in enumerate(samples):
+        assert mp4[off : off + size] == bytes(
+            (7 + 31 * i + j) % 256 for j in range(size)
+        )
+
+
+def test_no_stss_means_every_sample_sync_and_audio_handler():
+    mp4 = bytearray(encode_minimal_mp4([32, 32], seed=1, handler=b"soun"))
+    # excise stss by renaming it to a free-space box ('skip')
+    i = bytes(mp4).find(b"stss")
+    mp4[i : i + 4] = b"skip"
+    d = demux_mp4(bytes(mp4))
+    (track,) = d["tracks"]
+    assert track["handler"] == "soun"
+    assert all(s[3] for s in track["samples"])
+
+
+def test_fragmented_and_edts_raise_not_implemented():
+    mp4 = encode_minimal_mp4([40], seed=0)
+    frag = mp4 + struct.pack(">I", 8) + b"moof"
+    with pytest.raises(NotImplementedError):
+        demux_mp4(frag)
+
+
+def test_poison_guards():
+    mp4 = bytearray(encode_minimal_mp4([40, 40], seed=0))
+    with pytest.raises(ValueError):
+        demux_mp4(b"\x00" * 16)  # not mp4
+    with pytest.raises((ValueError, struct.error)):
+        demux_mp4(bytes(mp4[:40]))  # truncated: no moov
+    # mutate stsz sample count to something implausible
+    i = bytes(mp4).find(b"stsz")
+    big = bytearray(mp4)
+    big[i + 12 : i + 16] = struct.pack(">I", 1 << 28)
+    with pytest.raises(ValueError):
+        demux_mp4(bytes(big))
+    # mutate stco chunk offset to point past EOF
+    i = bytes(mp4).find(b"stco")
+    bad = bytearray(mp4)
+    bad[i + 12 : i + 16] = struct.pack(">I", 1 << 30)
+    with pytest.raises(ValueError):
+        demux_mp4(bytes(bad))
+
+
+def test_spark_demux_video_samples_ok_and_sync_only(spark):
+    from pyspark.sql import functions as F
+
+    from claude_readability_hook_spark.operators.multimodal import (
+        demux_video_samples,
+        synthesize_media_table,
+    )
+
+    refs = [f"vid:{i}" for i in range(5)]
+    media = synthesize_media_table(spark, refs, real_mp4=True)
+    out = demux_video_samples(media)
+    rows = out.collect()
+    assert all(r["decode_ok"] == "ok" for r in rows)
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref in refs:
+        seed = sum(ref.encode())
+        n = 4 + seed % 4
+        samples = sorted(by_ref[ref], key=lambda r: r["sample_idx"])
+        assert len(samples) == n
+        # arithmetic layout: size and offset recomputable from the seed
+        expect_off = MDAT_DATA_START
+        for i, r in enumerate(samples):
+            size = 50 + ((seed + 31 * i) % 100)
+            assert r["size"] == size and r["offset"] == expect_off
+            expect_off += size
+            assert r["timestamp_ms"] == 40 * i
+            assert r["is_sync"] == (i % 2 == 0)
+    # keyframes only: the thumbnail-sampling policy
+    sync_rows = demux_video_samples(media, sync_only=True).collect()
+    assert all(r["is_sync"] for r in sync_rows)
+    assert len(sync_rows) == sum(
+        -(-(4 + sum(ref.encode()) % 4) // 2) for ref in refs
+    )
+
+
+def test_spark_demux_stubs_non_mp4_payloads(spark):
+    from claude_readability_hook_spark.operators.multimodal import (
+        demux_video_samples,
+        synthesize_media_table,
+    )
+    from pyspark.sql import functions as F
+
+    media = synthesize_media_table(spark, ["junk:a", "junk:b"]).withColumn(
+        "modality", F.lit("video")
+    )
+    rows = demux_video_samples(media).collect()
+    assert len(rows) == 2
+    assert all(r["decode_ok"] == "stubbed" and r["offset"] is None for r in rows)
