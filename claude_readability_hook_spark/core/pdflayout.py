@@ -48,10 +48,13 @@ def _decode_pdf(payload: bytes) -> list[Block]:
     Scope is deliberately minimal-but-real: FlateDecode streams inflate
     via stdlib zlib (the same inflater the PNG codec's IDAT path uses —
     FlateDecode covers the overwhelming majority of real-world PDF
-    content streams); other /Filter values (DCT, LZW, ASCII85, filter
-    ARRAYS) still raise NotImplementedError so decode_pdf falls back.
-    No font metrics — width is approximated from the string length ×
-    font size."""
+    content streams), and /Filter may be a NAME or an ARRAY chaining
+    ASCIIHexDecode / ASCII85Decode ahead of Flate (r3 verdict item 6 —
+    `[/FlateDecode]` single-element arrays and ASCII-armored Flate are
+    the next-most-common real-corpus shapes). Filters the chain does
+    not know (DCT, LZW, RunLength, JBIG2…) still raise
+    NotImplementedError so decode_pdf falls back. No font metrics —
+    width is approximated from the string length × font size."""
     import re
     import zlib
 
@@ -93,17 +96,44 @@ def _decode_pdf(payload: bytes) -> list[Block]:
     for hdr, body in _streams():
         if b"/Filter" in hdr:
             filt = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", hdr)
-            if filt is None or filt.group(1) != b"/FlateDecode":
-                raise NotImplementedError(
-                    "unsupported PDF stream filter (only FlateDecode)"
-                )
-            # decompressobj tolerates the spec-legal EOL bytes between
-            # the deflate data's end and the 'endstream' keyword
-            try:
-                d = zlib.decompressobj()
-                body = d.decompress(body) + d.flush()
-            except zlib.error as exc:
-                raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+            if filt is None:
+                raise NotImplementedError("unparseable /Filter value")
+            # name or array → ordered filter chain (array order IS
+            # decode order per the PDF spec)
+            for name in re.findall(rb"/(\w+)", filt.group(1)):
+                if name == b"FlateDecode":
+                    # decompressobj tolerates the spec-legal EOL bytes
+                    # between the deflate data's end and 'endstream'
+                    try:
+                        d = zlib.decompressobj()
+                        body = d.decompress(body) + d.flush()
+                    except zlib.error as exc:
+                        raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+                elif name == b"ASCIIHexDecode":
+                    data = b"".join(body.split())
+                    eod = data.find(b">")
+                    if eod != -1:
+                        data = data[:eod]
+                    if len(data) % 2:  # odd final digit: implicit 0
+                        data += b"0"
+                    try:
+                        body = bytes.fromhex(data.decode("latin-1"))
+                    except ValueError as exc:
+                        raise ValueError(f"bad ASCIIHex stream: {exc}") from exc
+                elif name == b"ASCII85Decode":
+                    import base64
+
+                    data = b"".join(body.split())
+                    if data.endswith(b"~>"):
+                        data = data[:-2]
+                    try:
+                        body = base64.a85decode(data)
+                    except ValueError as exc:
+                        raise ValueError(f"bad ASCII85 stream: {exc}") from exc
+                else:
+                    raise NotImplementedError(
+                        f"unsupported PDF stream filter /{name.decode('latin-1')}"
+                    )
         if b"BT" not in body:
             continue
         page += 1
@@ -178,15 +208,30 @@ def decode_pdf(payload: bytes) -> tuple[list[Block], str]:
 
 
 def synthesize_pdf(
-    pages: list[list[tuple[float, float, float, str]]], compress: bool = False
+    pages: list[list[tuple[float, float, float, str]]],
+    compress: bool = False,
+    encoding: str | None = None,
 ) -> bytes:
     """A REAL minimal PDF (tests/bench — no fixture data): one content
     stream per page, each item = (x, y_from_top, font_size, text).
-    compress=True emits FlateDecode content streams (zlib), the form
-    the vast majority of real PDFs take. Round-trips through
-    _decode_pdf exactly either way."""
+    compress=True (or encoding='flate') emits FlateDecode content
+    streams (zlib), the form the vast majority of real PDFs take; the
+    other encodings cover the filter-chain shapes r3 flagged as
+    rejected:
+
+      'flate_array'  /Filter [/FlateDecode]           (1-element array)
+      'ahx_flate'    /Filter [/ASCIIHexDecode /FlateDecode]
+      'a85_flate'    /Filter [/ASCII85Decode /FlateDecode]
+
+    (array order is DECODE order, so the encoder applies Flate first,
+    then the ASCII armor.) Round-trips through _decode_pdf exactly in
+    every mode."""
+    import base64
+    import binascii
     import zlib
 
+    if encoding is None:
+        encoding = "flate" if compress else "plain"
     parts = [b"%PDF-1.4\n"]
     for items in pages:
         ops = [b"BT"]
@@ -197,13 +242,24 @@ def synthesize_pdf(
             ops.append(b"(" + esc.encode("latin-1") + b") Tj")
         ops.append(b"ET")
         body = b"\n".join(ops)
-        hdr = b"<< /Length "
-        filter_tag = b""
-        if compress:
+        if encoding == "plain":
+            filter_tag = b""
+        elif encoding == "flate":
             body = zlib.compress(body)
             filter_tag = b" /Filter /FlateDecode"
+        elif encoding == "flate_array":
+            body = zlib.compress(body)
+            filter_tag = b" /Filter [/FlateDecode]"
+        elif encoding == "ahx_flate":
+            body = binascii.hexlify(zlib.compress(body)) + b">"
+            filter_tag = b" /Filter [/ASCIIHexDecode /FlateDecode]"
+        elif encoding == "a85_flate":
+            body = base64.a85encode(zlib.compress(body)) + b"~>"
+            filter_tag = b" /Filter [/ASCII85Decode /FlateDecode]"
+        else:
+            raise ValueError(f"unknown encoding {encoding!r}")
         parts.append(
-            hdr
+            b"<< /Length "
             + str(len(body)).encode()
             + filter_tag
             + b" >>\nstream\n"

@@ -42,6 +42,10 @@ def _valid_mp4() -> bytes:
     return encode_minimal_mp4([50, 80, 64], seed=9)
 
 
+def _valid_pdf85() -> bytes:
+    return synthesize_pdf([[(40, 100, 10, "fuzz armor")]], encoding="a85_flate")
+
+
 @settings(max_examples=150, deadline=None)
 @given(st.binary(max_size=400))
 def test_random_bytes_never_hang_decoders(payload):
@@ -59,7 +63,7 @@ def test_random_bytes_never_hang_decoders(payload):
 
 @settings(max_examples=60, deadline=None)
 @given(
-    st.sampled_from(["jpeg", "wav", "png", "pdf", "mp4"]),
+    st.sampled_from(["jpeg", "wav", "png", "pdf", "pdf85", "mp4"]),
     st.integers(min_value=0, max_value=10_000),
     st.integers(min_value=0, max_value=255),
 )
@@ -69,6 +73,7 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
         "wav": _valid_wav,
         "png": _valid_png,
         "pdf": _valid_pdf,
+        "pdf85": _valid_pdf85,
         "mp4": _valid_mp4,
     }[kind]()
     mutated = bytearray(base)
@@ -78,6 +83,7 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
         "wav": decode_wav,
         "png": decode_png,
         "pdf": decode_pdf,
+        "pdf85": decode_pdf,
         "mp4": demux_mp4,
     }[kind]
     try:
@@ -87,13 +93,14 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.sampled_from(["jpeg", "wav", "png", "pdf", "mp4"]), st.data())
+@given(st.sampled_from(["jpeg", "wav", "png", "pdf", "pdf85", "mp4"]), st.data())
 def test_truncations_fail_cleanly(kind, data):
     base = {
         "jpeg": _valid_jpeg,
         "wav": _valid_wav,
         "png": _valid_png,
         "pdf": _valid_pdf,
+        "pdf85": _valid_pdf85,
         "mp4": _valid_mp4,
     }[kind]()
     cut = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
@@ -102,6 +109,7 @@ def test_truncations_fail_cleanly(kind, data):
         "wav": decode_wav,
         "png": decode_png,
         "pdf": decode_pdf,
+        "pdf85": decode_pdf,
         "mp4": demux_mp4,
     }[kind]
     try:

@@ -269,3 +269,54 @@ def test_unsupported_filter_still_falls_back():
     pdf = b"%PDF-1.4\n<< /Filter /DCTDecode /Length 5 >>\nstream\nxxxxx\nendstream\n%%EOF"
     _text, status = pdf_to_text(pdf)
     assert status == "stubbed"
+
+
+def test_filter_arrays_and_ascii_armor_decode_ok():
+    """r3 verdict item 6: [/FlateDecode] single-element arrays and
+    ASCIIHex/ASCII85→Flate chains must decode identically to the
+    plain-Flate path with status 'ok'."""
+    pages = [
+        [
+            (40, 100, 10, "Armored stream paragraph one."),
+            (40, 130, 10, "Armored stream paragraph two."),
+        ],
+        [(40, 100, 10, "Second page armored content.")],
+    ]
+    want_text, want_status = pdf_to_text(synthesize_pdf(pages, compress=True))
+    assert want_status == "ok"
+    for enc in ("flate_array", "ahx_flate", "a85_flate"):
+        text, status = pdf_to_text(synthesize_pdf(pages, encoding=enc))
+        assert status == "ok", enc
+        assert text == want_text, enc
+
+
+def test_ascii_armor_oddities_and_corruption():
+    """ASCIIHex: whitespace + odd trailing digit tolerated; corrupt
+    armor is a clean decode error; unknown filter INSIDE an array
+    still falls back."""
+    import zlib
+
+    body = b"BT\n/F1 10 Tf\n1 0 0 1 40 692 Tm\n(hex path ok) Tj\nET"
+    hx = bytearray()
+    for i, ch in enumerate(zlib.compress(body).hex().encode()):
+        hx.append(ch)
+        if i % 7 == 6:
+            hx += b"\n"  # interleaved whitespace is spec-legal
+    pdf = (
+        b"%PDF-1.4\n<< /Length " + str(len(hx) + 1).encode()
+        + b" /Filter [/ASCIIHexDecode /FlateDecode] >>\nstream\n"
+        + bytes(hx) + b">" + b"\nendstream\n%%EOF\n"
+    )
+    text, status = pdf_to_text(pdf)
+    assert status == "ok" and "hex path ok" in text
+
+    bad = b"%PDF-1.4\n<< /Filter [/ASCII85Decode] /Length 6 >>\nstream\nzz!!!!\nendstream\n%%EOF"
+    _t, status = pdf_to_text(bad)
+    assert status.startswith("decode error") or status == "stubbed"
+
+    mixed = (
+        b"%PDF-1.4\n<< /Filter [/ASCIIHexDecode /LZWDecode] /Length 4 >>"
+        b"\nstream\n6162\nendstream\n%%EOF"
+    )
+    _t, status = pdf_to_text(mixed)
+    assert status == "stubbed"
