@@ -74,6 +74,9 @@ AC_LUM_VALS = [
 ]
 
 MAX_PIXELS = 1 << 24  # 16.7M px (≈4096×4096): decode-side poison guard
+# progressive holds every component's full coefficient array across all
+# scans (that is the format's design), so its guard is tighter
+MAX_PIXELS_PROGRESSIVE = 1 << 22  # 4M px (≈2048×2048)
 
 _COS = [
     [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)
@@ -347,6 +350,204 @@ def encode_jpeg_color(
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def encode_jpeg_gray_progressive(
+    pixels: list[list[int]], quant: list[int] | None = None
+) -> bytes:
+    """rows of 0-255 luma → PROGRESSIVE (SOF2) single-component JPEG:
+    spectral selection (DC | AC 1-5 | AC 6-63) × successive
+    approximation (first pass at Al=1, refinement to Al=0) — six
+    scans, exercising every progressive decode path (DC first/refine,
+    AC first with EOB runs, AC refinement with correction bits).
+    Exists so tests round-trip REAL progressive streams; with a unit
+    quant table the decode must match the baseline encoder's output
+    bit-for-bit (same coefficients, different transport)."""
+    q = quant or STD_LUM_QUANT
+    h = len(pixels)
+    w = len(pixels[0])
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    # the Annex K AC table defines no EOBn symbols beyond EOB1 (0x00)
+    # — progressive EOB runs need (n<<4|0) up to 0xE0, so the AC scans
+    # use a flat canonical table carrying all 256 symbols at 9 bits
+    # (table id 1; DC scans keep the Annex K table 0)
+    ac_prog_bits = [0] * 16
+    # BITS entries are single bytes, so 256 symbols split 255 @ 9 bits
+    # + 1 @ 10 bits (its canonical code is 0b1111111110 — not the
+    # forbidden all-ones); symbol 0xFF lands on the long code and is
+    # never emitted anyway
+    ac_prog_bits[8] = 255
+    ac_prog_bits[9] = 1
+    ac_prog_vals = list(range(256))
+    ac_codes = _canonical_codes(ac_prog_bits, ac_prog_vals)
+    # quantized coefficient blocks, zigzag order
+    blocks: list[list[int]] = []
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            blk = [
+                float(pixels[min(by + i, h - 1)][min(bx + j, w - 1)] - 128)
+                for i in range(8)
+                for j in range(8)
+            ]
+            coef = _fdct(blk)
+            blocks.append([int(round(coef[ZIGZAG[k]] / q[k])) for k in range(64)])
+
+    def sos(ss: int, se: int, ah: int, al: int, scan: bytes) -> bytes:
+        tids = 0x00 if ss == 0 else 0x01  # DC: tables 0/0; AC: ac table 1
+        body = bytes([1, 1, tids, ss, se, (ah << 4) | al])
+        return struct.pack(">BBH", 0xFF, 0xDA, len(body) + 2) + body + scan
+
+    def dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        pred = 0
+        for zz in blocks:
+            t = zz[0] >> al  # arithmetic shift: the T.81 DC point transform
+            size, bits = _magnitude(t - pred)
+            pred = t
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(bits, size)
+        return bw.flush()
+
+    def dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for zz in blocks:
+            bw.write((zz[0] >> al) & 1, 1)
+        return bw.flush()
+
+    class _Eob:
+        """Cross-block EOB-run + (refinement) buffered correction
+        bits, flushed before any non-EOB symbol."""
+
+        def __init__(self, bw_: _BitWriter) -> None:
+            self.bw = bw_
+            self.run = 0
+            self.pending: list[int] = []
+
+        def flush(self) -> None:
+            if self.run > 0:
+                nbits = self.run.bit_length() - 1
+                code, length = ac_codes[nbits << 4]
+                self.bw.write(code, length)
+                if nbits:
+                    self.bw.write(self.run - (1 << nbits), nbits)
+                self.run = 0
+            for b in self.pending:
+                self.bw.write(b, 1)
+            self.pending = []
+
+        def add(self, corrections: list[int]) -> None:
+            self.run += 1
+            self.pending.extend(corrections)
+            if self.run == 0x7FFF:
+                self.flush()
+
+    def ac_first(ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eob = _Eob(bw)
+        for zz in blocks:
+            r = 0
+            wrote = False
+            for k in range(ss, se + 1):
+                t = zz[k]
+                t = -((-t) >> al) if t < 0 else t >> al  # toward-zero point transform
+                if t == 0:
+                    r += 1
+                    continue
+                eob.flush()
+                while r > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    r -= 16
+                size, bits = _magnitude(t)
+                code, length = ac_codes[(r << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                r = 0
+                wrote = True
+            if r > 0 or not wrote:
+                eob.add([])
+        eob.flush()
+        return bw.flush()
+
+    def ac_refine(ss: int, se: int, al: int) -> bytes:
+        # ah = al + 1: history is the coefficient seen at al+1 bits of
+        # approximation; newly-significant values are ±1 at this al.
+        # The emission order must mirror the decoder's WALK exactly: a
+        # symbol (ZRL or run+1), its sign bit, then the correction
+        # bits of the nonzero-history coefficients the walk crosses —
+        # in positional order, only up to that symbol's stopping point
+        # (the 16th zero for ZRL, the insertion position for run+1).
+        bw = _BitWriter()
+        eob = _Eob(bw)
+        for zz in blocks:
+            # one event per band position: ('c', bit) nonzero-history,
+            # ('z',) still-zero, ('n', signbit) newly significant
+            events: list[tuple] = []
+            for k in range(ss, se + 1):
+                c = zz[k]
+                mag = -c if c < 0 else c
+                if mag >> (al + 1) != 0:
+                    events.append(("c", (mag >> al) & 1))
+                elif (mag >> al) == 0:
+                    events.append(("z",))
+                else:
+                    events.append(("n", 1 if c > 0 else 0))
+            i = 0
+            for j, ev in enumerate(events):
+                if ev[0] != "n":
+                    continue
+                eob.flush()
+                zeros = sum(1 for e in events[i:j] if e[0] == "z")
+                while zeros > 15:
+                    code, length = ac_codes[0xF0]  # ZRL: consumes 16 zeros
+                    bw.write(code, length)
+                    zc = 0
+                    while zc < 16:
+                        e = events[i]
+                        i += 1
+                        if e[0] == "z":
+                            zc += 1
+                        else:
+                            bw.write(e[1], 1)
+                    zeros -= 16
+                code, length = ac_codes[(zeros << 4) | 1]
+                bw.write(code, length)
+                bw.write(ev[1], 1)  # sign bit (1 = +p1)
+                while i < j:
+                    e = events[i]
+                    i += 1
+                    if e[0] == "c":
+                        bw.write(e[1], 1)
+                i = j + 1  # the inserted coefficient itself
+            if i < len(events):  # tail (or fully symbol-less block) → EOB
+                eob.add([e[1] for e in events[i:] if e[0] == "c"])
+        eob.flush()
+        return bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(q[k] for k in range(64)))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = (
+        seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+        + seg(0xC4, b"\x11" + bytes(ac_prog_bits) + bytes(ac_prog_vals))
+    )
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht
+        + sos(0, 0, 0, 1, dc_first(1))
+        + sos(0, 0, 1, 0, dc_refine(0))
+        + sos(1, 5, 0, 1, ac_first(1, 5, 1))
+        + sos(6, 63, 0, 1, ac_first(6, 63, 1))
+        + sos(1, 5, 1, 0, ac_refine(1, 5, 0))
+        + sos(6, 63, 1, 0, ac_refine(6, 63, 0))
+        + b"\xff\xd9"
+    )
+
+
 # --- decoder ---------------------------------------------------------------
 
 
@@ -459,13 +660,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     pos = 2
     scan_pos = None
+    progressive = False
+    prog: _ProgressiveState | None = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker stream")
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
         marker = payload[pos + 1]
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:  # TEM, RST0-7, SOI
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
@@ -493,13 +696,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError("truncated huffman table values")
                 (huff_dc if cls == 0 else huff_ac)[tid] = _decode_table(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG")
-            if w * h > MAX_PIXELS or w == 0 or h == 0:
+            if w * h > (MAX_PIXELS_PROGRESSIVE if progressive else MAX_PIXELS) or w == 0 or h == 0:
                 # poison-payload guard: a mutated SOF must not trigger a
                 # giant plane allocation before the scan data runs out
+                # (progressive holds full coefficient arrays in memory,
+                # hence the tighter cap)
                 raise ValueError("implausible JPEG dimensions")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
@@ -515,21 +721,42 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 comps[0]["h"] = comps[0]["v"] = 1
             if sum(c["h"] * c["v"] for c in comps) > 10:
                 raise ValueError("sampling factors exceed T.81 MCU budget")
-        elif 0xC2 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8 and marker != 0xCC:
-            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+        elif 0xC3 <= marker <= 0xCF and marker != 0xC4 and marker != 0xC8 and marker != 0xCC:
+            raise NotImplementedError("non-baseline JPEG (lossless/arithmetic)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            scan_comps = []
             for s in range(ns):
                 cid, tids = body[1 + 2 * s], body[2 + 2 * s]
-                for comp in comps:
+                for ci, comp in enumerate(comps):
                     if comp["id"] == cid:
                         comp["dc"] = tids >> 4
                         comp["ac"] = tids & 0x0F
-            scan_pos = pos + 2 + seglen
+                        scan_comps.append(ci)
+            if not progressive:
+                scan_pos = pos + 2 + seglen
+                break
+            # progressive: this scan contributes (Ss..Se, Ah→Al) bits
+            # of the coefficient store; decode it and keep walking the
+            # marker stream (tables may be redefined between scans)
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgressiveState(w, h, comps)
+            pos = prog.decode_scan(
+                payload, pos + 2 + seglen, scan_comps,
+                ss, se, a >> 4, a & 0x0F,
+                huff_dc, huff_ac, restart_interval,
+            )
+            continue
+        elif marker == 0xD9:  # EOI
             break
         pos += 2 + seglen
+    if progressive:
+        if prog is None:
+            raise ValueError("no scan data")
+        return _render(w, h, comps, quant, prog.coeffs, prog.geom)
     if scan_pos is None or not comps or w == 0:
         raise ValueError("no scan data")
 
@@ -588,6 +815,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                             plane[base : base + 8] = block[i * 8 : i * 8 + 8]
             mcu += 1
 
+    return _planes_to_raw(w, h, comps, planes, strides)
+
+
+def _planes_to_raw(
+    w: int, h: int, comps: list[dict], planes: list[list[int]], strides: list[int]
+) -> tuple[int, int, int, bytes]:
+    """Stored-resolution component planes → (w, h, channels, raw),
+    box-replicating subsampled chroma up to full resolution at the
+    YCbCr→RGB step (shared by the baseline and progressive paths)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     if len(comps) == 1:
         stride = strides[0]
         raw = bytearray(w * h)
@@ -617,3 +855,217 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             raw[o + 1] = 0 if g < 0 else 255 if g > 255 else g
             raw[o + 2] = 0 if b < 0 else 255 if b > 255 else b
     return w, h, 3, bytes(raw)
+
+
+class _ProgressiveState:
+    """Coefficient store + scan decoder for SOF2 progressive JPEG
+    (T.81 G.2): each scan contributes a spectral band (Ss..Se) at a
+    successive-approximation bit position (Ah→Al); the image renders
+    once, after all scans, from the accumulated coefficients. Blocks
+    are stored in ZIGZAG order (index k), matching the scan syntax;
+    dezigzag happens at render."""
+
+    def __init__(self, w: int, h: int, comps: list[dict]):
+        self.comps = comps
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        self.mcus_x = -(-w // (8 * hmax))
+        self.mcus_y = -(-h // (8 * vmax))
+        self.geom = []
+        self.coeffs: list[list[list[list[int]]]] = []
+        for c in comps:
+            bw_pad = self.mcus_x * c["h"]
+            bh_pad = self.mcus_y * c["v"]
+            # non-interleaved scans cover only the component's TRUE
+            # block grid (T.81 A.2.2), not the MCU-padded one
+            comp_w = -(-w * c["h"] // hmax)
+            comp_h = -(-h * c["v"] // vmax)
+            self.geom.append(
+                {
+                    "bw_pad": bw_pad,
+                    "bh_pad": bh_pad,
+                    "bw": -(-comp_w // 8),
+                    "bh": -(-comp_h // 8),
+                }
+            )
+            self.coeffs.append(
+                [[[0] * 64 for _ in range(bw_pad)] for _ in range(bh_pad)]
+            )
+
+    def decode_scan(
+        self,
+        payload: bytes,
+        start: int,
+        scan_comps: list[int],
+        ss: int,
+        se: int,
+        ah: int,
+        al: int,
+        huff_dc: dict,
+        huff_ac: dict,
+        restart_interval: int,
+    ) -> int:
+        """Decode one scan's entropy data; returns the payload offset
+        of the next marker (the 0xFF byte)."""
+        if not (0 <= ss <= se <= 63) or al > 13 or ah > 14:
+            raise ValueError("bad spectral/approximation parameters")
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0 (T.81 G.1)")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("AC scan must be single-component")
+        br = _BitReader(payload, start)
+        comps = self.comps
+        preds = [0] * len(comps)
+        self._eobrun = 0
+
+        def dc_block(block: list[int], ci: int) -> None:
+            if ah == 0:
+                size = br.read_code(huff_dc[comps[ci]["dc"]])
+                preds[ci] += _extend(br.read(size), size) if size else 0
+                block[0] = preds[ci] << al
+            elif br.read(1):
+                block[0] |= 1 << al
+
+        def ac_first(block: list[int], ci: int) -> None:
+            if self._eobrun > 0:
+                self._eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = br.read_code(huff_ac[comps[ci]["ac"]])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    self._eobrun = (1 << r) - 1
+                    if r:
+                        self._eobrun += br.read(r)
+                    return
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                block[k] = _extend(br.read(s), s) << al
+                k += 1
+
+        def ac_refine(block: list[int], ci: int) -> None:
+            # T.81 G.2 / the standard successive-approximation
+            # correction pass: every nonzero-history coefficient the
+            # scan pointer crosses reads one correction bit
+            p1, m1 = 1 << al, -(1 << al)
+            k = ss
+            if self._eobrun == 0:
+                while k <= se:
+                    rs = br.read_code(huff_ac[comps[ci]["ac"]])
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            self._eobrun = 1 << r
+                            if r:
+                                self._eobrun += br.read(r)
+                            break
+                    else:
+                        if s != 1:
+                            raise ValueError("bad refinement magnitude")
+                        val = p1 if br.read(1) else m1
+                    while k <= se:
+                        c = block[k]
+                        if c != 0:
+                            if br.read(1) and (c & p1) == 0:
+                                block[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        block[k] = val
+                    k += 1
+            if self._eobrun > 0:
+                while k <= se:
+                    c = block[k]
+                    if c != 0:
+                        if br.read(1) and (c & p1) == 0:
+                            block[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                self._eobrun -= 1
+
+        def restart(n_rst: int) -> None:
+            br.align_and_expect_rst(n_rst)
+            nonlocal preds
+            preds = [0] * len(comps)
+            self._eobrun = 0
+
+        unit = 0
+        n_rst = 0
+        if len(scan_comps) > 1:
+            # interleaved DC scan: MCU order
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        restart(n_rst)
+                        n_rst += 1
+                    for ci in scan_comps:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    self.coeffs[ci][my * c["v"] + by][mx * c["h"] + bx],
+                                    ci,
+                                )
+                    unit += 1
+        else:
+            ci = scan_comps[0]
+            g = self.geom[ci]
+            fn = dc_block if ss == 0 else (ac_first if ah == 0 else ac_refine)
+            for brow in range(g["bh"]):
+                for bcol in range(g["bw"]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        restart(n_rst)
+                        n_rst += 1
+                    fn(self.coeffs[ci][brow][bcol], ci)
+                    unit += 1
+
+        # position of the next marker: the reader may have stopped ON
+        # one (self.marker) or mid-padding before it
+        if br.marker is not None:
+            return br.pos - 1
+        p = br.pos
+        while p + 1 < len(payload):
+            if payload[p] == 0xFF and payload[p + 1] not in (0x00, 0xFF):
+                return p
+            p += 1
+        return len(payload)
+
+
+def _render(
+    w: int,
+    h: int,
+    comps: list[dict],
+    quant: dict[int, list[int]],
+    coeffs: list[list[list[list[int]]]],
+    geom: list[dict],
+) -> tuple[int, int, int, bytes]:
+    """Progressive final pass: dequantize + IDCT every accumulated
+    block into component planes, then the shared plane→raw tail."""
+    strides = [g["bw_pad"] * 8 for g in geom]
+    planes = [
+        [0] * (strides[ci] * geom[ci]["bh_pad"] * 8) for ci in range(len(comps))
+    ]
+    for ci, comp in enumerate(comps):
+        q = quant[comp["qid"]]
+        stride = strides[ci]
+        for brow, row in enumerate(coeffs[ci]):
+            for bcol, zz in enumerate(row):
+                coef = [0.0] * 64
+                for k in range(64):
+                    if zz[k]:
+                        coef[ZIGZAG[k]] = zz[k] * q[k]
+                block = _idct(coef)
+                plane = planes[ci]
+                row0, col0 = brow * 8, bcol * 8
+                for i in range(8):
+                    base = (row0 + i) * stride + col0
+                    plane[base : base + 8] = block[i * 8 : i * 8 + 8]
+    return _planes_to_raw(w, h, comps, planes, strides)

@@ -74,11 +74,12 @@ def _decode_media(payload: bytes) -> list[float]:
     reversal) and baseline JPEG (huffman + IDCT, core/jpegcodec.py) →
     luminance histogram; WAV/PCM audio (RIFF walk, core/wavcodec.py) →
     RMS energy envelope. Same FEATURE_DIM contract for every modality.
-    JPEG covers baseline Huffman at any sampling (4:2:0/4:2:2/4:4:4 —
-    the real-world spread); unsupported variants (progressive JPEG,
-    compressed audio) and unrecognized formats (video containers)
-    raise and fall back to the deterministic fake with
-    decode_ok='stubbed'."""
+    JPEG covers baseline AND progressive (SOF2) Huffman at any
+    sampling (4:2:0/4:2:2/4:4:4 — the real-world spread); unsupported
+    variants (arithmetic/lossless JPEG, compressed audio) and
+    unrecognized formats (video containers — but see
+    demux_video_samples for real MP4 sample metadata) raise and fall
+    back to the deterministic fake with decode_ok='stubbed'."""
     from ..core.imagecodec import image_luminance_histogram
     from ..core.jpegcodec import is_jpeg
     from ..core.wavcodec import energy_envelope, is_wav

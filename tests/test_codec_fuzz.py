@@ -13,7 +13,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from claude_readability_hook_spark.core.imagecodec import decode_png, encode_png
-from claude_readability_hook_spark.core.jpegcodec import decode_jpeg, encode_jpeg_gray
+from claude_readability_hook_spark.core.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg_gray,
+    encode_jpeg_gray_progressive,
+)
 from claude_readability_hook_spark.core.mp4codec import demux_mp4, encode_minimal_mp4
 from claude_readability_hook_spark.core.pdflayout import decode_pdf, synthesize_pdf
 from claude_readability_hook_spark.core.wavcodec import decode_wav, encode_wav
@@ -42,6 +46,12 @@ def _valid_mp4() -> bytes:
     return encode_minimal_mp4([50, 80, 64], seed=9)
 
 
+def _valid_jpeg_prog() -> bytes:
+    return encode_jpeg_gray_progressive(
+        [[(x * 5 + y * 3) % 256 for x in range(16)] for y in range(16)]
+    )
+
+
 def _valid_pdf85() -> bytes:
     return synthesize_pdf([[(40, 100, 10, "fuzz armor")]], encoding="a85_flate")
 
@@ -63,13 +73,14 @@ def test_random_bytes_never_hang_decoders(payload):
 
 @settings(max_examples=60, deadline=None)
 @given(
-    st.sampled_from(["jpeg", "wav", "png", "pdf", "pdf85", "mp4"]),
+    st.sampled_from(["jpeg", "jpegprog", "wav", "png", "pdf", "pdf85", "mp4"]),
     st.integers(min_value=0, max_value=10_000),
     st.integers(min_value=0, max_value=255),
 )
 def test_single_byte_mutations_fail_cleanly(kind, pos, val):
     base = {
         "jpeg": _valid_jpeg,
+        "jpegprog": _valid_jpeg_prog,
         "wav": _valid_wav,
         "png": _valid_png,
         "pdf": _valid_pdf,
@@ -80,6 +91,7 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
     mutated[pos % len(mutated)] = val
     dec = {
         "jpeg": decode_jpeg,
+        "jpegprog": decode_jpeg,
         "wav": decode_wav,
         "png": decode_png,
         "pdf": decode_pdf,
@@ -93,10 +105,11 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.sampled_from(["jpeg", "wav", "png", "pdf", "pdf85", "mp4"]), st.data())
+@given(st.sampled_from(["jpeg", "jpegprog", "wav", "png", "pdf", "pdf85", "mp4"]), st.data())
 def test_truncations_fail_cleanly(kind, data):
     base = {
         "jpeg": _valid_jpeg,
+        "jpegprog": _valid_jpeg_prog,
         "wav": _valid_wav,
         "png": _valid_png,
         "pdf": _valid_pdf,
@@ -106,6 +119,7 @@ def test_truncations_fail_cleanly(kind, data):
     cut = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
     dec = {
         "jpeg": decode_jpeg,
+        "jpegprog": decode_jpeg,
         "wav": decode_wav,
         "png": decode_png,
         "pdf": decode_pdf,

@@ -68,11 +68,17 @@ def test_flat_field_and_extremes():
         assert _max_err(pix, raw, w, h) <= 1
 
 
-def test_progressive_raises_not_implemented_and_bad_sampling_rejected():
+def test_lossless_sof_raises_and_bad_sampling_rejected():
     jpg = bytearray(encode_jpeg_gray(_grad(8, 8), quant=[1] * 64))
     sof = jpg.find(b"\xff\xc0")
-    prog = bytes(jpg[:sof+1]) + b"\xc2" + bytes(jpg[sof+2:])
+    # lossless (SOF3) stays out of scope
+    lossless = bytes(jpg[:sof+1]) + b"\xc3" + bytes(jpg[sof+2:])
     with pytest.raises(NotImplementedError):
+        decode_jpeg(lossless)
+    # a baseline stream mislabeled SOF2 has a baseline-style SOS
+    # (Ss=0, Se=63) — progressive forbids that shape: clean ValueError
+    prog = bytes(jpg[:sof+1]) + b"\xc2" + bytes(jpg[sof+2:])
+    with pytest.raises((ValueError, EOFError, KeyError)):
         decode_jpeg(prog)
     # out-of-spec sampling factor (0) must be a clean ValueError, not a
     # crash or a giant allocation
@@ -80,6 +86,56 @@ def test_progressive_raises_not_implemented_and_bad_sampling_rejected():
     sub[sof + 4 + 6 + 1] = 0x02
     with pytest.raises(ValueError):
         decode_jpeg(bytes(sub))
+
+
+def test_progressive_roundtrip_matches_baseline_decode():
+    """SOF2 spectral-selection + successive-approximation decode: the
+    six-scan progressive encoding of the same quantized coefficients
+    must decode BIT-IDENTICALLY to the baseline transport (same
+    coefficients, different entropy layout) — covering DC
+    first/refine, AC first with EOB runs, and AC refinement with
+    interleaved correction bits."""
+    from claude_readability_hook_spark.core.jpegcodec import (
+        encode_jpeg_gray_progressive,
+    )
+
+    for dims in [(8, 8), (16, 16), (24, 16), (13, 10), (40, 24)]:
+        pix = _grad(*dims)
+        jpg = encode_jpeg_gray_progressive(pix, quant=[1] * 64)
+        assert jpg.find(b"\xff\xc2") != -1 and jpg.count(b"\xff\xda") == 6
+        w, h, ch, raw = decode_jpeg(jpg)
+        assert (w, h, ch) == (dims[0], dims[1], 1)
+        base = decode_jpeg(encode_jpeg_gray(pix, quant=[1] * 64))[3]
+        assert raw == base
+
+
+def test_progressive_sparse_blocks_long_eob_runs():
+    """A nearly-empty image forces multi-block EOBn runs (the Annex-K
+    table can't encode them — the progressive encoder ships its own
+    flat AC table) — decode must still match baseline exactly."""
+    from claude_readability_hook_spark.core.jpegcodec import (
+        encode_jpeg_gray_progressive,
+    )
+
+    pix = [[0] * 64 for _ in range(64)]
+    pix[5][5] = 255
+    pix[50][33] = 128
+    got = decode_jpeg(encode_jpeg_gray_progressive(pix, quant=[1] * 64))[3]
+    want = decode_jpeg(encode_jpeg_gray(pix, quant=[1] * 64))[3]
+    assert got == want
+
+
+def test_progressive_standard_quant_lossy_bounds():
+    from claude_readability_hook_spark.core.jpegcodec import (
+        encode_jpeg_gray_progressive,
+    )
+
+    pix = _grad(16, 16, lambda x, y: min(255, x * 10 + y))
+    w, h, _, raw = decode_jpeg(encode_jpeg_gray_progressive(pix))
+    mean = sum(
+        abs(raw[y * w + x] - pix[y][x]) for y in range(h) for x in range(w)
+    ) / (w * h)
+    assert mean < 6.0
 
 
 def _color_tiles(w, h, tile=16):
