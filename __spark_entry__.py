@@ -228,6 +228,41 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Gopher-style n-gram overlap):
+    every 41st document stands in for the benchmark set; any corpus
+    doc sharing a distinct 5-gram with it is flagged. Benchmark side
+    broadcasts; the corpus-side shuffle carries (doc_id, long) only."""
+    from claude_readability_hook_spark.operators.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return decontaminate(docs, bench, n=5)
+
+
+def _decontaminate_oracle_sql() -> str:
+    return f"""
+        WITH src AS (
+          SELECT doc_id, {_NORM_SQL} AS text FROM documents
+        ),
+        tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM src),
+        gr AS (SELECT doc_id, {_shingles_sql(5)} AS gs FROM tok),
+        bench AS (
+          SELECT DISTINCT unnest(gs) AS ngram FROM gr WHERE doc_id % 41 = 0
+        ),
+        ex AS (SELECT doc_id, unnest(gs) AS ngram FROM gr),
+        hits AS (
+          SELECT doc_id, count(*) AS n FROM ex JOIN bench USING (ngram)
+          GROUP BY doc_id
+        )
+        SELECT g.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+               COALESCE(h.n, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents) g
+        LEFT JOIN hits h USING (doc_id)
+    """
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition curation signals over the planted-dups
     view (clones guarantee repeated content exists)."""
@@ -1426,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_flagship": q_extract_flagship,
         "media_video_demux": q_media_video_demux,  # new r4: ISO-BMFF demux
         "warc_ingest": q_warc_ingest,  # new r4: WARC walk hash-gated
+        "decontaminate": q_decontaminate,  # new r4: benchmark n-gram overlap
         # changed this round (dedup convergence, sampling floor,
         # index lifecycle, decode ladder)
         "dedup_clusters": q_dedup_clusters,
@@ -2485,6 +2521,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_stats": _media_audio_oracle_sql(),
         "media_video_demux": _media_video_oracle_sql(),
         "warc_ingest": _warc_ingest_oracle_sql(),
+        "decontaminate": _decontaminate_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -113,6 +113,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "media_audio_stats",
         "media_video_demux",
         "warc_ingest",
+        "decontaminate",
     ]
 
     times: dict[str, float] = {}
