@@ -49,10 +49,11 @@ def _decode_pdf(payload: bytes) -> list[Block]:
     via stdlib zlib (the same inflater the PNG codec's IDAT path uses —
     FlateDecode covers the overwhelming majority of real-world PDF
     content streams), and /Filter may be a NAME or an ARRAY chaining
-    ASCIIHexDecode / ASCII85Decode ahead of Flate (r3 verdict item 6 —
+    ASCIIHexDecode / ASCII85Decode ahead of Flate, plus LZWDecode
+    (TIFF-convention, EarlyChange=1) and RunLengthDecode (r3 item 6 —
     `[/FlateDecode]` single-element arrays and ASCII-armored Flate are
     the next-most-common real-corpus shapes). Filters the chain does
-    not know (DCT, LZW, RunLength, JBIG2…) still raise
+    not know (DCT, JBIG2, CCITT…) still raise
     NotImplementedError so decode_pdf falls back. No font metrics —
     width is approximated from the string length × font size."""
     import re
@@ -130,6 +131,31 @@ def _decode_pdf(payload: bytes) -> list[Block]:
                         body = base64.a85decode(data)
                     except ValueError as exc:
                         raise ValueError(f"bad ASCII85 stream: {exc}") from exc
+                elif name == b"LZWDecode":
+                    if b"/EarlyChange 0" in hdr:
+                        raise NotImplementedError("LZW EarlyChange 0")
+                    body = _lzw_decode(body)
+                elif name == b"RunLengthDecode":
+                    # PDF 7.4.5: L ≤ 127 → copy L+1 literal bytes;
+                    # L ≥ 129 → repeat next byte 257−L times; 128 = EOD
+                    out = bytearray()
+                    i = 0
+                    while i < len(body):
+                        L = body[i]
+                        if L == 128:
+                            break
+                        if L < 128:
+                            chunk = body[i + 1 : i + 2 + L]
+                            if len(chunk) != L + 1:
+                                raise ValueError("truncated RunLength literal")
+                            out += chunk
+                            i += 2 + L
+                        else:
+                            if i + 1 >= len(body):
+                                raise ValueError("truncated RunLength run")
+                            out += bytes([body[i + 1]]) * (257 - L)
+                            i += 2
+                    body = bytes(out)
                 else:
                     raise NotImplementedError(
                         f"unsupported PDF stream filter /{name.decode('latin-1')}"
@@ -171,6 +197,103 @@ def _decode_pdf(payload: bytes) -> list[Block]:
     if page < 0:
         raise NotImplementedError("no text content streams found")
     return blocks
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF 7.4.4 LZWDecode (TIFF-convention LZW): variable code width
+    9→12 bits MSB-first, Clear=256, EOD=257, EarlyChange=1 (the
+    default — the width bumps one code EARLY, at table sizes 511/1023/
+    2047). Pure stdlib; malformed streams raise ValueError."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if code < len(table) and (code < 256 or code > 257):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK case
+            else:
+                raise ValueError("bad LZW code")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # EarlyChange=1: grow width when the NEXT code would not fit
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # EOD-less streams end with the data
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Mirror encoder for _lzw_decode (tests/synthesize_pdf): emits
+    Clear, the code stream with the decoder's exact width schedule
+    (simulated decoder table length drives the 9→12 bumps), and EOD."""
+    CLEAR, EOD = 256, 257
+    bits: list[tuple[int, int]] = []
+    width = 9
+    sim_len = 258  # decoder-side table length, drives width bumps
+    first_after_clear = True
+
+    def emit(code: int) -> None:
+        nonlocal width, sim_len, first_after_clear
+        bits.append((code, width))
+        if code == CLEAR:
+            width = 9
+            sim_len = 258
+            first_after_clear = True
+            return
+        if not first_after_clear:
+            sim_len += 1
+        first_after_clear = False
+        if sim_len + 1 >= (1 << width) and width < 12:
+            width += 1
+
+    emit(CLEAR)
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        w = bytes([ch])
+        if next_code >= 4094:  # table nearly full: reset both sides
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+    if w:
+        emit(table[w])
+    emit(EOD)
+    out = bytearray()
+    acc = nbits = 0
+    for code, wd in bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _fake_decode(payload: bytes) -> list[Block]:
@@ -222,6 +345,8 @@ def synthesize_pdf(
       'flate_array'  /Filter [/FlateDecode]           (1-element array)
       'ahx_flate'    /Filter [/ASCIIHexDecode /FlateDecode]
       'a85_flate'    /Filter [/ASCII85Decode /FlateDecode]
+      'rle'          /Filter /RunLengthDecode (literal-run encoding)
+      'lzw'          /Filter /LZWDecode (TIFF LZW, EarlyChange=1)
 
     (array order is DECODE order, so the encoder applies Flate first,
     then the ASCII armor.) Round-trips through _decode_pdf exactly in
@@ -256,6 +381,18 @@ def synthesize_pdf(
         elif encoding == "a85_flate":
             body = base64.a85encode(zlib.compress(body)) + b"~>"
             filter_tag = b" /Filter [/ASCII85Decode /FlateDecode]"
+        elif encoding == "lzw":
+            body = _lzw_encode(body)
+            filter_tag = b" /Filter /LZWDecode"
+        elif encoding == "rle":
+            # naive literal-run RLE (always valid, rarely compressive)
+            out = bytearray()
+            for i in range(0, len(body), 127):
+                chunk = body[i : i + 127]
+                out += bytes([len(chunk) - 1]) + chunk
+            out.append(128)  # EOD
+            body = bytes(out)
+            filter_tag = b" /Filter /RunLengthDecode"
         else:
             raise ValueError(f"unknown encoding {encoding!r}")
         parts.append(

@@ -125,6 +125,66 @@ def test_progressive_sparse_blocks_long_eob_runs():
     assert got == want
 
 
+def test_progressive_color_interleaved_dc_scan():
+    """3-component progressive: the DC scan is INTERLEAVED (MCU order
+    across components — the one multi-component scan shape progressive
+    allows), AC scans are per-component. Hand-assembled flat-color
+    image: Y=200, neutral chroma ⇒ RGB≈200."""
+    from claude_readability_hook_spark.core.jpegcodec import (
+        AC_LUM_BITS,
+        AC_LUM_VALS,
+        DC_LUM_BITS,
+        DC_LUM_VALS,
+        _BitWriter,
+        _canonical_codes,
+    )
+
+    dc = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+
+    def put_dc(bw, diff):
+        size = 0 if diff == 0 else abs(diff).bit_length()
+        bits = diff if diff >= 0 else diff + (1 << size) - 1
+        code, length = dc[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+
+    # scan 1: interleaved DC first, Al=0 — one 8×8 block per component
+    bw1 = _BitWriter()
+    for val in (200, 128, 128):  # DC coefficient = 8*(val-128), diff from 0
+        put_dc(bw1, 8 * (val - 128))
+    dc_scan = bw1.flush()
+
+    # scans 2-4: per-component AC 1..63 first, Al=0 — all zero ⇒ EOB
+    def eob_scan():
+        bw = _BitWriter()
+        code, length = ac[0x00]
+        bw.write(code, length)
+        return bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 3)
+              + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        + seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+        + seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0]))  # DC interleaved
+        + dc_scan
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + eob_scan()
+        + seg(0xDA, bytes([1, 2, 0x00, 1, 63, 0])) + eob_scan()
+        + seg(0xDA, bytes([1, 3, 0x00, 1, 63, 0])) + eob_scan()
+        + b"\xff\xd9"
+    )
+    w, h, ch, raw = decode_jpeg(jpg)
+    assert (w, h, ch) == (8, 8, 3)
+    assert all(abs(b - 200) <= 1 for b in raw)
+
+
 def test_progressive_standard_quant_lossy_bounds():
     from claude_readability_hook_spark.core.jpegcodec import (
         encode_jpeg_gray_progressive,

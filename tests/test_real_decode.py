@@ -284,7 +284,7 @@ def test_filter_arrays_and_ascii_armor_decode_ok():
     ]
     want_text, want_status = pdf_to_text(synthesize_pdf(pages, compress=True))
     assert want_status == "ok"
-    for enc in ("flate_array", "ahx_flate", "a85_flate"):
+    for enc in ("flate_array", "ahx_flate", "a85_flate", "rle", "lzw"):
         text, status = pdf_to_text(synthesize_pdf(pages, encoding=enc))
         assert status == "ok", enc
         assert text == want_text, enc
