@@ -263,6 +263,45 @@ def _decontaminate_oracle_sql() -> str:
     """
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style duplicated-span scrub over the planted-dup
+    corpus: 10-token segments appearing in ≥2 distinct docs are
+    boilerplate, removed everywhere; output is the per-doc scrubbed-
+    text hash + segment counts. Text never shuffles (in-row segment +
+    reassembly; hash-only frequency pass; broadcast drop-index join)."""
+    from claude_readability_hook_spark.operators.spandedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    return remove_duplicated_spans(docs, min_docs=2, seg_tokens=10)
+
+
+def _remove_dup_spans_oracle_sql() -> str:
+    return f"""
+        WITH src AS ({_DUP_SQL}),
+        tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM src),
+        seg AS (SELECT doc_id, i.i AS idx,
+                       array_to_string(toks[10*i.i+1:10*i.i+10], ' ') AS seg
+                FROM tok, range(0, 4000) i(i)
+                WHERE 10*i.i < len(toks)),
+        freq AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS c
+                                  FROM seg GROUP BY seg) t WHERE c >= 2),
+        kept AS (SELECT s.doc_id, s.idx, s.seg FROM seg s
+                 LEFT JOIN freq f ON s.seg = f.seg WHERE f.seg IS NULL),
+        agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS clean,
+                       count(*) AS nk FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS ns FROM seg GROUP BY doc_id)
+        SELECT d.doc_id,
+               md5(COALESCE(a.clean, '')) AS clean_md5,
+               CAST(COALESCE(t.ns, 0) AS BIGINT) AS n_segs,
+               CAST(COALESCE(t.ns, 0) - COALESCE(a.nk, 0) AS BIGINT) AS n_dropped
+        FROM (SELECT doc_id FROM src) d
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition curation signals over the planted-dups
     view (clones guarantee repeated content exists)."""
@@ -1462,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_demux": q_media_video_demux,  # new r4: ISO-BMFF demux
         "warc_ingest": q_warc_ingest,  # new r4: WARC walk hash-gated
         "decontaminate": q_decontaminate,  # new r4: benchmark n-gram overlap
+        "remove_dup_spans": q_remove_dup_spans,  # new r4: C4-style span scrub
         # changed this round (dedup convergence, sampling floor,
         # index lifecycle, decode ladder)
         "dedup_clusters": q_dedup_clusters,
@@ -1512,10 +1552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,
         "windowed_counts": q_windowed_counts,
-        "content_hash": q_content_hash,
-        "so_parse_score": q_so_parse_score,
         # ---- position 51+: driver-green in BOTH r2 and r3, untouched
         # this round; covered every run by test_oracle_parity
+        "content_hash": q_content_hash,
+        "so_parse_score": q_so_parse_score,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
         "url_transforms": q_url_transforms,
@@ -2522,6 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         "media_video_demux": _media_video_oracle_sql(),
         "warc_ingest": _warc_ingest_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
+        "remove_dup_spans": _remove_dup_spans_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -114,6 +114,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "media_video_demux",
         "warc_ingest",
         "decontaminate",
+        "remove_dup_spans",
     ]
 
     times: dict[str, float] = {}

@@ -1,0 +1,114 @@
+"""Duplicated-span removal: scrub token spans that recur across many
+documents (C4 removes duplicated three-sentence spans; CCNet /
+RefinedWeb drop corpus-frequent lines — the public method family).
+Sentence/line structure isn't assumed: documents segment into
+fixed-width token windows and any segment appearing in ≥ min_docs
+DISTINCT documents is boilerplate, removed from every document.
+
+Scale shape (the point — document text must cross the wire at most in
+pieces, and only where unavoidable):
+
+  1. segmentation is IN-ROW: tokens → non-overlapping seg_tokens-wide
+     windows (trailing partial kept so text is fully covered), one
+     O(tokens) pass per doc
+  2. the frequency pass shuffles (md5(segment), doc-distinct) — hashes,
+     never segment text, with map-side partial aggregation
+  3. the blocklist (segments above threshold — heavy hitters, small by
+     construction) BROADCASTS back against the exploded hashes to find
+     per-doc drop indexes; the per-doc index sets aggregate on
+     (doc_id, int) rows
+  4. the final join puts the SMALL drop-index side on broadcast against
+     the docs table, and reassembly is in-row again (filter the
+     segment array by index, re-join) — full document text never
+     shuffles at any step
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textcommon import tokens_expr
+
+SEG_TOKENS = 10
+
+
+def segments_expr(text, seg_tokens: int = SEG_TOKENS):
+    """In-row segmentation: array of space-joined seg_tokens-wide
+    windows (last one may be shorter). DuckDB twin:
+      list_transform(range(0, cdiv(len(toks), W)),
+                     i -> array_to_string(toks[W*i+1 : W*i+W], ' '))
+    """
+    def make(ts):
+        n_segs = F.ceil(F.size(ts) / seg_tokens).cast("int")
+        return F.when(
+            F.size(ts) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ts, i * seg_tokens + 1, seg_tokens)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # array+transform let-trick: bind tokens once (CollapseProject would
+    # otherwise re-split the text per segment — see textcommon)
+    return F.transform(F.array(tokens_expr(text)), make)[0]
+
+
+def frequent_segments(
+    docs: DataFrame,
+    min_docs: int = 3,
+    seg_tokens: int = SEG_TOKENS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(seg_md5, n_docs) for segments in ≥ min_docs distinct docs —
+    the boilerplate blocklist. Shuffle carries hashes only."""
+    seg = docs.select(
+        "doc_id",
+        F.explode(segments_expr(F.col(text_col), seg_tokens)).alias("seg"),
+    ).select("doc_id", F.md5(F.col("seg")).alias("seg_md5"))
+    return (
+        seg.groupBy("seg_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    min_docs: int = 3,
+    seg_tokens: int = SEG_TOKENS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clean_md5, n_segs, n_dropped): every corpus-frequent
+    segment removed from every document, remaining segments re-joined
+    in original order. clean_md5 hashes the scrubbed text (narrow
+    output — callers wanting the text itself apply the same in-row
+    filter in their write pass)."""
+    seg_arr = segments_expr(F.col(text_col), seg_tokens)
+    with_segs = docs.select("doc_id", seg_arr.alias("segs"))
+    exploded = with_segs.select(
+        "doc_id",
+        F.posexplode(F.col("segs")).alias("idx", "seg"),
+    ).select("doc_id", "idx", F.md5(F.col("seg")).alias("seg_md5"))
+    block = frequent_segments(docs, min_docs, seg_tokens, text_col).select("seg_md5")
+    drops = (
+        exploded.join(F.broadcast(block), "seg_md5")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("idx")).alias("drop_idxs"))
+    )
+    joined = with_segs.join(F.broadcast(drops), "doc_id", "left").select(
+        "doc_id",
+        "segs",
+        F.coalesce(F.col("drop_idxs"), F.array().cast("array<int>")).alias("di"),
+    )
+    kept = F.filter(
+        F.col("segs"), lambda s, i: ~F.array_contains(F.col("di"), i.cast("int"))
+    )
+    return joined.select(
+        "doc_id",
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+        F.size("segs").cast("long").alias("n_segs"),
+        F.size("di").cast("long").alias("n_dropped"),
+    )
