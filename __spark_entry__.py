@@ -302,6 +302,92 @@ def _remove_dup_spans_oracle_sql() -> str:
     """
 
 
+def _pii_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII planted (the corpus itself is
+    PII-free): every 7th doc gains an email, 11th an IPv4, 13th a
+    phone — exercising all three redactors plus untouched docs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    text = F.col("text")
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(text, F.lit(" contact bob"), F.col("doc_id"), F.lit("@example.com")),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            text,
+            F.lit(" server 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            text,
+            F.lit(" call 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(text)
+    return docs.select("doc_id", text.alias("text"))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction scrub: emails/IPv4s/phones → typed tokens, hit
+    counts per doc. Pure codegen regex chain — a scan free-rider."""
+    from claude_readability_hook_spark.operators.pii import redact_pii
+
+    return redact_pii(_pii_augmented_docs(spark, sf_dir))
+
+
+def _redact_pii_oracle_sql() -> str:
+    from claude_readability_hook_spark.operators.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' contact bob' || doc_id::VARCHAR || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' server 192.168.' || (doc_id % 256)::VARCHAR
+                              || '.' || (doc_id % 100)::VARCHAR
+                         ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                         THEN ' call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                         ELSE '' END AS text
+          FROM documents
+        ),
+        stage AS (
+          SELECT doc_id, text,
+                 regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS t1
+          FROM aug
+        ),
+        stage2 AS (
+          SELECT *, regexp_replace(t1, '{IPV4_RE}', '{IP_TOKEN}', 'g') AS t2
+          FROM stage
+        )
+        SELECT doc_id,
+               md5(regexp_replace(t2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g')) AS clean_md5,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+               (len(regexp_extract_all(text, '{EMAIL_RE}'))
+                + len(regexp_extract_all(t1, '{IPV4_RE}'))
+                + len(regexp_extract_all(t2, '{PHONE_RE}'))) > 0 AS has_pii
+        FROM stage2
+    """
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition curation signals over the planted-dups
     view (clones guarantee repeated content exists)."""
@@ -1502,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,  # new r4: WARC walk hash-gated
         "decontaminate": q_decontaminate,  # new r4: benchmark n-gram overlap
         "remove_dup_spans": q_remove_dup_spans,  # new r4: C4-style span scrub
+        "redact_pii": q_redact_pii,  # new r4: PII scrub (email/IP/phone)
         # changed this round (dedup convergence, sampling floor,
         # index lifecycle, decode ladder)
         "dedup_clusters": q_dedup_clusters,
@@ -1551,9 +1638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,
-        "windowed_counts": q_windowed_counts,
         # ---- position 51+: driver-green in BOTH r2 and r3, untouched
         # this round; covered every run by test_oracle_parity
+        "windowed_counts": q_windowed_counts,
         "content_hash": q_content_hash,
         "so_parse_score": q_so_parse_score,
         "quality_score_a1": q_quality_score_a1,
@@ -2563,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _warc_ingest_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),
+        "redact_pii": _redact_pii_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -115,6 +115,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "warc_ingest",
         "decontaminate",
         "remove_dup_spans",
+        "redact_pii",
     ]
 
     times: dict[str, float] = {}
