@@ -92,7 +92,14 @@ def remove_duplicated_spans(
         "doc_id",
         F.posexplode(F.col("segs")).alias("idx", "seg"),
     ).select("doc_id", "idx", F.md5(F.col("seg")).alias("seg_md5"))
-    block = frequent_segments(docs, min_docs, seg_tokens, text_col).select("seg_md5")
+    # the frequency pass derives from the SAME exploded hashes (one
+    # segmentation of the corpus, not two)
+    block = (
+        exploded.groupBy("seg_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg_md5")
+    )
     drops = (
         exploded.join(F.broadcast(block), "seg_md5")
         .groupBy("doc_id")
