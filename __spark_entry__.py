@@ -1352,6 +1352,72 @@ def _media_video_oracle_sql() -> str:
 WARC_ORACLE_DOCS = 24  # 12 per segment: one plain, one member-gzip
 
 
+FRAME_ORACLE_REFS = 32
+
+
+def q_media_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gate on REAL video-frame decode (MJPEG-in-MP4): demux →
+    seek to each sample's byte offset → JPEG-decode the frame →
+    luminance histogram. Synthesized frames are flat gray (value
+    (seed·7 + 31·i) mod 256), which survive the unit-quant DCT round
+    trip EXACTLY — so every decoded histogram is arithmetic in the ref
+    string and DuckDB recomputes it without touching MP4 or JPEG
+    bytes. Any drift in the demux offsets, the JPEG entropy decode, or
+    the histogram breaks the hash."""
+    from claude_readability_hook_spark.operators.multimodal import (
+        extract_video_frames,
+        synthesize_media_table,
+    )
+
+    refs = [f"mj:{i}" for i in range(FRAME_ORACLE_REFS)]
+    media = synthesize_media_table(spark, refs, real_mjpeg=True)
+    frames = extract_video_frames(media, sync_only=False)
+    return frames.select(
+        "media_ref",
+        "sample_idx",
+        "timestamp_ms",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "frame_ok",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"b{i}")
+            for i in range(16)
+        ],
+    )
+
+
+def _media_frame_oracle_sql() -> str:
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    buckets = ",\n               ".join(
+        f"CASE WHEN ((seed * 7 + 31 * idx) % 256) // 16 = {i} "
+        f"THEN 1.0 ELSE 0.0 END AS b{i}"
+        for i in range(16)
+    )
+    return f"""
+        WITH refs AS (
+          SELECT 'mj:' || i::VARCHAR AS media_ref
+          FROM range(0, {FRAME_ORACLE_REFS}) t(i)
+        ),
+        s AS (SELECT media_ref, {asciisum} AS seed FROM refs),
+        fr AS (
+          SELECT media_ref, seed, i.i AS idx
+          FROM s, range(0, 8) i(i)
+          WHERE i.i < 3 + seed % 3
+        )
+        SELECT media_ref,
+               CAST(idx AS BIGINT) AS sample_idx,
+               CAST(40 * idx AS BIGINT) AS timestamp_ms,
+               CAST(16 AS BIGINT) AS width,
+               CAST(16 AS BIGINT) AS height,
+               'ok' AS frame_ok,
+               {buckets}
+        FROM fr
+    """
+
+
 def _warc_oracle_dir() -> str:
     """Deterministic synthesized WARC segments for the warc_ingest
     oracle (one plain segment + one member-per-record gzip segment —
@@ -1585,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship + round-4 new operators
         "extract_flagship": q_extract_flagship,
         "media_video_demux": q_media_video_demux,  # new r4: ISO-BMFF demux
+        "media_frame_decode": q_media_frame_decode,  # new r4: MJPEG frame decode
         "warc_ingest": q_warc_ingest,  # new r4: WARC walk hash-gated
         "decontaminate": q_decontaminate,  # new r4: benchmark n-gram overlap
         "remove_dup_spans": q_remove_dup_spans,  # new r4: C4-style span scrub
@@ -1637,9 +1704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
-        "sessionize_salted": q_sessionize_salted,
         # ---- position 51+: driver-green in BOTH r2 and r3, untouched
         # this round; covered every run by test_oracle_parity
+        "sessionize_salted": q_sessionize_salted,
         "windowed_counts": q_windowed_counts,
         "content_hash": q_content_hash,
         "so_parse_score": q_so_parse_score,
@@ -2647,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_oracle_sql(),
         "media_audio_stats": _media_audio_oracle_sql(),
         "media_video_demux": _media_video_oracle_sql(),
+        "media_frame_decode": _media_frame_oracle_sql(),
         "warc_ingest": _warc_ingest_oracle_sql(),
         "decontaminate": _decontaminate_oracle_sql(),
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),

@@ -116,6 +116,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "decontaminate",
         "remove_dup_spans",
         "redact_pii",
+        "media_frame_decode",
     ]
 
     times: dict[str, float] = {}

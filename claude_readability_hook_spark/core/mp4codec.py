@@ -265,23 +265,33 @@ MDAT_DATA_START = len(FTYP) + 8  # 28: first sample's absolute offset
 
 
 def encode_minimal_mp4(
-    sample_sizes: list[int],
+    sample_sizes: list[int] | None = None,
     seed: int = 0,
     delta: int = 40,
     timescale: int = 1000,
     handler: bytes = b"vide",
     sync_every: int = 2,
+    sample_payloads: list[bytes] | None = None,
 ) -> bytes:
-    """Deterministic minimal MP4: ftyp + mdat (samples back-to-back,
-    bytes seeded arithmetically) + moov with one track whose sample
-    tables describe exactly those samples — one chunk at
-    MDAT_DATA_START, per-sample sizes (stsz), constant delta (stts),
-    every `sync_every`-th sample a keyframe (stss). The demuxer gets
-    REAL offsets it can verify byte-for-byte."""
+    """Deterministic minimal MP4: ftyp + mdat (samples back-to-back)
+    + moov with one track whose sample tables describe exactly those
+    samples — one chunk at MDAT_DATA_START, per-sample sizes (stsz),
+    constant delta (stts), every `sync_every`-th sample a keyframe
+    (stss). Sample bytes are either seeded filler (sample_sizes) or
+    REAL codec payloads (sample_payloads — e.g. JPEG frames, making
+    the container an MJPEG-style video a downstream frame decoder can
+    actually decode). The demuxer gets REAL offsets it can verify
+    byte-for-byte."""
+    if sample_payloads is not None:
+        sample_sizes = [len(p) for p in sample_payloads]
+        payload = bytearray(b"".join(sample_payloads))
+    else:
+        if sample_sizes is None:
+            raise ValueError("need sample_sizes or sample_payloads")
+        payload = bytearray()
+        for i, sz in enumerate(sample_sizes):
+            payload += bytes((seed + 31 * i + j) % 256 for j in range(sz))
     n = len(sample_sizes)
-    payload = bytearray()
-    for i, sz in enumerate(sample_sizes):
-        payload += bytes((seed + 31 * i + j) % 256 for j in range(sz))
     mdat = _box(b"mdat", bytes(payload))
 
     duration = n * delta

@@ -354,6 +354,108 @@ def demux_video_samples(media: DataFrame, sync_only: bool = False) -> DataFrame:
     )
 
 
+VIDEO_FRAMES = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("sample_idx", LongType(), True),
+        StructField("timestamp_ms", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+        StructField("frame_ok", StringType(), False),  # ok | stubbed | error
+    ]
+)
+
+
+def extract_video_frames(
+    media: DataFrame, sync_only: bool = True, max_frames: int = 8
+) -> DataFrame:
+    """REAL frame decode where the contained codec is one we carry:
+    demux the MP4 sample table (core/mp4codec.py), seek to each
+    (sync) sample's byte offset, and decode the frame bytes with the
+    image ladder (JPEG — i.e. MJPEG-in-MP4 — or PNG-in-MP4), emitting
+    per-frame dimensions + luminance-histogram features. Frames in
+    codecs we don't carry (H.264/H.265 et al.) degrade per-FRAME to
+    frame_ok='stubbed' — the sampling metadata stays real, only the
+    pixel decode falls back. sync_only keeps keyframes (for MJPEG
+    every frame is independently decodable, but the policy mirrors
+    what an inter-frame codec would allow); max_frames bounds work
+    per document. Scan-side mapInPandas as ever: payloads never
+    shuffle, output is narrow (16 floats + metadata per frame)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.imagecodec import image_luminance_histogram
+        from ..core.jpegcodec import decode_jpeg, is_jpeg
+        from ..core.mp4codec import demux_mp4, is_mp4
+
+        def frame_row(ref, idx, ts, raw):
+            rec = {
+                "media_ref": ref, "sample_idx": idx, "timestamp_ms": ts,
+                "width": None, "height": None, "feature": None,
+                "frame_ok": "stubbed",
+            }
+            try:
+                if is_jpeg(raw):
+                    w, h, _ch, _px = decode_jpeg(raw)
+                    rec.update(
+                        width=w, height=h,
+                        feature=image_luminance_histogram(raw, FEATURE_DIM),
+                        frame_ok="ok",
+                    )
+                elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    from ..core.imagecodec import decode_png
+
+                    w, h, _ch, _px = decode_png(raw)
+                    rec.update(
+                        width=w, height=h,
+                        feature=image_luminance_histogram(raw, FEATURE_DIM),
+                        frame_ok="ok",
+                    )
+            except NotImplementedError:
+                pass
+            except Exception as exc:  # noqa: BLE001 — poison isolation
+                rec["frame_ok"] = f"frame error: {type(exc).__name__}"
+            return rec
+
+        for batch in batches:
+            records = []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if not is_mp4(raw):
+                    records.append(frame_row(ref, None, None, b""))
+                    continue
+                try:
+                    parsed = demux_mp4(raw)
+                    vid = [t for t in parsed["tracks"] if t["handler"] == "vide"]
+                    if not vid:
+                        records.append(frame_row(ref, None, None, b""))
+                        continue
+                    emitted = 0
+                    for i, (off, size, ts, sync) in enumerate(vid[0]["samples"]):
+                        if sync_only and not sync:
+                            continue
+                        if emitted >= max_frames:
+                            break
+                        records.append(frame_row(ref, i, ts, raw[off : off + size]))
+                        emitted += 1
+                except NotImplementedError:
+                    records.append(frame_row(ref, None, None, b""))
+                except Exception as exc:  # noqa: BLE001
+                    records.append(
+                        dict(
+                            frame_row(ref, None, None, b""),
+                            frame_ok=f"demux error: {type(exc).__name__}",
+                        )
+                    )
+            yield pd.DataFrame.from_records(records)
+
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_ref", "payload")
+        .mapInPandas(decode, schema=VIDEO_FRAMES)
+    )
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Metadata-only frame-sampling fallback for video payloads whose
     container demux_video_samples cannot walk (non-ISO-BMFF,
@@ -404,6 +506,7 @@ def synthesize_media_table(
     real_wav: bool = False,
     real_jpeg_420: bool = False,
     real_mp4: bool = False,
+    real_mjpeg: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
@@ -417,6 +520,34 @@ def synthesize_media_table(
     rows = []
     for ref in refs:
         seed = sum(ref.encode())
+        if real_mjpeg:
+            # MJPEG-in-MP4: every sample is a real flat-gray JPEG frame
+            # (flat fields survive the unit-quant DCT round trip
+            # EXACTLY, so frame features are arithmetic in the seed —
+            # the media_frame_decode oracle mirrors this)
+            from ..core.jpegcodec import encode_jpeg_gray
+            from ..core.mp4codec import encode_minimal_mp4
+
+            n = 3 + seed % 3
+            frames = [
+                encode_jpeg_gray(
+                    [[(seed * 7 + i * 31) % 256] * 16 for _ in range(16)],
+                    quant=[1] * 64,
+                )
+                for i in range(n)
+            ]
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "modality": "video",
+                    "payload": encode_minimal_mp4(sample_payloads=frames),
+                    "width": 16,
+                    "height": 16,
+                    "duration_ms": 40 * n,
+                    "mime": "video/mp4",
+                }
+            )
+            continue
         if real_mp4:
             from ..core.mp4codec import encode_minimal_mp4
 

@@ -117,6 +117,59 @@ def test_spark_demux_video_samples_ok_and_sync_only(spark):
     )
 
 
+def test_extract_video_frames_mjpeg_real_decode(spark):
+    """Frame DECODE is real for MJPEG-in-MP4: demux offsets → JPEG
+    entropy decode → luminance features; flat frames decode exactly,
+    so each histogram is a point mass at value//16."""
+    from claude_readability_hook_spark.operators.multimodal import (
+        extract_video_frames,
+        synthesize_media_table,
+    )
+
+    refs = [f"mj:{i}" for i in range(3)]
+    media = synthesize_media_table(spark, refs, real_mjpeg=True)
+    rows = extract_video_frames(media, sync_only=False).collect()
+    assert rows and all(r["frame_ok"] == "ok" for r in rows)
+    for r in rows:
+        seed = sum(r["media_ref"].encode())
+        v = (seed * 7 + 31 * r["sample_idx"]) % 256
+        assert (r["width"], r["height"]) == (16, 16)
+        assert abs(r["feature"][v // 16] - 1.0) < 1e-6
+        assert r["timestamp_ms"] == 40 * r["sample_idx"]
+    # sync-only keeps every 2nd frame (the keyframe policy)
+    sync_rows = extract_video_frames(media, sync_only=True).collect()
+    assert all(r["sample_idx"] % 2 == 0 for r in sync_rows)
+    assert 0 < len(sync_rows) < len(rows)
+
+
+def test_extract_video_frames_unknown_codec_stubs_per_frame(spark):
+    """Samples whose bytes aren't a codec we carry (H.264-style) keep
+    real demux metadata but frame_ok='stubbed' — only the pixel decode
+    degrades."""
+    from pyspark.sql import functions as F
+
+    from claude_readability_hook_spark.operators.multimodal import (
+        MEDIA,
+        extract_video_frames,
+    )
+
+    mp4 = encode_minimal_mp4([60, 60], seed=3)  # filler samples, not JPEG
+    df = spark.createDataFrame(
+        [
+            {
+                "media_ref": "h264ish", "modality": "video", "payload": mp4,
+                "width": None, "height": None, "duration_ms": 80,
+                "mime": "video/mp4",
+            }
+        ],
+        schema=MEDIA,
+    )
+    rows = extract_video_frames(df, sync_only=False).collect()
+    assert len(rows) == 2
+    assert all(r["frame_ok"] == "stubbed" and r["feature"] is None for r in rows)
+    assert [r["timestamp_ms"] for r in sorted(rows, key=lambda r: r["sample_idx"])] == [0, 40]
+
+
 def test_spark_demux_stubs_non_mp4_payloads(spark):
     from claude_readability_hook_spark.operators.multimodal import (
         demux_video_samples,
