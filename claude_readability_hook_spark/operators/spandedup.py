@@ -84,8 +84,33 @@ def remove_duplicated_spans(
     """(doc_id, clean_md5, n_segs, n_dropped): every corpus-frequent
     segment removed from every document, remaining segments re-joined
     in original order. clean_md5 hashes the scrubbed text (narrow
-    output — callers wanting the text itself apply the same in-row
-    filter in their write pass)."""
+    output for the audit/oracle path; scrub_duplicated_spans below is
+    the write-path variant returning the text itself)."""
+    kept = _kept_segments(docs, min_docs, seg_tokens, text_col)
+    return kept.select(
+        "doc_id",
+        F.md5(F.array_join(F.col("kept"), " ")).alias("clean_md5"),
+        F.size("segs").cast("long").alias("n_segs"),
+        F.size("di").cast("long").alias("n_dropped"),
+    )
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame,
+    min_docs: int = 3,
+    seg_tokens: int = SEG_TOKENS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text): the scrubbed text itself — the write-path twin
+    of remove_duplicated_spans (same plan, same broadcast shape; the
+    reassembled text stays on its scan partitions)."""
+    kept = _kept_segments(docs, min_docs, seg_tokens, text_col)
+    return kept.select("doc_id", F.array_join(F.col("kept"), " ").alias(text_col))
+
+
+def _kept_segments(
+    docs: DataFrame, min_docs: int, seg_tokens: int, text_col: str
+) -> DataFrame:
     seg_arr = segments_expr(F.col(text_col), seg_tokens)
     with_segs = docs.select("doc_id", seg_arr.alias("segs"))
     exploded = with_segs.select(
@@ -113,9 +138,4 @@ def remove_duplicated_spans(
     kept = F.filter(
         F.col("segs"), lambda s, i: ~F.array_contains(F.col("di"), i.cast("int"))
     )
-    return joined.select(
-        "doc_id",
-        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
-        F.size("segs").cast("long").alias("n_segs"),
-        F.size("di").cast("long").alias("n_dropped"),
-    )
+    return joined.select("doc_id", "segs", "di", kept.alias("kept"))

@@ -9,13 +9,17 @@ cluster).
         --input  /path/to/documents-dir \
         --output /path/to/out \
         [--cap-per-source 10000] [--val-fraction 0.1] [--langs en] \
-        [--dedup minhash|exact|none] [--manifest-only]
+        [--dedup minhash|exact|none] [--manifest-only] \
+        [--decontaminate bench.parquet] [--redact-pii] [--scrub-spans 3]
 
 Pipeline (all narrow joins on doc_id — text never travels past the
 gate): curation gate (language ∧ quality ∧ not-exact-dup-loser) →
-deterministic train/val split → per-source cap → manifest parquet, and
-unless --manifest-only, the kept TRAIN documents as gzip JSONL shards.
-Prints one JSON summary line."""
+deterministic train/val split → per-source cap → optional benchmark
+decontamination (n-gram overlap, broadcast bench side) → manifest
+parquet, and unless --manifest-only, the kept TRAIN documents as gzip
+JSONL shards — optionally span-scrubbed (C4-style duplicated-span
+removal) and PII-redacted on the way out. Prints one JSON summary
+line."""
 
 from __future__ import annotations
 
@@ -32,6 +36,25 @@ def main() -> None:
     parser.add_argument("--langs", default="en", help="comma-separated keep set")
     parser.add_argument("--shard-rows", type=int, default=100_000)
     parser.add_argument("--manifest-only", action="store_true")
+    parser.add_argument(
+        "--decontaminate",
+        metavar="BENCH_PARQUET",
+        help="drop docs sharing any 5-gram with this benchmark set "
+        "(GPT-3/Gopher-style n-gram decontamination)",
+    )
+    parser.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="replace emails/IPs/phones with typed tokens in exported text",
+    )
+    parser.add_argument(
+        "--scrub-spans",
+        type=int,
+        metavar="MIN_DOCS",
+        default=0,
+        help="remove 10-token spans recurring in >= MIN_DOCS docs "
+        "(C4-style duplicated-span scrub) before export",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,9 +82,21 @@ def main() -> None:
     )
     capped = cap_per_source(docs, max_docs=args.cap_per_source)
 
+    n_contaminated = 0
     manifest = kept.join(split, "doc_id").join(capped, "doc_id").select(
         "doc_id", "source", "lang_pred", "split"
     )
+    if args.decontaminate:
+        # benchmark side broadcasts; contaminated docs leave the
+        # manifest entirely (the conservative policy)
+        from claude_readability_hook_spark.operators.decontam import decontaminate
+
+        bench = spark.read.parquet(args.decontaminate).select("doc_id", "text")
+        flags = decontaminate(docs.select("doc_id", "text"), bench, n=5)
+        clean_ids = flags.filter(~F.col("contaminated")).select("doc_id")
+        before = manifest.count()
+        manifest = manifest.join(clean_ids, "doc_id", "left_semi")
+        n_contaminated = before - manifest.count()
     manifest.write.mode("overwrite").parquet(f"{args.output}/manifest")
     manifest = spark.read.parquet(f"{args.output}/manifest")
 
@@ -75,10 +110,23 @@ def main() -> None:
         # exporter by shaping docs as single-text-span rows
         from claude_readability_hook_spark.sources.export import export_jsonl_shards
 
+        doc_texts = docs.select("doc_id", "text")
+        if args.scrub_spans:
+            from claude_readability_hook_spark.operators.spandedup import (
+                scrub_duplicated_spans,
+            )
+
+            doc_texts = scrub_duplicated_spans(doc_texts, min_docs=args.scrub_spans)
+        if args.redact_pii:
+            from claude_readability_hook_spark.operators.pii import redact_text_expr
+
+            doc_texts = doc_texts.select(
+                "doc_id", redact_text_expr(F.col("text")).alias("text")
+            )
         train_docs = (
             manifest.filter(F.col("split") == "train")
             .select("doc_id", "lang_pred")
-            .join(docs.select("doc_id", "text"), "doc_id")
+            .join(doc_texts, "doc_id")
             .select(
                 "doc_id",
                 F.col("lang_pred").alias("title"),
@@ -106,6 +154,7 @@ def main() -> None:
                 "manifest_rows": n_manifest,
                 "train_rows": n_train,
                 "val_rows": n_manifest - n_train,
+                "contaminated_dropped": n_contaminated,
                 "export_shards": n_shards,
             }
         )

@@ -67,3 +67,58 @@ def test_curate_job_manifest_and_shards(tmp_path):
                 assert rec["text"] and rec["engine"] == "curate"
                 rows += 1
     assert rows == summary["train_rows"]
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_curate_job_scrub_stages(tmp_path):
+    """The round-4 scrub stages through the real launch surface:
+    --decontaminate drops docs overlapping the benchmark set,
+    --scrub-spans removes corpus-frequent spans, --redact-pii rewrites
+    exported text — all in one spark-submit run."""
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    out_dir = str(tmp_path / "out")
+    bench = str(tmp_path / "bench.parquet")
+    duckdb.sql(
+        "COPY (SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "WHERE doc_id % 50 = 0) TO '" + bench + "' (FORMAT PARQUET)"
+    )
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", pkg_zip,
+            os.path.join(root, "jobs", "curate_job.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_dir,
+            "--cap-per-source", "500",
+            "--shard-rows", "200",
+            "--decontaminate", bench,
+            "--redact-pii",
+            "--scrub-spans", "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # the benchmark docs ARE corpus docs, so at least they get dropped
+    assert summary["contaminated_dropped"] >= 1
+    assert summary["manifest_rows"] + summary["contaminated_dropped"] <= 500
+    rows = 0
+    for path in glob.glob(f"{out_dir}/shards/part-*.json.gz"):
+        with gzip.open(path, "rt") as fh:
+            for line in fh:
+                rec = json.loads(line)  # text may be "" after span scrub
+                assert rec["engine"] == "curate"
+                rows += 1
+    assert rows == summary["train_rows"]
