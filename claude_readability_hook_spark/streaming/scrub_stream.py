@@ -1,0 +1,79 @@
+"""Streaming corpus scrubbing at ingest: PII redaction (stateless) and
+benchmark decontamination applied to documents as they arrive — before
+extraction or storage ever sees dirty text.
+
+Two Structured-Streaming shapes, each the canonical one for its
+operator class:
+
+  stream_redact_pii      pure Column expressions (operators/pii.py)
+                         map 1:1 onto a streaming DataFrame —
+                         stateless, no watermark, no state store; the
+                         scrub costs the same regex chain it costs in
+                         batch.
+  maintain_clean_corpus  foreachBatch: each micro-batch is a batch
+                         DataFrame, so the UNCHANGED batch operator
+                         (operators/decontam.decontaminate, benchmark
+                         side broadcast) runs per batch and the result
+                         splits into a clean sink and a quarantine
+                         sink carrying hit counts (audit trail) — the
+                         same batch/stream code-sharing contract as
+                         streaming/index_stream.py. Contamination is a
+                         per-document property, so per-batch
+                         evaluation is exact: no cross-batch state
+                         exists to lose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.decontam import DECONTAM_NGRAM, decontaminate
+from ..operators.pii import redact_text_expr
+
+
+def stream_redact_pii(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless streaming PII scrub: same typed-token rewrite as the
+    batch operator, applied per record as it arrives."""
+    return stream.withColumn(text_col, redact_text_expr(F.col(text_col)))
+
+
+def maintain_clean_corpus(
+    stream: DataFrame,
+    bench: DataFrame,
+    clean_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    n: int = DECONTAM_NGRAM,
+    redact: bool = True,
+    text_col: str = "text",
+):
+    """Start the ingest-scrub query: per micro-batch, flag docs
+    sharing any word n-gram with the static benchmark set; clean docs
+    (optionally PII-redacted) append to `clean_dir`, flagged docs to
+    `quarantine_dir` with their hit counts. Returns the streaming
+    query (availableNow, so callers can run it to completion over a
+    backfill directory and await termination)."""
+
+    def per_batch(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        flags = decontaminate(batch, bench, n=n, text_col=text_col)
+        tagged = batch.join(flags, "doc_id")
+        clean = tagged.filter(~F.col("contaminated")).drop("n_hits", "contaminated")
+        if redact:
+            clean = clean.withColumn(text_col, redact_text_expr(F.col(text_col)))
+        clean.write.mode("append").parquet(clean_dir)
+        (
+            tagged.filter(F.col("contaminated"))
+            .select("doc_id", "n_hits")
+            .write.mode("append")
+            .parquet(quarantine_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
