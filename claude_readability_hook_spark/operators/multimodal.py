@@ -507,6 +507,7 @@ def synthesize_media_table(
     real_jpeg_420: bool = False,
     real_mp4: bool = False,
     real_mjpeg: bool = False,
+    real_jpeg_prog: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
@@ -622,6 +623,14 @@ def synthesize_media_table(
 
             w, h = 16 + seed % 16, 16
             payload = encode_jpeg_gray(
+                [[(seed + x * 7 + y * 13) % 256 for x in range(w)] for y in range(h)]
+            )
+            mime = "image/jpeg"
+        elif real_jpeg_prog:
+            from ..core.jpegcodec import encode_jpeg_gray_progressive
+
+            w, h = 16 + seed % 16, 16
+            payload = encode_jpeg_gray_progressive(
                 [[(seed + x * 7 + y * 13) % 256 for x in range(w)] for y in range(h)]
             )
             mime = "image/jpeg"

@@ -378,6 +378,24 @@ def test_media_features_420_jpeg_decode_ok(spark):
     assert all(t["resize_ok"] == "ok" for t in thumbs)
 
 
+def test_media_features_progressive_jpeg_decode_ok(spark):
+    """Progressive (SOF2) streams through the SPARK ladder: the claim
+    'progressive decodes' is ladder-real, not codec-only."""
+    from claude_readability_hook_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(
+        spark, [f"jp:{i}" for i in range(3)], real_jpeg_prog=True
+    )
+    rows = extract_media_features(media).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["decode_ok"] == "ok"
+        assert r["feature"] is not None and abs(sum(r["feature"]) - 1.0) < 1e-5
+
+
 def test_media_features_real_jpeg_decode_ok(spark):
     from claude_readability_hook_spark.operators.multimodal import (
         extract_media_features,
