@@ -17,10 +17,18 @@ pieces, and only where unavoidable):
      construction) BROADCASTS back against the exploded hashes to find
      per-doc drop indexes; the per-doc index sets aggregate on
      (doc_id, int) rows
-  4. the final join puts the SMALL drop-index side on broadcast against
-     the docs table, and reassembly is in-row again (filter the
-     segment array by index, re-join) — full document text never
-     shuffles at any step
+  4. the final join puts the drop-index side against the docs table
+     and reassembly is in-row again (filter the segment array by
+     index, re-join). Join regime is explicit: the drop-index table
+     has one row per AFFECTED document, so it broadcasts only while
+     boilerplate touches a memory-bounded subset of the corpus
+     (broadcast_drops=True, the default and the common case for
+     targeted scrubs). Corpus-wide boilerplate at 10^12 docs makes
+     that side too big to broadcast — broadcast_drops=False lets
+     AQE pick, and the segmented text then shuffles ONCE on doc_id
+     (the irreducible reassembly cost; co-located/bucketed storage on
+     doc_id — sources/catalog.py's bucketed seam — removes even that
+     exchange).
 """
 
 from __future__ import annotations
@@ -80,13 +88,14 @@ def remove_duplicated_spans(
     min_docs: int = 3,
     seg_tokens: int = SEG_TOKENS,
     text_col: str = "text",
+    broadcast_drops: bool = True,
 ) -> DataFrame:
     """(doc_id, clean_md5, n_segs, n_dropped): every corpus-frequent
     segment removed from every document, remaining segments re-joined
     in original order. clean_md5 hashes the scrubbed text (narrow
     output for the audit/oracle path; scrub_duplicated_spans below is
     the write-path variant returning the text itself)."""
-    kept = _kept_segments(docs, min_docs, seg_tokens, text_col)
+    kept = _kept_segments(docs, min_docs, seg_tokens, text_col, broadcast_drops)
     return kept.select(
         "doc_id",
         F.md5(F.array_join(F.col("kept"), " ")).alias("clean_md5"),
@@ -100,16 +109,21 @@ def scrub_duplicated_spans(
     min_docs: int = 3,
     seg_tokens: int = SEG_TOKENS,
     text_col: str = "text",
+    broadcast_drops: bool = True,
 ) -> DataFrame:
     """(doc_id, text): the scrubbed text itself — the write-path twin
     of remove_duplicated_spans (same plan, same broadcast shape; the
     reassembled text stays on its scan partitions)."""
-    kept = _kept_segments(docs, min_docs, seg_tokens, text_col)
+    kept = _kept_segments(docs, min_docs, seg_tokens, text_col, broadcast_drops)
     return kept.select("doc_id", F.array_join(F.col("kept"), " ").alias(text_col))
 
 
 def _kept_segments(
-    docs: DataFrame, min_docs: int, seg_tokens: int, text_col: str
+    docs: DataFrame,
+    min_docs: int,
+    seg_tokens: int,
+    text_col: str,
+    broadcast_drops: bool = True,
 ) -> DataFrame:
     seg_arr = segments_expr(F.col(text_col), seg_tokens)
     with_segs = docs.select("doc_id", seg_arr.alias("segs"))
@@ -130,7 +144,8 @@ def _kept_segments(
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("idx")).alias("drop_idxs"))
     )
-    joined = with_segs.join(F.broadcast(drops), "doc_id", "left").select(
+    drops_side = F.broadcast(drops) if broadcast_drops else drops
+    joined = with_segs.join(drops_side, "doc_id", "left").select(
         "doc_id",
         "segs",
         F.coalesce(F.col("drop_idxs"), F.array().cast("array<int>")).alias("di"),
