@@ -944,6 +944,88 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against the int8-QUANTIZED IVF index: identical inverted
+    lists (assignment on full-precision vectors), stored payload 4×
+    smaller (symmetric per-vector int8 + scale), cosine on the
+    dequantized values in-row — the FAISS IVF+SQ8 trade, with the
+    probe still pruning at the scan."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        build_ivf_index_q8,
+        ivf_index_q8_topk,
+        load_ivf_centroids,
+    )
+
+    path = _index_cache_dir(
+        sf_dir, "ivfq8",
+        f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
+    )
+    _publish_index(
+        path,
+        lambda tmp: build_ivf_index_q8(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
+            sample_mod=IVF_SAMPLE_MOD,
+        ),
+    )
+    centroids = load_ivf_centroids(path)
+    qvec = _query_embedding(spark, sf_dir, 0)
+    return ivf_index_q8_topk(
+        spark, path, qvec, kk=ANN_K, n_probe=IVF_N_PROBE,
+        centroids=centroids, exclude_vec_id=0,
+    )
+
+
+def _ivf_q8_topk_oracle_sql() -> str:
+    """Quantized-IVF twin: same probe/assignment chain on the float
+    vectors, cosine over the DEQUANTIZED int8 payload — the
+    quantization arithmetic mirrors the embed_quantize oracle
+    (round-half-away int8, scale = max|x|), dequantize as
+    (q·scale)/127 in the same association order as the Spark
+    expression."""
+    chain, final = _ivf_chain_sql()
+    deq_cos = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (z.q[i]::DOUBLE * z.amax / 127.0) * q.embedding[i]::DOUBLE)) / "
+        "(sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> (z.q[i]::DOUBLE * z.amax / 127.0) * (z.q[i]::DOUBLE * z.amax / 127.0)))) * "
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))))"
+    )
+    return f"""{chain},
+        probes AS (
+          SELECT c.cid FROM embeddings e, {final} c
+          WHERE e.vec_id = 0
+          ORDER BY {_IVF_DIST}, c.cid LIMIT {IVF_N_PROBE}
+        ),
+        assigned AS (
+          SELECT e.vec_id, c.cid
+          FROM embeddings e, {final} c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST}, c.cid) = 1
+        ),
+        qz AS (
+          SELECT vec_id,
+                 CASE WHEN amax > 0
+                      THEN list_transform(embedding,
+                           x -> CAST(round(x::DOUBLE * 127.0 / amax) AS INT))
+                      ELSE list_transform(embedding, x -> 0) END AS q,
+                 amax
+          FROM (SELECT vec_id, embedding,
+                       COALESCE(list_max(list_transform(embedding,
+                         x -> abs(x::DOUBLE))), 0) AS amax
+                FROM embeddings) m
+        ),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT z.vec_id, round({deq_cos}, 6) AS cosine
+        FROM qz z
+        JOIN assigned a ON a.vec_id = z.vec_id
+        JOIN probes p ON a.cid = p.cid, q
+        WHERE z.vec_id <> 0
+        ORDER BY cosine DESC, z.vec_id
+        LIMIT {ANN_K}
+    """
+
+
 SEMANTIC_CAP = 200
 
 
@@ -1661,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "weighted_sample": q_weighted_sample,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_ann_topk_q8": q_ivf_ann_topk_q8,  # new r4: int8-quantized index
         "ann_knn_join": q_ann_knn_join,
         "lsh_knn_join": q_lsh_knn_join,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1703,9 +1786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "cap_per_source": q_cap_per_source,
         "dedup_semantic": q_dedup_semantic,
-        "sessionize": q_sessionize,
         # ---- position 51+: driver-green in BOTH r2 and r3, untouched
         # this round; covered every run by test_oracle_parity
+        "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,
         "windowed_counts": q_windowed_counts,
         "content_hash": q_content_hash,
@@ -2709,6 +2792,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_assign": _ivf_oracle_sql(),
         "ivf_ann_topk": _ivf_topk_oracle_sql(),
+        "ivf_ann_topk_q8": _ivf_q8_topk_oracle_sql(),
         "ann_knn_join": _ivf_knn_join_oracle_sql(),
         "lsh_knn_join": _lsh_knn_join_oracle_sql(),
         "media_features": _media_features_oracle_sql(),

@@ -79,6 +79,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "ann_lsh_topk_multiprobe",
         "ivf_assign",
         "ivf_ann_topk",
+        "ivf_ann_topk_q8",
         "ann_knn_join",
         "lsh_knn_join",
         "text_repetition",

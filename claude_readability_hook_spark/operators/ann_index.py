@@ -367,6 +367,93 @@ def ivf_knn_join(
     )
 
 
+def build_ivf_index_q8(
+    df: DataFrame,
+    root: str,
+    k: int = 8,
+    iterations: int = 2,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """int8-QUANTIZED IVF index: same inverted-list layout and the
+    same snapshot commit protocol, but the stored payload is the
+    per-vector symmetric int8 quantization (q = round(127·x/max|x|),
+    one float scale) instead of float vectors — a 64-dim float32
+    embedding is 256 B, int8 + scale is 68 B, so the probe-side scan
+    I/O and cache working set shrink ~4× (the parquet columnar
+    encodings bit-pack the tinyints). Centroid ASSIGNMENT runs on the
+    full-precision vectors, so the inverted lists are identical to
+    the float index's; only the stored payload (and hence the scored
+    cosine, now quantized-precision) changes — the standard
+    memory/recall trade (FAISS IVF+SQ8)."""
+    if centroids is None:
+        centroids = ivf_centroids(df, k, iterations, dims, vec_col, sample_mod)
+    vec = F.col(vec_col)
+    amax = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    q = F.when(
+        amax > 0,
+        F.transform(
+            vec, lambda x: F.round(x.cast("double") * 127.0 / amax).cast("tinyint")
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("tinyint")))
+    ddir = _new_data_dir()
+    (
+        df.select(
+            "vec_id",
+            q.alias("q_embedding"),
+            amax.alias("scale"),
+            _argmin_centroid_expr(vec, centroids).alias("centroid_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(posixpath.join(root, ddir))
+    )
+    published = dict(kind="ivf_q8", dirs=[ddir], centroids=centroids)
+    published["version"] = _publish_manifest(root, published)
+    _gc_previous_snapshots(root, published)
+    return centroids
+
+
+def ivf_index_q8_topk(
+    spark: SparkSession,
+    root: str,
+    qvec: list[float],
+    kk: int = 10,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k against the quantized index: partition-pruned probe
+    scan (identical pruning to the float index), cosine computed
+    against the DEQUANTIZED vectors in-row (q·scale/127 — codegen'd
+    array math; the scores carry int8 precision, the ranking is the
+    approximate ranking the quantization trade buys)."""
+    if centroids is None:
+        centroids = load_ivf_centroids(root)
+    probes = ivf_probe_cids(qvec, centroids, n_probe)
+    scan = read_index(spark, root).filter(F.col("centroid_id").isin(probes))
+    if exclude_vec_id is not None:
+        scan = scan.filter(F.col("vec_id") != exclude_vec_id)
+    deq = F.transform(
+        F.col("q_embedding"),
+        lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
+    )
+    return (
+        scan.select(
+            "vec_id",
+            F.round(cosine_expr(deq, _query_literal(qvec)), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(kk)
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucket index
 # ---------------------------------------------------------------------------

@@ -171,6 +171,68 @@ def test_knn_join_matches_per_query_probes_and_uses_dpp(spark, tmp_path):
     assert pf and "dynamicpruning" in pf.group(1)
 
 
+def test_q8_index_same_lists_smaller_payload_close_ranking(spark, tmp_path):
+    """int8-quantized IVF (FAISS IVF+SQ8 analog): identical inverted
+    lists (assignment on float vectors), probe prunes identically, and
+    the quantized ranking matches the float top-k closely (flat small
+    corpus: expect identical membership up to quantization ties)."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        build_ivf_index,
+        build_ivf_index_q8,
+        index_data_paths,
+        ivf_index_q8_topk,
+        read_index,
+    )
+
+    emb = _emb(spark)
+    fpath, qpath = str(tmp_path / "f"), str(tmp_path / "q8")
+    cents = build_ivf_index(emb, fpath, k=8, iterations=2, dims=64)
+    build_ivf_index_q8(emb, qpath, k=8, iterations=2, dims=64, centroids=cents)
+
+    # identical inverted lists
+    f_lists = {
+        (r["vec_id"], r["centroid_id"])
+        for r in read_index(spark, fpath).select("vec_id", "centroid_id").collect()
+    }
+    q_lists = {
+        (r["vec_id"], r["centroid_id"])
+        for r in read_index(spark, qpath).select("vec_id", "centroid_id").collect()
+    }
+    assert f_lists == q_lists
+
+    # stored payload genuinely smaller on disk
+    def _bytes(root):
+        total = 0
+        for d in index_data_paths(root):
+            for dirpath, _s, files in os.walk(d):
+                total += sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        return total
+
+    assert _bytes(qpath) < 0.55 * _bytes(fpath)
+
+    qvec = _qvec(spark)
+    got = ivf_index_q8_topk(
+        spark, qpath, qvec, kk=10, n_probe=2, centroids=cents, exclude_vec_id=0
+    ).collect()
+    want = ivf_ann_topk(
+        emb, query_vec_id=0, kk=10, k=8, iterations=2, n_probe=2, dims=64,
+        centroids=cents,
+    ).collect()
+    # quantized scores differ in low decimals; top-k MEMBERSHIP should
+    # largely agree on this corpus
+    overlap = {r["vec_id"] for r in got} & {r["vec_id"] for r in want}
+    assert len(overlap) >= 8
+    # scores within the int8 quantization error envelope
+    want_by_id = {r["vec_id"]: r["cosine"] for r in want}
+    for r in got:
+        if r["vec_id"] in want_by_id:
+            assert abs(r["cosine"] - want_by_id[r["vec_id"]]) < 0.02
+
+
 def test_ivf_sampled_training_is_deterministic_and_close(spark):
     """sample_mod training must be reproducible and produce valid
     centroids (k lists of dims floats); with a 1/4 hash sample the
