@@ -351,13 +351,18 @@ def encode_jpeg_color(
 
 
 def encode_jpeg_gray_progressive(
-    pixels: list[list[int]], quant: list[int] | None = None
+    pixels: list[list[int]],
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """rows of 0-255 luma → PROGRESSIVE (SOF2) single-component JPEG:
     spectral selection (DC | AC 1-5 | AC 6-63) × successive
     approximation (first pass at Al=1, refinement to Al=0) — six
     scans, exercising every progressive decode path (DC first/refine,
     AC first with EOB runs, AC refinement with correction bits).
+    A nonzero restart_interval emits DRI + RSTn every N blocks inside
+    EVERY scan (predictors and EOB runs reset at each restart — the
+    decoder path real-world progressive files with restarts take).
     Exists so tests round-trip REAL progressive streams; with a unit
     quant table the decode must match the baseline encoder's output
     bit-for-bit (same coefficients, different transport)."""
@@ -395,10 +400,25 @@ def encode_jpeg_gray_progressive(
         body = bytes([1, 1, tids, ss, se, (ah << 4) | al])
         return struct.pack(">BBH", 0xFF, 0xDA, len(body) + 2) + body + scan
 
+    def _restart(bw, u, n_rst, eob=None):
+        """Emit RSTn at a restart boundary (aligning first, flushing
+        any pending EOB run); returns the next marker ordinal."""
+        if not restart_interval or u == 0 or u % restart_interval:
+            return n_rst
+        if eob is not None:
+            eob.flush()
+        bw.align()
+        bw.raw_marker(0xD0 + (n_rst % 8))
+        return n_rst + 1
+
     def dc_first(al: int) -> bytes:
         bw = _BitWriter()
         pred = 0
-        for zz in blocks:
+        n_rst = 0
+        for u, zz in enumerate(blocks):
+            nxt = _restart(bw, u, n_rst)
+            if nxt != n_rst:
+                n_rst, pred = nxt, 0
             t = zz[0] >> al  # arithmetic shift: the T.81 DC point transform
             size, bits = _magnitude(t - pred)
             pred = t
@@ -410,7 +430,9 @@ def encode_jpeg_gray_progressive(
 
     def dc_refine(al: int) -> bytes:
         bw = _BitWriter()
-        for zz in blocks:
+        n_rst = 0
+        for u, zz in enumerate(blocks):
+            n_rst = _restart(bw, u, n_rst)
             bw.write((zz[0] >> al) & 1, 1)
         return bw.flush()
 
@@ -444,7 +466,9 @@ def encode_jpeg_gray_progressive(
     def ac_first(ss: int, se: int, al: int) -> bytes:
         bw = _BitWriter()
         eob = _Eob(bw)
-        for zz in blocks:
+        n_rst = 0
+        for u, zz in enumerate(blocks):
+            n_rst = _restart(bw, u, n_rst, eob)
             r = 0
             wrote = False
             for k in range(ss, se + 1):
@@ -479,7 +503,9 @@ def encode_jpeg_gray_progressive(
         # (the 16th zero for ZRL, the insertion position for run+1).
         bw = _BitWriter()
         eob = _Eob(bw)
-        for zz in blocks:
+        n_rst = 0
+        for u, zz in enumerate(blocks):
+            n_rst = _restart(bw, u, n_rst, eob)
             # one event per band position: ('c', bit) nonzero-history,
             # ('z',) still-zero, ('n', signbit) newly significant
             events: list[tuple] = []
@@ -528,6 +554,9 @@ def encode_jpeg_gray_progressive(
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     dqt = seg(0xDB, b"\x00" + bytes(q[k] for k in range(64)))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     dht = (
         seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
@@ -536,6 +565,7 @@ def encode_jpeg_gray_progressive(
     return (
         b"\xff\xd8"
         + dqt
+        + dri
         + sof
         + dht
         + sos(0, 0, 0, 1, dc_first(1))

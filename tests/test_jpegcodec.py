@@ -185,6 +185,22 @@ def test_progressive_color_interleaved_dc_scan():
     assert all(abs(b - 200) <= 1 for b in raw)
 
 
+def test_progressive_with_restart_markers():
+    """DRI/RSTn inside progressive scans: DC predictors and EOB runs
+    reset at every restart in every scan; decode must still match the
+    baseline transport bit-for-bit."""
+    from claude_readability_hook_spark.core.jpegcodec import (
+        encode_jpeg_gray_progressive,
+    )
+
+    for dims, ri in [((40, 24), 3), ((16, 16), 1), ((64, 64), 5)]:
+        pix = _grad(*dims)
+        jpg = encode_jpeg_gray_progressive(pix, quant=[1] * 64, restart_interval=ri)
+        assert b"\xff\xdd" in jpg and b"\xff\xd0" in jpg
+        raw = decode_jpeg(jpg)[3]
+        assert raw == decode_jpeg(encode_jpeg_gray(pix, quant=[1] * 64))[3]
+
+
 def test_progressive_standard_quant_lossy_bounds():
     from claude_readability_hook_spark.core.jpegcodec import (
         encode_jpeg_gray_progressive,
