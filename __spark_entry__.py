@@ -4,11 +4,19 @@ entry(spark)   — flagship extraction pipeline over an interleaved-span
                  corpus synthesized deterministically from sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  the training-data-pipeline operators).
-oracle_sql()   — DuckDB twins. Where outputs are floating-point, both
-                 sides round to 6dp; where sums could depend on
+oracle_sql()   — DuckDB twins for EVERY queries() entry (68/68 —
+                 nothing rows-only). Where outputs are floating-point,
+                 both sides round to 6dp; where sums could depend on
                  accumulation order, both sides sum exact decimals and
-                 cast to double afterwards. Extraction itself (DOM
-                 parsing) is not SQL-expressible → rows-only entries.
+                 cast to double afterwards. Even the flagship
+                 extraction and the media decodes are hash-gated: the
+                 corpus and media synthesize deterministically from
+                 ids/seeds, so DuckDB recomputes expected outputs
+                 arithmetically (see _flagship_oracle_sql and the
+                 media_* oracles).
+
+Dict ORDER of queries() is load-bearing — the driver hash-checks the
+first 50 entries; see the comment inside queries().
 """
 
 from __future__ import annotations
