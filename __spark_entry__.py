@@ -271,6 +271,34 @@ def _decontaminate_oracle_sql() -> str:
     """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus health report: every metric reduces in a single
+    partial-agg scan — one job, one 1-row shuffle, at any corpus
+    size."""
+    from claude_readability_hook_spark.operators.textstats import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir), short_tokens=20)
+
+
+def _corpus_report_oracle_sql() -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source, length(text) AS n_chars,
+                 len({_TOKS_SQL}) AS nt
+          FROM documents
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               round(sum(nt)::DOUBLE / count(*), 6) AS mean_tokens,
+               round(quantile_cont(nt, 0.5), 6) AS median_tokens,
+               CAST(max(nt) AS BIGINT) AS max_tokens,
+               CAST(sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        FROM t
+    """
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style duplicated-span scrub over the planted-dup
     corpus: 10-token segments appearing in ≥2 distinct docs are
@@ -1746,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,  # new r4: benchmark n-gram overlap
         "remove_dup_spans": q_remove_dup_spans,  # new r4: C4-style span scrub
         "redact_pii": q_redact_pii,  # new r4: PII scrub (email/IP/phone)
+        "corpus_report": q_corpus_report,  # new r4: one-pass health report
         # changed this round (dedup convergence, sampling floor,
         # index lifecycle, decode ladder)
         "dedup_clusters": q_dedup_clusters,
@@ -1793,9 +1822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "train_val_split": q_train_val_split,
         "cap_per_source": q_cap_per_source,
+        # ---- position 51+: driver-hash-green on their CURRENT code in
+        # r3 (most also in r2), untouched this round; still covered
+        # every run by test_oracle_parity
         "dedup_semantic": q_dedup_semantic,
-        # ---- position 51+: driver-green in BOTH r2 and r3, untouched
-        # this round; covered every run by test_oracle_parity
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,
         "windowed_counts": q_windowed_counts,
@@ -2811,6 +2841,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle_sql(),
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),
         "redact_pii": _redact_pii_oracle_sql(),
+        "corpus_report": _corpus_report_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

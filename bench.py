@@ -118,6 +118,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "remove_dup_spans",
         "redact_pii",
         "media_frame_decode",
+        "corpus_report",
     ]
 
     times: dict[str, float] = {}

@@ -28,6 +28,33 @@ def token_count_expr(text: Column) -> Column:
     return F.size(tokens_expr(text))
 
 
+def corpus_report(df: DataFrame, short_tokens: int = 20, text_col: str = "text") -> DataFrame:
+    """ONE-pass corpus health report — the first query run on a fresh
+    crawl dump: doc/source counts, byte/token volumes, length
+    distribution (mean/median/max), short-doc rate. A single global
+    aggregation: every metric reduces in the same partial-agg pass, so
+    the whole report costs one scan + one 1-row shuffle at any corpus
+    size (the point — NOT one job per metric). DuckDB twin uses
+    quantile_cont for the median (same interpolated definition as
+    Spark's percentile)."""
+    n_tokens = token_count_expr(F.col(text_col))
+    return df.select(
+        "doc_id", "source", F.length(text_col).alias("n_chars"), n_tokens.alias("nt")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        # mean from the EXACT integer sum (no float accumulation order)
+        F.round(F.sum("nt").cast("double") / F.count("*"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(nt, 0.5)"), 6).alias("median_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
+        F.sum(F.when(F.col("nt") < short_tokens, 1).otherwise(0))
+        .cast("long")
+        .alias("n_short"),
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_chars_actual, mean_token_len)."""
     tokens = tokens_expr(F.col(text_col))
