@@ -1101,6 +1101,96 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_knn_join_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN retrieval over the int8-quantized index: same plan
+    as ann_knn_join, candidate scan reads ~4× fewer bytes,
+    dequantized-cosine scores."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        build_ivf_index_q8,
+        ivf_knn_join_q8,
+        load_ivf_centroids,
+    )
+
+    path = _index_cache_dir(
+        sf_dir, "ivfq8",
+        f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _publish_index(
+        path,
+        lambda tmp: build_ivf_index_q8(
+            emb, tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
+            sample_mod=IVF_SAMPLE_MOD,
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_knn_join_q8(
+        spark, path, queries, kk=ANN_K, n_probe=IVF_N_PROBE,
+        centroids=load_ivf_centroids(path),
+    )
+
+
+def _ivf_knn_join_q8_oracle_sql() -> str:
+    """Quantized k-NN-join twin: the float oracle's probe/assignment
+    chain, scored on the dequantized int8 payload (same quantization
+    arithmetic as the other q8 oracles)."""
+    chain, final = _ivf_chain_sql()
+    qdist = _IVF_DIST.replace("e.embedding", "qq.embedding")
+    deq_cos = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (z.q[i]::DOUBLE * z.amax / 127.0) * q.embedding[i]::DOUBLE)) / "
+        "(sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> (z.q[i]::DOUBLE * z.amax / 127.0) * (z.q[i]::DOUBLE * z.amax / 127.0)))) * "
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))))"
+    )
+    return f"""{chain},
+        qq AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < {KNN_QUERIES}),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT qq.query_id, c.cid,
+                   row_number() OVER (PARTITION BY qq.query_id
+                     ORDER BY round({qdist}, 6), c.cid) AS rn
+            FROM qq, {final} c) t
+          WHERE rn <= {IVF_N_PROBE}
+        ),
+        assigned AS (
+          SELECT e.vec_id, c.cid
+          FROM embeddings e, {final} c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST}, c.cid) = 1
+        ),
+        qz AS (
+          SELECT vec_id,
+                 CASE WHEN amax > 0
+                      THEN list_transform(embedding,
+                           x -> CAST(round(x::DOUBLE * 127.0 / amax) AS INT))
+                      ELSE list_transform(embedding, x -> 0) END AS q,
+                 amax
+          FROM (SELECT vec_id, embedding,
+                       COALESCE(list_max(list_transform(embedding,
+                         x -> abs(x::DOUBLE))), 0) AS amax
+                FROM embeddings) m
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id,
+                 round({deq_cos}, 6) AS cosine
+          FROM probes p
+          JOIN assigned a USING (cid)
+          JOIN qz z ON z.vec_id = a.vec_id
+          JOIN embeddings q ON q.vec_id = p.query_id
+          WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {ANN_K}
+    """
+
+
 def q_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH k-NN JOIN against the materialized bucket index
     (the LSH twin of ann_knn_join): per-row in-row probe sets,
@@ -1781,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_ann_topk_q8": q_ivf_ann_topk_q8,  # new r4: int8-quantized index
+        "ann_knn_join_q8": q_ann_knn_join_q8,  # new r4: quantized batch retrieval
         "ann_knn_join": q_ann_knn_join,
         "lsh_knn_join": q_lsh_knn_join,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1821,10 +1912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_manifest": q_training_manifest,
         "url_dedup": q_url_dedup,
         "train_val_split": q_train_val_split,
-        "cap_per_source": q_cap_per_source,
         # ---- position 51+: driver-hash-green on their CURRENT code in
         # r3 (most also in r2), untouched this round; still covered
         # every run by test_oracle_parity
+        "cap_per_source": q_cap_per_source,
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,
@@ -2831,6 +2922,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": _ivf_oracle_sql(),
         "ivf_ann_topk": _ivf_topk_oracle_sql(),
         "ivf_ann_topk_q8": _ivf_q8_topk_oracle_sql(),
+        "ann_knn_join_q8": _ivf_knn_join_q8_oracle_sql(),
         "ann_knn_join": _ivf_knn_join_oracle_sql(),
         "lsh_knn_join": _lsh_knn_join_oracle_sql(),
         "media_features": _media_features_oracle_sql(),

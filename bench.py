@@ -81,6 +81,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "ivf_ann_topk",
         "ivf_ann_topk_q8",
         "ann_knn_join",
+        "ann_knn_join_q8",
         "lsh_knn_join",
         "text_repetition",
         "tfidf_top_terms",

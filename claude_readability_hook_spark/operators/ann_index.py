@@ -454,6 +454,60 @@ def ivf_index_q8_topk(
     )
 
 
+def ivf_knn_join_q8(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    kk: int = 10,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN retrieval against the QUANTIZED index: identical
+    plan shape to ivf_knn_join (in-row probe selection on the float
+    query vectors, probe-union static partition filter, broadcast
+    candidate join, one narrow top-k window) — the candidate scan just
+    reads ~4× fewer bytes and dequantizes in-row before the cosine."""
+    from pyspark.sql import Window
+
+    from .similarity import probe_cids_expr
+
+    if centroids is None:
+        centroids = load_ivf_centroids(root)
+    exploded = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            probe_cids_expr(F.col(vec_col), centroids, n_probe)
+        ).alias("_probe_cid"),
+    )
+    probe_union = sorted(
+        r["_probe_cid"] for r in exploded.select("_probe_cid").distinct().collect()
+    )
+    index = read_index(spark, root).filter(F.col("centroid_id").isin(probe_union))
+    cand = index.join(
+        F.broadcast(exploded), index["centroid_id"] == exploded["_probe_cid"]
+    ).filter(F.col("vec_id") != F.col("_qid"))
+    deq = F.transform(
+        F.col("q_embedding"),
+        lambda v: v.cast("double") * F.col("scale") / F.lit(127.0),
+    )
+    scored = cand.select(
+        F.col("_qid").alias(query_id_col),
+        "vec_id",
+        F.round(cosine_expr(deq, F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(query_id_col, "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucket index
 # ---------------------------------------------------------------------------
