@@ -55,21 +55,28 @@ def decontaminate(
     bench: DataFrame,
     n: int = DECONTAM_NGRAM,
     text_col: str = "text",
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """(doc_id, n_hits, contaminated) for every corpus document:
     n_hits = how many of the doc's distinct n-grams appear in the
     benchmark set; contaminated = any hit. Keep/drop policy is the
     caller's (typically drop or line-level scrub contaminated docs
-    before tokenization)."""
+    before tokenization). The hit table has one row per CONTAMINATED
+    doc — normally tiny (benchmark overlap is the exception, not the
+    rule), hence broadcast onto the narrow doc-id spine by default;
+    a pathologically contaminated corpus sets broadcast_hits=False
+    and the spine join shuffles (doc_id, long) pairs only — document
+    text is never in either join."""
     hits = (
         _doc_ngrams(docs, n, text_col)
         .join(F.broadcast(benchmark_ngrams(bench, n, text_col)), "ngram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+    hits_side = F.broadcast(hits) if broadcast_hits else hits
     return (
         docs.select("doc_id")
-        .join(hits, "doc_id", "left")
+        .join(hits_side, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),

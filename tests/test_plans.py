@@ -154,3 +154,54 @@ def test_whole_stage_codegen_covers_column_exprs(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     df = docs.select(readability_score_expr(F.col("text")).alias("score"))
     assert re.search(r"\* Project", _plan(df))
+
+
+def test_redact_pii_is_scan_free_rider(spark, tmp_path):
+    """PII redaction must be pure codegen on the scan: zero exchanges,
+    one whole-stage-codegen span over the regex chain."""
+    from claude_readability_hook_spark.operators.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.co"), (2, "clean")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "d")
+    docs.write.parquet(path)
+    plan = _plan(redact_pii(spark.read.parquet(path)))
+    assert "Exchange" not in plan
+    # formatted plans mark codegen stages with a leading '*'
+    assert re.search(r"\* Project", plan)
+
+
+def test_corpus_report_single_scan_pass(spark, tmp_path):
+    """The health report reads the corpus ONCE: a single parquet scan
+    feeds every metric (countDistinct adds an Expand + extra agg
+    phase, and the percentile is an object agg — a few small
+    exchanges of PRE-AGGREGATED rows, but never a second scan and
+    never one job per metric)."""
+    from claude_readability_hook_spark.operators.textstats import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "s0", "a b c"), (2, "s1", "d e")], "doc_id long, source string, text string"
+    )
+    path = str(tmp_path / "d")
+    docs.write.parquet(path)
+    plan = _plan(corpus_report(spark.read.parquet(path)))
+    # formatted output lists each node in the tree AND the detail
+    # section: one scan node == one "(N) Scan parquet" detail entry
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_decontaminate_bench_side_broadcasts_and_text_never_joins(spark):
+    """Corpus text must not appear past the scan: the joins carry
+    n-gram hashes and (doc_id, count) only, with the benchmark side on
+    broadcast."""
+    from claude_readability_hook_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    plan = _plan(decontaminate(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
