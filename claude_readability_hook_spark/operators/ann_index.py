@@ -420,6 +420,52 @@ def build_ivf_index_q8(
     return centroids
 
 
+def append_to_ivf_index_q8(
+    df_new: DataFrame,
+    root: str,
+    centroids: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the quantized index: assign new
+    FLOAT vectors to the existing centroids, quantize, commit as a new
+    immutable data dir in the next snapshot — the q8 twin of
+    append_to_ivf_index (same FAISS-style add()/retrain split, same
+    manifest protocol; per-vector scales make quantization
+    append-safe, nothing global to re-fit)."""
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no published index snapshot under {root}")
+    if centroids is None:
+        centroids = m["centroids"]
+    vec = F.col(vec_col)
+    amax = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    q = F.when(
+        amax > 0,
+        F.transform(
+            vec, lambda x: F.round(x.cast("double") * 127.0 / amax).cast("tinyint")
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("tinyint")))
+    ddir = _new_data_dir()
+    (
+        df_new.select(
+            "vec_id",
+            q.alias("q_embedding"),
+            amax.alias("scale"),
+            _argmin_centroid_expr(vec, centroids).alias("centroid_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(posixpath.join(root, ddir))
+    )
+    _publish_manifest(
+        root, dict(kind="ivf_q8", dirs=m["dirs"] + [ddir], centroids=centroids)
+    )
+
+
 def ivf_index_q8_topk(
     spark: SparkSession,
     root: str,

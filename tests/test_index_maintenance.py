@@ -197,6 +197,41 @@ def test_streaming_maintenance_appends_each_microbatch(spark, tmp_path):
     assert any(v >= 50 for v in got)  # streamed vectors are probe-visible
 
 
+def test_q8_append_matches_full_q8_build(spark, tmp_path):
+    """Quantized-index increment: build-on-half + append-half probes
+    identically to build-on-all (per-vector scales make quantization
+    append-safe)."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        append_to_ivf_index_q8,
+        build_ivf_index_q8,
+        ivf_index_q8_topk,
+    )
+
+    emb = _emb(spark)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    cents = build_ivf_index_q8(emb, full, k=8, iterations=2, dims=64)
+    build_ivf_index_q8(half_a, inc, k=8, iterations=2, dims=64, centroids=cents)
+    append_to_ivf_index_q8(half_b, inc)
+
+    qvec = _qvec(spark)
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_index_q8_topk(
+            spark, full, qvec, kk=10, n_probe=2, centroids=cents, exclude_vec_id=0
+        ).collect()
+    ]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_index_q8_topk(
+            spark, inc, qvec, kk=10, n_probe=2, centroids=cents, exclude_vec_id=0
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+    assert read_index(spark, inc).count() == emb.count()
+
+
 def test_crash_between_data_write_and_publish_keeps_old_snapshot(spark, tmp_path):
     """The r3-verdict commit-protocol requirement: a writer that dies
     AFTER writing its data dir but BEFORE publishing the manifest must
