@@ -185,6 +185,93 @@ def test_progressive_color_interleaved_dc_scan():
     assert all(abs(b - 200) <= 1 for b in raw)
 
 
+def test_progressive_refinement_decoder_against_handbuilt_stream():
+    """Cross-check AGAINST A HAND-BUILT bitstream (T.81 G.2 semantics
+    derived by hand, NOT produced by this repo's progressive encoder —
+    guards against symmetric encoder/decoder bugs): a first AC scan at
+    Al=1 plants coefficient k1=+2; the refinement scan sends one
+    correction bit (k1 → +3) and one newly-significant −1 at k2. The
+    decode must equal a BASELINE stream hand-built with the same final
+    coefficients."""
+    from claude_readability_hook_spark.core.jpegcodec import (
+        AC_LUM_BITS,
+        AC_LUM_VALS,
+        DC_LUM_BITS,
+        DC_LUM_VALS,
+        _BitWriter,
+        _canonical_codes,
+    )
+
+    dc = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    headers = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+        + seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    )
+
+    # --- progressive stream: DC first, AC first @Al=1, AC refine →Al=0
+    bw = _BitWriter()
+    code, length = dc[0]  # DC diff 0
+    bw.write(code, length)
+    dc_scan = bw.flush()
+
+    bw = _BitWriter()
+    code, length = ac[0x01]  # run 0, size 1
+    bw.write(code, length)
+    bw.write(1, 1)  # value +1 (→ stored +2 after <<Al=1)
+    code, length = ac[0x00]  # EOB
+    bw.write(code, length)
+    ac_first_scan = bw.flush()
+
+    bw = _BitWriter()
+    code, length = ac[0x01]  # newly significant, 0 zero-history skips
+    bw.write(code, length)
+    bw.write(0, 1)  # sign: negative (m1)
+    bw.write(1, 1)  # correction bit for k1 (crossed on the walk): 2→3
+    code, length = ac[0x00]  # EOB1 covers the tail
+    bw.write(code, length)
+    ac_refine_scan = bw.flush()
+
+    prog = (
+        headers
+        + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + dc_scan
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + ac_first_scan
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + ac_refine_scan
+        + b"\xff\xd9"
+    )
+
+    # --- baseline stream with the same final coefficients: zz1=3, zz2=-1
+    bw = _BitWriter()
+    code, length = dc[0]
+    bw.write(code, length)
+    code, length = ac[0x02]  # run 0, size 2
+    bw.write(code, length)
+    bw.write(0b11, 2)  # +3
+    code, length = ac[0x01]  # run 0, size 1
+    bw.write(code, length)
+    bw.write(0, 1)  # -1
+    code, length = ac[0x00]  # EOB
+    bw.write(code, length)
+    base_scan = bw.flush()
+    base = (
+        headers
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + base_scan
+        + b"\xff\xd9"
+    )
+
+    got = decode_jpeg(prog)
+    want = decode_jpeg(base)
+    assert got == want
+
+
 def test_progressive_with_restart_markers():
     """DRI/RSTn inside progressive scans: DC predictors and EOB runs
     reset at every restart in every scan; decode must still match the
