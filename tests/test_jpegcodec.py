@@ -288,6 +288,72 @@ def test_progressive_with_restart_markers():
         assert raw == decode_jpeg(encode_jpeg_gray(pix, quant=[1] * 64))[3]
 
 
+def test_progressive_420_color_handbuilt():
+    """Progressive × 4:2:0 chroma subsampling — the most common
+    real-world progressive shape. Hand-built 16×16 flat-color stream:
+    the interleaved DC scan carries 4 luma + 1 Cb + 1 Cr blocks per
+    MCU (per-component predictors), AC scans run per component at the
+    component's OWN block grid (luma 2×2 blocks, chroma 1×1). Flat
+    Y=200/neutral chroma ⇒ RGB≈200 everywhere after upsampling."""
+    from claude_readability_hook_spark.core.jpegcodec import (
+        AC_LUM_BITS,
+        AC_LUM_VALS,
+        DC_LUM_BITS,
+        DC_LUM_VALS,
+        _BitWriter,
+        _canonical_codes,
+    )
+
+    dc = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+
+    def put_dc_diff(bw, diff):
+        size = 0 if diff == 0 else abs(diff).bit_length()
+        bits = diff if diff >= 0 else diff + (1 << size) - 1
+        code, length = dc[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    # interleaved DC scan: one 16×16 MCU = 4 Y blocks then Cb then Cr;
+    # flat values ⇒ first block carries the DC, the rest diff 0
+    bw = _BitWriter()
+    y_dc, c_dc = 8 * (200 - 128), 8 * (128 - 128)
+    put_dc_diff(bw, y_dc)
+    for _ in range(3):
+        put_dc_diff(bw, 0)
+    put_dc_diff(bw, c_dc)  # Cb (own predictor)
+    put_dc_diff(bw, c_dc)  # Cr (own predictor)
+    dc_scan = bw.flush()
+
+    def eob_scan(n_blocks):
+        bw = _BitWriter()
+        for _ in range(n_blocks):
+            code, length = ac[0x00]
+            bw.write(code, length)
+        return bw.flush()
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC2, struct.pack(">BHHB", 8, 16, 16, 3)
+              + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        + seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+        + seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])) + dc_scan
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + eob_scan(4)  # luma: 2×2 blocks
+        + seg(0xDA, bytes([1, 2, 0x00, 1, 63, 0])) + eob_scan(1)  # Cb: 1 block
+        + seg(0xDA, bytes([1, 3, 0x00, 1, 63, 0])) + eob_scan(1)  # Cr: 1 block
+        + b"\xff\xd9"
+    )
+    w, h, ch, raw = decode_jpeg(jpg)
+    assert (w, h, ch) == (16, 16, 3)
+    assert all(abs(b - 200) <= 1 for b in raw)
+
+
 def test_progressive_standard_quant_lossy_bounds():
     from claude_readability_hook_spark.core.jpegcodec import (
         encode_jpeg_gray_progressive,
