@@ -95,14 +95,24 @@ def _manifest_versions(root: str) -> list[int]:
     )
 
 
-def current_manifest(root: str) -> dict | None:
-    """Resolve the current snapshot: highest manifest-vN.json under
-    `root` (None if the index has never been published). One small
+def current_manifest(root: str, version: int | None = None) -> dict | None:
+    """Resolve a snapshot: the highest manifest-vN.json under `root`
+    (None if the index has never been published), or — time travel,
+    the Iceberg snapshot-id read — the EXACT `version` requested
+    (raises if that snapshot does not exist or was expired). One small
     driver-side read per probe call — the manifest is a few KB."""
     versions = _manifest_versions(root)
     if not versions:
         return None
-    v = versions[-1]
+    if version is None:
+        v = versions[-1]
+    else:
+        if version not in versions:
+            raise FileNotFoundError(
+                f"snapshot v{version} not found under {root} "
+                f"(live: {versions} — expired snapshots are not readable)"
+            )
+        v = version
     m = json.loads(fsio.read_text(posixpath.join(root, f"manifest-v{v}.json")))
     m["version"] = v
     return m
@@ -137,8 +147,15 @@ def index_data_paths(root: str, manifest: dict | None = None) -> list[str]:
     return [posixpath.join(root, d) for d in m["dirs"]]
 
 
-def read_index(spark: SparkSession, root: str, manifest: dict | None = None) -> DataFrame:
-    """Scan the current snapshot: the UNION of the manifest's data
+def read_index(
+    spark: SparkSession,
+    root: str,
+    manifest: dict | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Scan a snapshot (the current one, or `version` for time
+    travel — append-only histories keep every prior snapshot readable
+    until expiry, since data dirs are immutable): the UNION of the manifest's data
     dirs, each a partitioned parquet root (centroid_id=N / bucket=N
     subdirs). Catalyst pushes static partition filters into every
     union child, so probe pruning (`key IN (...)`) reads only the
@@ -148,6 +165,8 @@ def read_index(spark: SparkSession, root: str, manifest: dict | None = None) -> 
     explicit probe-set partition filter instead of leaning on DPP —
     see ivf_knn_join; after compaction the snapshot is single-dir and
     DPP fires again as a bonus.)"""
+    if manifest is None and version is not None:
+        manifest = current_manifest(root, version)
     paths = index_data_paths(root, manifest)
     out = spark.read.parquet(paths[0])
     for p in paths[1:]:

@@ -277,6 +277,35 @@ def test_crash_between_data_write_and_publish_keeps_old_snapshot(spark, tmp_path
     assert read_index(spark, path).select("vec_id").distinct().count() == emb.count()
 
 
+def test_time_travel_reads_prior_snapshots(spark, tmp_path):
+    """Iceberg-style snapshot reads: append-only histories keep every
+    prior snapshot readable by version (immutable data dirs); expired
+    snapshots refuse cleanly."""
+    import pytest
+
+    from claude_readability_hook_spark.operators.ann_index import (
+        compact_ivf_index,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") < 100), path, k=4, iterations=1, dims=64)
+    append_to_ivf_index(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), path)
+    append_to_ivf_index(emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), path)
+
+    assert read_index(spark, path, version=1).count() == 100
+    assert read_index(spark, path, version=2).count() == 200
+    assert read_index(spark, path, version=3).count() == 300
+    assert read_index(spark, path).count() == 300  # latest by default
+
+    # compaction expires prior snapshots: v1 no longer readable,
+    # the new compacted snapshot is
+    compact_ivf_index(spark, path)
+    with pytest.raises(FileNotFoundError):
+        current_manifest(path, version=1)
+    assert read_index(spark, path).count() == 300
+
+
 def test_racing_commits_publish_consecutive_snapshots(spark, tmp_path):
     """Two committers racing for the same next version: exclusive
     manifest create means exactly one wins each version; the protocol
