@@ -174,19 +174,31 @@ def read_index(
     return out
 
 
-def _gc_previous_snapshots(root: str, keep: dict) -> None:
-    """Expire everything not referenced by the just-published snapshot
-    — the Iceberg expire_snapshots analog. Immediate expiry matches
-    this repo's single-writer maintenance windows; a deployment with
-    long-running concurrent readers would retain the last few
-    snapshots for the duration of their scans instead (time-travel
-    window), which is a retention-policy knob, not a protocol
-    change."""
+def _gc_previous_snapshots(root: str, keep: dict, retain: int = 1) -> None:
+    """Expire snapshots older than the retention window — the Iceberg
+    expire_snapshots analog. retain=1 (default) keeps only the
+    just-published snapshot, which matches this repo's single-writer
+    maintenance windows; a deployment with long-running concurrent
+    readers or time-travel requirements passes retain=N and the last
+    N snapshots (manifests + every data dir any of them references)
+    stay readable."""
+    versions = _manifest_versions(root)
+    keep_vs = set(versions[-max(1, retain):])
+    keep_vs.add(keep["version"])
     live = set(keep["dirs"])
-    v = keep["version"]
+    for v in keep_vs:
+        if v == keep["version"]:
+            continue
+        try:
+            m = json.loads(
+                fsio.read_text(posixpath.join(root, f"manifest-v{v}.json"))
+            )
+            live.update(m["dirs"])
+        except Exception:
+            pass
     for name in fsio.list_names(root):
         m = _MANIFEST_RE.match(name)
-        if m and int(m.group(1)) < v:
+        if m and int(m.group(1)) not in keep_vs:
             fsio.delete(posixpath.join(root, name))
         elif name.startswith("data-") and name not in live:
             fsio.delete(posixpath.join(root, name), recursive=True)
@@ -602,7 +614,10 @@ def build_lsh_index(
 
 
 def compact_ivf_index(
-    spark: SparkSession, root: str, target_rows_per_file: int = 1_000_000
+    spark: SparkSession,
+    root: str,
+    target_rows_per_file: int = 1_000_000,
+    retain_snapshots: int = 1,
 ) -> int:
     """Small-file maintenance for an appended-to index: streaming /
     incremental appends leave one data dir per batch with one file per
@@ -629,7 +644,7 @@ def compact_ivf_index(
     )
     published = dict(kind="ivf", dirs=[ddir], centroids=m["centroids"])
     published["version"] = _publish_manifest(root, published)
-    _gc_previous_snapshots(root, published)
+    _gc_previous_snapshots(root, published, retain=retain_snapshots)
     return _count_parquet_files(posixpath.join(root, ddir))
 
 

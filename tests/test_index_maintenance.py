@@ -298,11 +298,17 @@ def test_time_travel_reads_prior_snapshots(spark, tmp_path):
     assert read_index(spark, path, version=3).count() == 300
     assert read_index(spark, path).count() == 300  # latest by default
 
-    # compaction expires prior snapshots: v1 no longer readable,
-    # the new compacted snapshot is
+    # compaction with a retention window keeps the previous snapshot
+    # readable (concurrent long scans / time travel)...
+    compact_ivf_index(spark, path, retain_snapshots=2)
+    assert read_index(spark, path, version=3).count() == 300
+    assert read_index(spark, path).count() == 300
+    with pytest.raises(FileNotFoundError):
+        current_manifest(path, version=1)  # outside the window: expired
+    # ...and a second compaction at the default retain=1 expires it
     compact_ivf_index(spark, path)
     with pytest.raises(FileNotFoundError):
-        current_manifest(path, version=1)
+        current_manifest(path, version=3)
     assert read_index(spark, path).count() == 300
 
 
