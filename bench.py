@@ -134,7 +134,10 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
     n_docs = corpus.count()
     result = None
     extract_sec = None
-    for _ in range(2):  # min-of-2: host has noisy neighbors
+    # min-of-3, same as every other loop here: the r4 driver bench
+    # recorded a spurious 4.08 s (judge re-measure: 1.29) precisely
+    # because this one loop was still min-of-2 on a noisy host
+    for _ in range(3):
         t0 = time.monotonic()
         result = run_extraction(spark, corpus, catalog=None)
         materialize(result.extracted)

@@ -676,10 +676,11 @@ def _idct(coef: list[float]) -> list[int]:
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, raw) — raw is row-major gray (1
-    channel) or interleaved RGB (3 channels). Baseline Huffman with
-    any T.81 sampling factors (4:4:4 / 4:2:2 / 4:2:0 / …);
-    progressive, arithmetic and 12-bit raise NotImplementedError for
-    the caller's fallback ladder."""
+    channel) or interleaved RGB (3 channels). Baseline (SOF0/SOF1)
+    AND progressive (SOF2) Huffman with any T.81 sampling factors
+    (4:4:4 / 4:2:2 / 4:2:0 / …), restart markers included;
+    arithmetic-coded, lossless and 12-bit-precision streams raise
+    NotImplementedError for the caller's fallback ladder."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG")
     quant: dict[int, list[int]] = {}

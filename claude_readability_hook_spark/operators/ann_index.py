@@ -27,11 +27,19 @@ works on a POSIX filesystem mounted on the driver):
       data-<token2>/
 
 Every mutation (build / append / compact) writes NEW immutable data
-directories, then publishes the next ``manifest-vN.json`` with an
-atomic create-no-overwrite (sources/fs.write_text_exclusive — HDFS
-create is atomic on close, S3 PUT is atomic with strong
-list-after-write consistency; two racing committers → one wins, the
-loser retries against the new current snapshot). Readers resolve the
+directories, then publishes the next ``manifest-vN.json`` with a
+create-no-overwrite (sources/fs.write_text_exclusive). The
+two-racers-one-wins guarantee holds where create(overwrite=False) is
+atomic: HDFS and local FS. On S3A the exclusivity check is a HEAD
+probe at create() with the PUT at close() — two racers can both pass
+the probe and the later PUT silently wins, UNLESS the deployment has
+Hadoop's conditional-create (If-None-Match) support enabled or
+serializes commits through an external catalog lock; this is exactly
+why Iceberg requires a catalog for S3 commits (see sources/fs.py for
+the per-backend notes). A losing committer retries against the new
+current snapshot; MERGING commits (append) rebuild their manifest
+body over the re-read current snapshot on every retry, so a lost
+race never drops the winner's data dirs. Readers resolve the
 highest manifest version and scan exactly its listed directories —
 a crash between the data write and the manifest publish leaves an
 orphan data dir that NO reader ever sees; the previous snapshot stays
@@ -118,16 +126,36 @@ def current_manifest(root: str, version: int | None = None) -> dict | None:
     return m
 
 
-def _publish_manifest(root: str, manifest: dict, retries: int = 8) -> int:
+def _publish_manifest(root: str, manifest, retries: int = 8) -> int:
     """Atomically publish the next snapshot. The version is claimed by
     an exclusive create — a racing committer that loses re-reads the
-    (now newer) current version and claims the next one. Returns the
-    published version."""
+    (now newer) current version and claims the next one.
+
+    `manifest` is either a dict (snapshot-REPLACING commits — build /
+    compact — whose body does not depend on the current snapshot) or a
+    callable ``current_manifest_or_None -> dict`` (MERGING commits —
+    append), re-invoked against the freshly-read current manifest on
+    EVERY attempt: a racer that loses the exclusive create rebuilds
+    its body over the winner's dirs instead of republishing a body
+    computed before the race, which would silently drop the winner's
+    data dirs from the new current snapshot (the classic lost update).
+    Returns the published version."""
     fsio.mkdirs(root)
-    body = dict(manifest)
     for _ in range(retries):
         versions = _manifest_versions(root)
         v = (versions[-1] + 1) if versions else 1
+        if callable(manifest):
+            cur = None
+            if versions:
+                cur = json.loads(
+                    fsio.read_text(
+                        posixpath.join(root, f"manifest-v{versions[-1]}.json")
+                    )
+                )
+                cur["version"] = versions[-1]
+            body = dict(manifest(cur))
+        else:
+            body = dict(manifest)
         body["version"] = v
         if fsio.write_text_exclusive(
             posixpath.join(root, f"manifest-v{v}.json"), json.dumps(body)
@@ -179,9 +207,21 @@ def _gc_previous_snapshots(root: str, keep: dict, retain: int = 1) -> None:
     expire_snapshots analog. retain=1 (default) keeps only the
     just-published snapshot, which matches this repo's single-writer
     maintenance windows; a deployment with long-running concurrent
-    readers or time-travel requirements passes retain=N and the last
+    readers or time-travel requirements passes retain=N (threaded
+    through build_*/compact_* as ``retain_snapshots``) and the last
     N snapshots (manifests + every data dir any of them references)
-    stay readable."""
+    stay readable.
+
+    SINGLE-WRITER REQUIREMENT for any snapshot-expiring mutation
+    (build / compact): this sweep deletes every ``data-*`` dir not
+    referenced by a retained manifest, which includes a CONCURRENT
+    writer's already-written-but-not-yet-published dir — that writer's
+    subsequent manifest would then reference a missing directory.
+    Appends never GC and are safe to race each other; builds and
+    compactions must run in an exclusive maintenance window (or with
+    retain high enough that a racing append's publish-window dirs are
+    never the oldest). An age-threshold orphan sweep would lift this,
+    but needs wall-clock, which this repo keeps out of commit paths."""
     versions = _manifest_versions(root)
     keep_vs = set(versions[-max(1, retain):])
     keep_vs.add(keep["version"])
@@ -222,13 +262,18 @@ def build_ivf_index(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     sample_mod: int | None = None,
+    retain_snapshots: int = 1,
 ) -> list[list[float]]:
     """Train (sampled Lloyd) + materialize the IVF index at `root`:
     rows partitioned by centroid_id under a fresh immutable data dir,
     centroids carried in the published manifest (k×dims floats — the
     probe side never retrains). A full (re)build replaces the snapshot
-    wholesale: the new manifest lists only the new dir, and prior
-    snapshots are expired. Returns the centroids."""
+    wholesale: the new manifest lists only the new dir, and snapshots
+    older than `retain_snapshots` are expired — the default (1) frees
+    the old data immediately and therefore requires no reader be
+    mid-scan of the previous snapshot; pass retain_snapshots>1 to keep
+    prior snapshots readable under long-running concurrent readers
+    (see _gc_previous_snapshots). Returns the centroids."""
     if centroids is None:
         centroids = ivf_centroids(df, k, iterations, dims, vec_col, sample_mod)
     ddir = _new_data_dir()
@@ -239,7 +284,7 @@ def build_ivf_index(
     )
     published = dict(kind="ivf", dirs=[ddir], centroids=centroids)
     published["version"] = _publish_manifest(root, published)
-    _gc_previous_snapshots(root, published)
+    _gc_previous_snapshots(root, published, retain=retain_snapshots)
     return centroids
 
 
@@ -276,8 +321,15 @@ def append_to_ivf_index(
     ).write.mode("overwrite").partitionBy("centroid_id").parquet(
         posixpath.join(root, ddir)
     )
+    # merging commit: rebuild over the CURRENT snapshot's dirs on each
+    # attempt so a lost race merges the winner's appended dirs
     _publish_manifest(
-        root, dict(kind="ivf", dirs=m["dirs"] + [ddir], centroids=centroids)
+        root,
+        lambda cur: dict(
+            kind="ivf",
+            dirs=(cur or m)["dirs"] + [ddir],
+            centroids=centroids,
+        ),
     )
 
 
@@ -336,6 +388,7 @@ def ivf_knn_join(
     centroids: list[list[float]] | None = None,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """k-NN JOIN: top-k index neighbors for EVERY row of `queries`
     (query_id, embedding) — the batch retrieval / semantic-dedup
@@ -353,15 +406,24 @@ def ivf_knn_join(
          dynamic partition pruning cannot descend the Union; on a
          single-dir (compacted) snapshot DPP fires on top of it
          (test_ann_index asserts the dynamicpruning expression)
-      3. the exploded queries BROADCAST-join the pruned index on the
-         centroid_id partition column, cosine against the in-row query
-         vector, then one window (partitionBy query_id) keeps the top
-         kk per query — the only shuffle of the whole plan, carrying
-         (query_id, vec_id, score)
+      3. the exploded queries join the pruned index on the centroid_id
+         partition column, cosine against the in-row query vector,
+         then one window (partitionBy query_id) keeps the top kk per
+         query
 
-    A query batch too big to broadcast flips the join to shuffle-hash
-    on centroid_id — same candidate set, still never a full-index scan
-    per query, and the index side arrives pre-partitioned."""
+    `broadcast_queries` is the scale-regime knob (same pattern as
+    decontaminate(broadcast_hits=) / remove_duplicated_spans
+    (broadcast_drops=)): True (default) broadcast-hints the exploded
+    query batch — right whenever the batch fits the driver/executors
+    (interactive retrieval, dedup probes), and the whole plan is
+    shuffle-free up to the final top-k window. A query batch too big
+    to broadcast (the 10^8-row batch-retrieval regime) passes False:
+    no hint is attached, and the join runs as a shuffle (AQE picks
+    shuffle-hash on centroid_id under preferSortMergeJoin=false) —
+    same candidate set, still never a full-index scan per query, and
+    the index side arrives pre-partitioned on the join key
+    (tests/test_ann_index.py asserts path equality and the absence of
+    a broadcast join in the non-broadcast plan)."""
     from pyspark.sql import Window
 
     from .similarity import probe_cids_expr
@@ -380,8 +442,9 @@ def ivf_knn_join(
         r["_probe_cid"] for r in exploded.select("_probe_cid").distinct().collect()
     )
     index = read_index(spark, root).filter(F.col("centroid_id").isin(probe_union))
+    qside = F.broadcast(exploded) if broadcast_queries else exploded
     cand = index.join(
-        F.broadcast(exploded), index["centroid_id"] == exploded["_probe_cid"]
+        qside, index["centroid_id"] == qside["_probe_cid"]
     ).filter(F.col("vec_id") != F.col("_qid"))
     scored = cand.select(
         F.col("_qid").alias(query_id_col),
@@ -407,6 +470,7 @@ def build_ivf_index_q8(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     sample_mod: int | None = None,
+    retain_snapshots: int = 1,
 ) -> list[list[float]]:
     """int8-QUANTIZED IVF index: same inverted-list layout and the
     same snapshot commit protocol, but the stored payload is the
@@ -447,7 +511,7 @@ def build_ivf_index_q8(
     )
     published = dict(kind="ivf_q8", dirs=[ddir], centroids=centroids)
     published["version"] = _publish_manifest(root, published)
-    _gc_previous_snapshots(root, published)
+    _gc_previous_snapshots(root, published, retain=retain_snapshots)
     return centroids
 
 
@@ -493,7 +557,12 @@ def append_to_ivf_index_q8(
         .parquet(posixpath.join(root, ddir))
     )
     _publish_manifest(
-        root, dict(kind="ivf_q8", dirs=m["dirs"] + [ddir], centroids=centroids)
+        root,
+        lambda cur: dict(
+            kind="ivf_q8",
+            dirs=(cur or m)["dirs"] + [ddir],
+            centroids=centroids,
+        ),
     )
 
 
@@ -540,12 +609,16 @@ def ivf_knn_join_q8(
     centroids: list[list[float]] | None = None,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch k-NN retrieval against the QUANTIZED index: identical
     plan shape to ivf_knn_join (in-row probe selection on the float
-    query vectors, probe-union static partition filter, broadcast
-    candidate join, one narrow top-k window) — the candidate scan just
-    reads ~4× fewer bytes and dequantizes in-row before the cosine."""
+    query vectors, probe-union static partition filter, candidate
+    join, one narrow top-k window) — the candidate scan just reads
+    ~4× fewer bytes and dequantizes in-row before the cosine.
+    `broadcast_queries` as in ivf_knn_join: False drops the broadcast
+    hint for query batches too big to broadcast (shuffle-hash on
+    centroid_id via AQE)."""
     from pyspark.sql import Window
 
     from .similarity import probe_cids_expr
@@ -563,8 +636,9 @@ def ivf_knn_join_q8(
         r["_probe_cid"] for r in exploded.select("_probe_cid").distinct().collect()
     )
     index = read_index(spark, root).filter(F.col("centroid_id").isin(probe_union))
+    qside = F.broadcast(exploded) if broadcast_queries else exploded
     cand = index.join(
-        F.broadcast(exploded), index["centroid_id"] == exploded["_probe_cid"]
+        qside, index["centroid_id"] == qside["_probe_cid"]
     ).filter(F.col("vec_id") != F.col("_qid"))
     deq = F.transform(
         F.col("q_embedding"),
@@ -596,12 +670,14 @@ def build_lsh_index(
     num_planes: int = 8,
     dims: int = 64,
     vec_col: str = "embedding",
+    retain_snapshots: int = 1,
 ) -> None:
     """Materialize the hyperplane-LSH index at `root`: rows
     partitioned by bucket (≤ 2^num_planes directories) under a fresh
     snapshot. The hyperplanes are md5-derived literals (similarity.
     hyperplane_components), so the manifest carries only the layout —
-    any engine re-derives the planes from (num_planes, dims)."""
+    any engine re-derives the planes from (num_planes, dims).
+    `retain_snapshots` as in build_ivf_index."""
     ddir = _new_data_dir()
     df.withColumn(
         "bucket", lsh_bucket_expr(F.col(vec_col), num_planes, dims)
@@ -610,7 +686,7 @@ def build_lsh_index(
     )
     published = dict(kind="lsh", dirs=[ddir])
     published["version"] = _publish_manifest(root, published)
-    _gc_previous_snapshots(root, published)
+    _gc_previous_snapshots(root, published, retain=retain_snapshots)
 
 
 def compact_ivf_index(
@@ -628,21 +704,28 @@ def compact_ivf_index(
     expire_snapshots pair, committed through the same manifest
     protocol as every other mutation (no directory swap, no POSIX
     assumption; a crash anywhere leaves the previous snapshot live).
-    Returns the total parquet file count after compaction."""
+    Works on every index kind — the published manifest carries the
+    CURRENT snapshot's kind and payload through (ivf / ivf_q8 keep
+    their centroids and the centroid_id layout; lsh keeps its bucket
+    layout and has no centroids to carry). Returns the total parquet
+    file count after compaction."""
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no published index snapshot under {root}")
+    part_col = "bucket" if m["kind"] == "lsh" else "centroid_id"
     df = read_index(spark, root, m)
     n = df.count()
     files = max(1, -(-n // target_rows_per_file))
     ddir = _new_data_dir()
     (
-        df.repartition(files, "centroid_id")
+        df.repartition(files, part_col)
         .write.mode("overwrite")
-        .partitionBy("centroid_id")
+        .partitionBy(part_col)
         .parquet(posixpath.join(root, ddir))
     )
-    published = dict(kind="ivf", dirs=[ddir], centroids=m["centroids"])
+    published = dict(kind=m["kind"], dirs=[ddir])
+    if "centroids" in m:
+        published["centroids"] = m["centroids"]
     published["version"] = _publish_manifest(root, published)
     _gc_previous_snapshots(root, published, retain=retain_snapshots)
     return _count_parquet_files(posixpath.join(root, ddir))
@@ -732,7 +815,9 @@ def append_to_lsh_index(
     ).write.mode("overwrite").partitionBy("bucket").parquet(
         posixpath.join(root, ddir)
     )
-    _publish_manifest(root, dict(kind="lsh", dirs=m["dirs"] + [ddir]))
+    _publish_manifest(
+        root, lambda cur: dict(kind="lsh", dirs=(cur or m)["dirs"] + [ddir])
+    )
 
 
 def lsh_knn_join(
@@ -745,17 +830,20 @@ def lsh_knn_join(
     dims: int = 64,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Multi-probe k-NN JOIN against the bucket-partitioned LSH index:
     every query row computes its probe-bucket set IN-ROW
     (multi_probe_buckets_expr), explodes to ≤ n_probe+1 rows, and
-    broadcast-joins the index on the bucket PARTITION column; the
+    joins the index on the bucket PARTITION column; the
     union of all probe buckets (one tiny driver agg, ≤ 2^num_planes
     longs) is applied as a STATIC partition filter so only probed
     buckets are read even on a multi-dir snapshot, with DPP on top for
     single-dir ones; one narrow window keeps top-k per query. The LSH
     twin of ivf_knn_join (no centroids payload — hyperplanes re-derive
-    from md5 literals)."""
+    from md5 literals). `broadcast_queries` as in ivf_knn_join: False
+    drops the broadcast hint for query batches too big to broadcast
+    (shuffle-hash on bucket via AQE)."""
     from pyspark.sql import Window
 
     from .similarity import multi_probe_buckets_expr
@@ -772,8 +860,9 @@ def lsh_knn_join(
         r["_pb"] for r in exploded.select("_pb").distinct().collect()
     )
     index = read_index(spark, root).filter(F.col("bucket").isin(probe_union))
+    qside = F.broadcast(exploded) if broadcast_queries else exploded
     cand = index.join(
-        F.broadcast(exploded), index["bucket"] == exploded["_pb"]
+        qside, index["bucket"] == qside["_pb"]
     ).filter(F.col("vec_id") != F.col("_qid"))
     scored = cand.select(
         F.col("_qid").alias(query_id_col),

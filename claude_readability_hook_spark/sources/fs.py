@@ -15,12 +15,24 @@ sizing), so the SAME code path serves ``file:/``, ``hdfs:/`` and
 
 Atomicity notes, per backend:
   - ``write_text_exclusive`` uses ``FileSystem.create(path,
-    overwrite=False)`` — on HDFS the file becomes visible atomically
-    on close; on S3A the PUT is atomic and list-after-write is
-    strongly consistent. Two racing writers → exactly one wins, the
-    loser sees FileAlreadyExistsException. This is the primitive the
-    versioned-manifest commit protocol builds on (no rename-onto-
-    existing-file, which HDFS rejects and S3 cannot do atomically).
+    overwrite=False)``. On HDFS and local FS the existence check and
+    the create are one atomic namespace operation — two racing
+    writers → exactly one wins, the loser sees
+    FileAlreadyExistsException. On S3A the overwrite=False check is
+    CHECK-THEN-ACT: a HEAD probe at create() time followed by the
+    actual PUT at close() — two racers can BOTH pass the probe and
+    the later PUT silently wins, so the exactly-one-wins guarantee
+    does NOT hold on plain S3A. S3 deployments of the
+    versioned-manifest commit protocol therefore require either
+    (a) Hadoop's conditional-create support (the If-None-Match
+    conditional PUT added in recent releases — enable it and the
+    create is server-side exclusive), or (b) an external lock /
+    catalog serializing commits (the reason Iceberg mandates a
+    catalog for S3 table commits). HDFS-class stores (HDFS, local,
+    and object stores with atomic create-no-overwrite) need neither.
+    This is the primitive the versioned-manifest commit protocol
+    builds on (no rename-onto-existing-file, which HDFS rejects and
+    S3 cannot do atomically).
   - directory ``rename`` is atomic on HDFS/local but a COPY on S3A —
     callers that need atomic publication must commit via a manifest
     file, not a directory swap (operators/ann_index.py does; the
@@ -113,9 +125,12 @@ def read_text(path: str, spark=None) -> str:
 
 
 def write_text_exclusive(path: str, text: str, spark=None) -> bool:
-    """Create `path` with `text` iff it does not already exist
-    (atomic create-no-overwrite). Returns False if another writer got
-    there first — the loser of a manifest-version race."""
+    """Create `path` with `text` iff it does not already exist.
+    Atomic create-no-overwrite on HDFS/local; on plain S3A the check
+    is a HEAD probe and the guarantee requires conditional-create
+    support or an external lock (see the module docstring's
+    per-backend notes). Returns False if another writer got there
+    first — the loser of a manifest-version race."""
     spark = spark or _active_spark()
     if spark is not None:
         fs, jpath = _jvm_fs(spark, path)

@@ -331,3 +331,141 @@ def test_racing_commits_publish_consecutive_snapshots(spark, tmp_path):
     # our append still commits, on the NEXT version, without clobbering
     append_to_ivf_index(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), path)
     assert current_manifest(path)["version"] == v_rival + 1
+
+
+def test_lost_race_append_merges_winners_dirs(spark, tmp_path, monkeypatch):
+    """The lost-update race (r4 ADVICE #1): an appender that computed
+    its manifest body, then LOST the exclusive create to a rival whose
+    snapshot added a different data dir, must rebuild its body over
+    the rival's snapshot on retry — the rival's dirs may not vanish
+    from the final current snapshot."""
+    import json
+
+    from claude_readability_hook_spark.sources import fs as fsio
+
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") < 100), path, k=4, iterations=1, dims=64)
+    m1 = current_manifest(path)
+
+    real = fsio.write_text_exclusive
+    state = {"stolen": False}
+
+    def stealing(p, text, spark=None):
+        # first manifest claim: a rival wins the SAME version with an
+        # extra data dir, our create loses (returns False) — the
+        # deterministic emulation of losing the S3/HDFS create race
+        if not state["stolen"] and "manifest-v" in p:
+            state["stolen"] = True
+            rival = dict(m1, dirs=m1["dirs"] + ["data-rival"])
+            rival["version"] = m1["version"] + 1
+            assert real(p, json.dumps(rival))
+            return False
+        return real(p, text, spark)
+
+    monkeypatch.setattr(fsio, "write_text_exclusive", stealing)
+    append_to_ivf_index(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), path
+    )
+    m = current_manifest(path)
+    assert m["version"] == m1["version"] + 2
+    # the winner's dir AND our appended dir both survive
+    assert "data-rival" in m["dirs"]
+    assert set(m1["dirs"]) < set(m["dirs"])
+    assert len(m["dirs"]) == len(m1["dirs"]) + 2
+
+
+def test_compact_carries_kind_q8_and_lsh(spark, tmp_path):
+    """compact works on every index kind (r4 ADVICE #3): an ivf_q8
+    snapshot keeps kind + centroids; an lsh snapshot keeps kind,
+    needs no centroids, and compacts on its bucket layout — probe
+    results identical before/after."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        append_to_ivf_index_q8,
+        build_ivf_index_q8,
+        build_lsh_index,
+        compact_ivf_index,
+        ivf_index_q8_topk,
+        lsh_index_topk,
+    )
+    from claude_readability_hook_spark.operators.similarity import lsh_query_probes
+
+    emb = _emb(spark)
+    qvec = _qvec(spark)
+
+    q8 = str(tmp_path / "q8")
+    cents = build_ivf_index_q8(
+        emb.filter(F.col("vec_id") < 200), q8, k=4, iterations=1, dims=64
+    )
+    append_to_ivf_index_q8(
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), q8
+    )
+    before = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_index_q8_topk(
+            spark, q8, qvec, kk=10, n_probe=2, centroids=cents, exclude_vec_id=0
+        ).collect()
+    ]
+    compact_ivf_index(spark, q8)
+    m = current_manifest(q8)
+    assert m["kind"] == "ivf_q8" and m["centroids"] == cents
+    after = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_index_q8_topk(
+            spark, q8, qvec, kk=10, n_probe=2, centroids=cents, exclude_vec_id=0
+        ).collect()
+    ]
+    assert after == before
+
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(emb, lsh, num_planes=6, dims=64)
+    probes = [
+        r["probe_bucket"]
+        for r in lsh_query_probes(
+            emb, query_vec_id=0, n_probe=2, num_planes=6, dims=64
+        ).collect()
+    ]
+    before = [
+        (r["vec_id"], r["cosine"])
+        for r in lsh_index_topk(
+            spark, lsh, qvec, probes, k=10, exclude_vec_id=0
+        ).collect()
+    ]
+    compact_ivf_index(spark, lsh)  # kind-generic despite the name
+    m = current_manifest(lsh)
+    assert m["kind"] == "lsh" and "centroids" not in m
+    after = [
+        (r["vec_id"], r["cosine"])
+        for r in lsh_index_topk(
+            spark, lsh, qvec, probes, k=10, exclude_vec_id=0
+        ).collect()
+    ]
+    assert after == before
+
+
+def test_build_retain_snapshots_keeps_prior_readable(spark, tmp_path):
+    """retain_snapshots threaded through the BUILD path (r4 verdict
+    wrong #2): a full rebuild with retain_snapshots=2 keeps the
+    previous snapshot's manifest and data dirs readable (time travel
+    works); the default retain=1 expires them."""
+    emb = _emb(spark)
+
+    keep = str(tmp_path / "keep")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 100), keep, k=4, iterations=1, dims=64
+    )
+    n1 = read_index(spark, keep).count()
+    build_ivf_index(emb, keep, k=4, iterations=1, dims=64, retain_snapshots=2)
+    # snapshot v1 still fully readable mid-rebuild-era
+    assert read_index(spark, keep, version=1).count() == n1
+    assert read_index(spark, keep).count() == emb.count()
+
+    drop = str(tmp_path / "drop")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 100), drop, k=4, iterations=1, dims=64
+    )
+    build_ivf_index(emb, drop, k=4, iterations=1, dims=64)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        current_manifest(drop, version=1)
