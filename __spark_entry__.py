@@ -299,6 +299,74 @@ def _corpus_report_oracle_sql() -> str:
     """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based quality scores: add-one bigram LM
+    trained on the h32(doc_id)%4 hash-sample, every doc scored by its
+    6dp-exact mean bigram surprise (rational arithmetic — no libm; see
+    operators/lmfilter.py)."""
+    from claude_readability_hook_spark.operators.lmfilter import lm_surprise_scores
+
+    return lm_surprise_scores(_docs(spark, sf_dir), sample_mod=4)
+
+
+def _lm_perplexity_oracle_sql() -> str:
+    h32_doc = _H32_SQL.replace("md5(s)", "md5(doc_id::VARCHAR)")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform({_TOKS_SQL}, t -> lower(t)) AS ts
+          FROM documents
+        ),
+        sample AS (
+          SELECT ts FROM toks WHERE ({h32_doc}) % 4 = 0
+        ),
+        sbg AS (
+          SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                   i -> [ts[i], ts[i + 1]])) AS p
+          FROM sample WHERE len(ts) >= 2
+        ),
+        bgc AS (
+          SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+          FROM sbg GROUP BY 1, 2
+        ),
+        ctx AS (SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY 1),
+        vocab AS (
+          SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(ts) AS w FROM sample)
+        ),
+        docbg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(ts), 1)),
+                   i -> [ts[i], ts[i + 1]])) AS p
+          FROM toks WHERE len(ts) >= 2
+        ),
+        terms AS (
+          -- exact integer micro-units, half-up integer division —
+          -- round() landed on a .xxxxxx5 tie at sf0.1 and the two
+          -- engines' round primitives split; div never does
+          SELECT d.doc_id,
+                 (2 * CAST(COALESCE(c.c1, 0) + v.v AS BIGINT) * 1000000
+                    + CAST(COALESCE(b.c12, 0) + 1 AS BIGINT))
+                 // (2 * CAST(COALESCE(b.c12, 0) + 1 AS BIGINT)) AS term_micro
+          FROM (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM docbg) d
+          LEFT JOIN bgc b ON d.w1 = b.w1 AND d.w2 = b.w2
+          LEFT JOIN ctx c ON d.w1 = c.w1
+          CROSS JOIN vocab v
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS nb,
+                 CAST(sum(term_micro) AS BIGINT) AS s_micro
+          FROM terms GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bigrams,
+               COALESCE(
+                 (((2 * a.s_micro + a.nb) // (2 * a.nb))::DOUBLE) / 1000000.0,
+                 0.0) AS lm_score
+        FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style duplicated-span scrub over the planted-dup
     corpus: 10-token segments appearing in ≥2 distinct docs are
@@ -1856,8 +1924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     locally by tests/test_oracle_parity.py, which enumerates ALL
     pairs)."""
     return {
-        # flagship + round-4 new operators
+        # flagship + round-5 new operators
         "extract_flagship": q_extract_flagship,
+        "lm_perplexity": q_lm_perplexity,  # new r5: bigram-LM quality scores
         "media_video_demux": q_media_video_demux,  # new r4: ISO-BMFF demux
         "media_frame_decode": q_media_frame_decode,  # new r4: MJPEG frame decode
         "warc_ingest": q_warc_ingest,  # new r4: WARC walk hash-gated
@@ -2934,6 +3003,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_spans": _remove_dup_spans_oracle_sql(),
         "redact_pii": _redact_pii_oracle_sql(),
         "corpus_report": _corpus_report_oracle_sql(),
+        "lm_perplexity": _lm_perplexity_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -120,6 +120,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "redact_pii",
         "media_frame_decode",
         "corpus_report",
+        "lm_perplexity",
     ]
 
     times: dict[str, float] = {}

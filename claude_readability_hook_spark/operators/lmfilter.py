@@ -1,0 +1,193 @@
+"""Model-based quality filtering: an add-one bigram language model
+trained on a deterministic hash-sample of the corpus, scoring every
+document's mean bigram SURPRISE — the CCNet/RefinedWeb "score each
+doc against a reference LM" curation stage (there, a KenLM 5-gram;
+here, the count-based add-k analog that any engine reproduces
+bit-for-bit).
+
+Reference analog: none — the reference ships heuristic score
+arithmetic only (apps/extractor/app/services/score_calculator.py);
+this operator is part of the LLM-data-pipeline brief, the standard
+perplexity-filter stage every public crawl pipeline runs between
+dedup and export.
+
+Why mean INVERSE probability instead of log-perplexity: log() differs
+across engines in the last ulp (the repo-wide rule that also made
+tf·idf rational — see textstats.tfidf_top_terms). The per-bigram
+surprise
+
+    s(w1, w2) = (c(w1) + V) / (c(w1, w2) + 1)
+
+is exactly 1/p_add1(w2 | w1): a ratio of two exact integers. And the
+whole score stays in INTEGER arithmetic: each term is half-up-rounded
+to micro-units with integer division,
+
+    term_micro = (2·num·10^6 + den) div (2·den)        [num, den > 0]
+
+summed as int64 (exact, order-independent), and the per-doc mean
+half-up-rounds the same way; the ONLY float op is the final
+micros→double scaling, identical IEEE division everywhere. No libm,
+no decimal/float rounding primitive anywhere — a sum/count division
+landing on an exact .xxxxxx5 tie made Spark's BigDecimal-HALF-UP and
+DuckDB's scaled-nearbyint round() disagree by 1 ulp at sf0.1, which
+is why integer div, not round(), is the cross-engine discipline here.
+Ranking-wise the mean surprise is monotone with perplexity on the
+same doc-length regime: high = the reference LM is surprised =
+boilerplate/garbled/off-language text, exactly what the CCNet
+head/middle/tail split thresholds on.
+
+Plan shape, sized for 10^12 docs:
+  - TRAIN: the sample predicate h32(doc_id) % sample_mod == 0 pushes
+    into the scan (same RNG-free hash-sample family as
+    similarity.ivf_centroids / sampling.train_val_split); bigram
+    pairs expand IN-ROW (shifted-slice zip_with — no self-join) and
+    hash-aggregate with map-side partials, so the one training
+    shuffle is bounded by the sample's bigram VOCABULARY, not its
+    token count. Context counts derive from the bigram table
+    (groupBy w1 — no second corpus pass); V is a 1-row distinct agg.
+  - SCORE: every doc's pairs expand in-row, then join the two count
+    tables. With broadcast_lm=True (default) both tables broadcast —
+    right whenever the sampled bigram vocabulary fits the executors
+    (the normal regime: vocabulary grows ~log of corpus size) — and
+    the doc side NEVER shuffles: the only exchange carries
+    (doc_id, decimal partial-sum, count) map-side-reduced rows.
+    broadcast_lm=False flips to shuffle joins keyed on the bigram —
+    the pathological-vocabulary regime knob, same pattern as
+    decontaminate(broadcast_hits=) / remove_duplicated_spans
+    (broadcast_drops=).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h32_expr
+from .textcommon import tokens_expr
+
+LM_SAMPLE_MOD = 4  # train on ~1/4 of docs by default
+
+
+def _lower_tokens(text_col: str) -> F.Column:
+    return F.transform(tokens_expr(F.col(text_col)), F.lower)
+
+
+def _pairs_expr(ts: F.Column) -> F.Column:
+    """Adjacent (w1, w2) structs, expanded in-row over the MATERIALIZED
+    token array (shifted slices + zip_with — the bigrams() pattern;
+    element_at over an inlined tokenizer re-evaluates the split per
+    element)."""
+    n1 = F.greatest(F.size(ts) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(ts, 1, n1),
+        F.slice(ts, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    sample_mod: int | None = LM_SAMPLE_MOD,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bigram_counts, context_counts, vocab) over the deterministic
+    hash-sample — bigram_counts = (w1, w2, c12), context_counts =
+    (w1, c1 = Σ c12), vocab = 1 row (v = distinct sample tokens,
+    ALL positions). sample_mod=None trains on the full corpus."""
+    sample = df
+    if sample_mod is not None:
+        sample = df.filter(
+            (h32_expr(F.col("doc_id").cast("string")) % sample_mod) == 0
+        )
+    toks = sample.select(_lower_tokens(text_col).alias("ts"))
+    bg = (
+        toks.select(F.explode(_pairs_expr(F.col("ts"))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = toks.select(F.explode(F.col("ts")).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    return bg, ctx, vocab
+
+
+def lm_surprise_scores(
+    df: DataFrame,
+    lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    sample_mod: int | None = LM_SAMPLE_MOD,
+    broadcast_lm: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, lm_score) for EVERY doc — lm_score = the
+    6dp-rounded mean add-one bigram surprise (see module docstring);
+    docs with <2 tokens score 0.0 with n_bigrams=0. Pass a pre-trained
+    `lm` to amortize training across calls (curate_job does)."""
+    bg, ctx, vocab = lm if lm is not None else train_bigram_lm(
+        df, sample_mod, text_col
+    )
+    if broadcast_lm:
+        bg, ctx, vocab = F.broadcast(bg), F.broadcast(ctx), F.broadcast(vocab)
+    pairs = df.select(
+        "doc_id", F.explode_outer(_pairs_expr(_lower_tokens(text_col))).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # exact integer micro-units (see module docstring): num/den are
+    # exact counts, div is integer half-up — no float before the end
+    term_micro = F.expr(
+        "(2 * num * 1000000 + den) div (2 * den)"
+    )
+    scored = (
+        pairs.join(bg, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            "w1",
+            (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            .cast("long")
+            .alias("num"),
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("den"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("w1").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("w1").isNotNull(), term_micro)).alias("s_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("(2 * s_micro + n_bigrams) div (2 * n_bigrams)").cast(
+                "double"
+            )
+            / F.lit(1000000.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lm_score"),
+    )
+
+
+def lm_quality_filter(
+    df: DataFrame,
+    max_score: float,
+    lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    sample_mod: int | None = LM_SAMPLE_MOD,
+    broadcast_lm: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep docs the reference LM is NOT surprised by (lm_score ≤
+    max_score) — the CCNet-style perplexity gate, as a curation stage:
+    returns the kept rows of `df` with the score column attached so
+    downstream stages (curate/export) can re-threshold without a
+    recompute. Docs with <2 tokens score 0.0 and are kept (the length
+    gate is quality_keep_expr's job, not the LM's)."""
+    scores = lm_surprise_scores(df, lm, sample_mod, broadcast_lm, text_col)
+    return df.join(
+        scores.filter(F.col("lm_score") <= max_score).select("doc_id", "lm_score"),
+        "doc_id",
+    )

@@ -10,7 +10,8 @@ cluster).
         --output /path/to/out \
         [--cap-per-source 10000] [--val-fraction 0.1] [--langs en] \
         [--dedup minhash|exact|none] [--manifest-only] \
-        [--decontaminate bench.parquet] [--redact-pii] [--scrub-spans 3]
+        [--decontaminate bench.parquet] [--redact-pii] [--scrub-spans 3] \
+        [--lm-filter 500.0]
 
 Pipeline (all narrow joins on doc_id — text never travels past the
 gate): curation gate (language ∧ quality ∧ not-exact-dup-loser) →
@@ -55,6 +56,15 @@ def main() -> None:
         help="remove 10-token spans recurring in >= MIN_DOCS docs "
         "(C4-style duplicated-span scrub) before export",
     )
+    parser.add_argument(
+        "--lm-filter",
+        type=float,
+        metavar="MAX_SCORE",
+        default=None,
+        help="drop docs whose mean add-one bigram surprise exceeds "
+        "MAX_SCORE (CCNet-style LM perplexity gate; the reference LM "
+        "trains on a deterministic 1/4 hash-sample of the input)",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -83,9 +93,24 @@ def main() -> None:
     capped = cap_per_source(docs, max_docs=args.cap_per_source)
 
     n_contaminated = 0
+    n_lm_dropped = 0
     manifest = kept.join(split, "doc_id").join(capped, "doc_id").select(
         "doc_id", "source", "lang_pred", "split"
     )
+    if args.lm_filter is not None:
+        # CCNet-style model-based gate: score every doc against the
+        # hash-sample-trained bigram LM, keep the unsurprising ones
+        from claude_readability_hook_spark.operators.lmfilter import (
+            lm_surprise_scores,
+        )
+
+        scores = lm_surprise_scores(docs.select("doc_id", "text"))
+        calm_ids = scores.filter(F.col("lm_score") <= args.lm_filter).select(
+            "doc_id"
+        )
+        before = manifest.count()
+        manifest = manifest.join(calm_ids, "doc_id", "left_semi")
+        n_lm_dropped = before - manifest.count()
     if args.decontaminate:
         # benchmark side broadcasts; contaminated docs leave the
         # manifest entirely (the conservative policy)
@@ -155,6 +180,7 @@ def main() -> None:
                 "train_rows": n_train,
                 "val_rows": n_manifest - n_train,
                 "contaminated_dropped": n_contaminated,
+                "lm_dropped": n_lm_dropped,
                 "export_shards": n_shards,
             }
         )
