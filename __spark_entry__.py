@@ -367,6 +367,133 @@ def _lm_perplexity_oracle_sql() -> str:
     """
 
 
+BPE_K = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (Sennrich): 8 driver-coordinated merge
+    rounds over the distinct-word table — exact leftmost
+    non-overlapping merge semantics via the wrapped-symbol replace
+    (operators/bpetrain.py)."""
+    from claude_readability_hook_spark.operators.bpetrain import learn_bpe_merges
+
+    return learn_bpe_merges(_docs(spark, sf_dir), k=BPE_K)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-tokenize every doc with the learned merge table: the token
+    budget a BPE tokenizer with these merges charges (in-row chained
+    replaces — the merge table rides as literals like IVF
+    centroids)."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        bpe_encode_counts,
+        learn_bpe_merges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in learn_bpe_merges(docs, k=BPE_K)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return bpe_encode_counts(docs, merges)
+
+
+def _bpe_sym_sql(word: str) -> str:
+    """Wrapped initial symbol string of `word` (see bpetrain: one
+    ' c<TAB>' wrapper per char + the </w> marker)."""
+    return (
+        "list_aggregate(list_transform(list_append("
+        f"list_transform(range(1, length({word}) + 1), i -> {word}[i:i]),"
+        " '</w>'), c -> ' ' || c || chr(9)), 'string_agg', '')"
+    )
+
+
+def _bpe_cte_chain(k: int) -> str:
+    """w0..wk / m1..mk CTE chain mirroring learn_bpe_merges round by
+    round (argmax pair with count-desc, pair-asc tie-break; wrapped
+    replace application)."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+          SELECT w, {_bpe_sym_sql('w')} AS sym, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(list_transform({_TOKS_SQL}, t -> lower(t))) AS w
+                FROM documents)
+          GROUP BY w
+        )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+          SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS pair, n
+          FROM (SELECT list_transform(
+                         list_filter(string_split(sym, chr(9)), x -> x <> ''),
+                         x -> ltrim(x)) AS ts, n
+                FROM w{r - 1})
+          WHERE len(ts) >= 2
+        )"""
+        )
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+          SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+          FROM p{r} GROUP BY pair
+          ORDER BY cnt DESC, pair LIMIT 1
+        )"""
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+          SELECT w,
+                 replace(sym,
+                   ' ' || string_split((SELECT pair FROM m{r}), ' ')[1] || chr(9)
+                     || ' ' || string_split((SELECT pair FROM m{r}), ' ')[2] || chr(9),
+                   ' ' || replace((SELECT pair FROM m{r}), ' ', '') || chr(9)
+                 ) AS sym, n
+          FROM w{r - 1}
+        )"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_oracle_sql() -> str:
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS merge_rank,
+               string_split(pair, ' ')[1] AS lhs,
+               string_split(pair, ' ')[2] AS rhs,
+               replace(pair, ' ', '') AS merged,
+               cnt AS pair_count FROM m{r}"""
+        for r in range(1, BPE_K + 1)
+    )
+    return f"WITH {_bpe_cte_chain(BPE_K)}\n{unions}"
+
+
+def _bpe_encode_oracle_sql() -> str:
+    k = BPE_K
+    return f"""
+        WITH {_bpe_cte_chain(k)},
+        wordcount AS (
+          -- one tab per symbol: symbol count = tab count
+          SELECT w,
+                 length(sym) - length(replace(sym, chr(9), '')) AS n_sym
+          FROM w{k}
+        ),
+        enc AS (
+          SELECT doc_id, list_transform({_TOKS_SQL}, t -> lower(t)) AS ws
+          FROM documents
+        ),
+        ds AS (
+          SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe_symbols
+          FROM (SELECT doc_id, unnest(ws) AS w FROM enc)
+          JOIN wordcount USING (w)
+          GROUP BY doc_id
+        )
+        SELECT e.doc_id,
+               CAST(len(e.ws) AS BIGINT) AS n_words,
+               COALESCE(d.n_bpe_symbols, 0) AS n_bpe_symbols
+        FROM enc e LEFT JOIN ds d USING (doc_id)
+    """
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style duplicated-span scrub over the planted-dup
     corpus: 10-token segments appearing in ≥2 distinct docs are
@@ -1927,6 +2054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship + round-5 new operators
         "extract_flagship": q_extract_flagship,
         "lm_perplexity": q_lm_perplexity,  # new r5: bigram-LM quality scores
+        "bpe_merges": q_bpe_merges,  # new r5: BPE merge-table training
+        "bpe_encode": q_bpe_encode,  # new r5: re-tokenize with learned merges
         "media_video_demux": q_media_video_demux,  # new r4: ISO-BMFF demux
         "media_frame_decode": q_media_frame_decode,  # new r4: MJPEG frame decode
         "warc_ingest": q_warc_ingest,  # new r4: WARC walk hash-gated
@@ -3004,6 +3133,8 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_pii_oracle_sql(),
         "corpus_report": _corpus_report_oracle_sql(),
         "lm_perplexity": _lm_perplexity_oracle_sql(),
+        "bpe_merges": _bpe_merges_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -1,0 +1,171 @@
+"""BPE merge-table training (Sennrich-style byte-pair encoding) as a
+driver-coordinated iterative Spark job — the tokenizer-training stage
+downstream of textstats.vocabulary/bigrams (which SURVEY §11 labels
+the "BPE merge-candidate precursor"; this closes the loop and emits
+an actual merge table).
+
+Reference analog: none — the reference repo has no tokenizer
+machinery; this is the LLM-data-pipeline brief (every pretraining
+corpus ships with a tokenizer trained on it).
+
+Why this scales: classic BPE (count pairs → merge argmax → repeat)
+looks corpus-sized, but the loop runs over the DISTINCT-WORD table
+(word, count) — vocabulary-bounded, shrinking-ish, millions of rows
+at 100 TB where the corpus is trillions of tokens. The plan per merge
+round is: one in-row pair expansion + a vocab-bounded hash agg + a
+driver-side top-1 (k rows total collect to the driver across the
+whole run) + an in-row string rewrite. Same driver-coordinated
+iterative family as dedup.connected_components; rounds are
+corpus-size-independent after the first vocabulary pass.
+
+Cross-engine determinism (the oracle unrolls the same rounds in
+DuckDB CTEs): the merge application must be EXACT leftmost
+non-overlapping — Sennrich merge order. A plain space-separated
+symbol string breaks that: replacing " a b " in " a b a b " consumes
+the SHARED middle space, so the second occurrence is missed. Instead
+each symbol is wrapped as " sym<TAB>" (space prefix, tab suffix, both
+part of the token): occurrences of " a\\t b\\t" never share
+characters, so one literal replace() — identical left-to-right
+non-overlap semantics in Java and DuckDB — applies the merge exactly
+like the reference BPE scan (runs: "aaaaa" + (a,a) → [aa, aa, a]).
+Symbols originate from whitespace-split words, so they can never
+contain space or tab. Tie-break: highest pair count, then the
+lexicographically smallest "lhs rhs" string — total order, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textstats import vocabulary
+
+END_OF_WORD = "</w>"
+
+
+def _wrap_sym_expr(word: F.Column) -> F.Column:
+    """word → its wrapped symbol string: ' c\\t' per char + the
+    end-of-word marker."""
+    chars = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+    with_marker = F.concat(chars, F.array(F.lit(END_OF_WORD)))
+    return F.concat_ws(
+        "", F.transform(with_marker, lambda c: F.concat(F.lit(" "), c, F.lit("\t")))
+    )
+
+
+def _symbols_expr(sym: F.Column) -> F.Column:
+    """Wrapped symbol string → symbol array (drop the wrappers)."""
+    # explicit one-arg lambda: F.ltrim has an optional second param, so
+    # passing it bare makes transform() feed the array index into it
+    return F.transform(
+        F.filter(F.split(sym, "\t"), lambda x: x != F.lit("")),
+        lambda x: F.ltrim(x),
+    )
+
+
+def _pairs_expr(ts: F.Column) -> F.Column:
+    n1 = F.greatest(F.size(ts) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(ts, 1, n1),
+        F.slice(ts, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(sym, n): one row per DISTINCT lowercased word with its corpus
+    count and its wrapped initial symbol string — the working set the
+    merge loop iterates on."""
+    words = vocabulary(df, min_count=1, lowercase=True, text_col=text_col)
+    return words.select(_wrap_sym_expr(F.col("token")).alias("sym"), "n")
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Run k merge rounds and return the merge table as a DataFrame
+    (merge_rank, lhs, rhs, merged, pair_count) — k driver-side rows
+    total (the documented tiny driver collect of this operator; the
+    per-round top-1 is a TakeOrdered over the vocab-bounded pair
+    agg). localCheckpoint every few rounds keeps the iterative plan
+    from re-deriving all prior rewrites (the dedup_clusters lineage
+    discipline)."""
+    spark = df.sparkSession
+    syms = word_symbol_table(df, text_col)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, k + 1):
+        pair_counts = (
+            syms.select(
+                F.explode(_pairs_expr(_symbols_expr(F.col("sym")))).alias("pair"),
+                "n",
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+        )
+        top = pair_counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        lhs, rhs = pair.split(" ", 1)
+        merged = lhs + rhs
+        merges.append((rank, lhs, rhs, merged, cnt))
+        syms = syms.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f" {lhs}\t {rhs}\t"),
+                F.lit(f" {merged}\t"),
+            ),
+        )
+        if rank % checkpoint_every == 0:
+            syms = syms.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def apply_merges_expr(word: F.Column, merges: list[tuple[str, str]]) -> F.Column:
+    """Wrapped-encode `word`, then apply the learned merges IN RANK
+    ORDER as chained literal replaces — pure codegen, no Python per
+    row; returns the final symbol ARRAY. The merge list is driver-side
+    (k entries, the trained artifact) exactly like IVF centroids ride
+    as literals."""
+    sym = _wrap_sym_expr(word)
+    for lhs, rhs in merges:
+        sym = F.replace(
+            sym, F.lit(f" {lhs}\t {rhs}\t"), F.lit(f" {lhs}{rhs}\t")
+        )
+    return _symbols_expr(sym)
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_symbols): re-tokenize every doc with the
+    learned merge table — the real token budget a BPE tokenizer with
+    these merges would charge (n_bpe_symbols counts the end-of-word
+    markers, one per word, matching the </w> alphabet convention).
+    In-row over the materialized word array; zero shuffles."""
+    toks = F.transform(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")),
+        F.lower,
+    )
+    return (
+        df.select("doc_id", toks.alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.aggregate(
+                F.transform(
+                    F.col("ws"), lambda w: F.size(apply_merges_expr(w, merges))
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("n_bpe_symbols"),
+        )
+    )

@@ -1,0 +1,127 @@
+"""BPE merge training: hand-computed merges, exact leftmost
+non-overlap run semantics, and a differential check against a pure
+pure-Python Sennrich-style reference on real corpus words."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from claude_readability_hook_spark.operators.bpetrain import (
+    apply_merges_expr,
+    bpe_encode_counts,
+    learn_bpe_merges,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ref_bpe(word_counts: dict[str, int], k: int):
+    """Reference implementation: Sennrich get_stats/merge loop over
+    (symbol tuple → count), leftmost non-overlapping merge, tie-break
+    (count desc, 'lhs rhs' asc)."""
+    vocab = {
+        tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()
+    }
+    merges = []
+    for _ in range(k):
+        stats = collections.Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += n
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (a, b), cnt = best
+        merges.append((a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_hand_computed_merge_table(spark):
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    rows = learn_bpe_merges(df, k=6).orderBy("merge_rank").collect()
+    got = [(r["lhs"], r["rhs"], r["merged"], r["pair_count"]) for r in rows]
+    assert got == [
+        ("l", "o", "lo", 7),
+        ("lo", "w", "low", 7),
+        ("low", "</w>", "low</w>", 4),
+        ("e", "r", "er", 3),
+        ("e", "w", "ew", 3),
+        ("er", "</w>", "er</w>", 3),
+    ]
+
+
+def test_run_merge_is_leftmost_nonoverlapping(spark):
+    """'aaaaa' + merge (a,a) must give [aa, aa, a] — the Sennrich scan
+    order (the shared-separator replace bug would give [aa, a, aa] and
+    a different symbol count after further merges)."""
+    df = spark.createDataFrame([(1, "aaaaa")], "doc_id long, text string")
+    [r] = (
+        df.select(
+            apply_merges_expr(F.lit("aaaaa"), [("a", "a")]).alias("syms")
+        ).collect()
+    )
+    assert r["syms"] == ["aa", "aa", "a", "</w>"]
+    # and the follow-up merge sees (aa, aa), not (a, aa)
+    [r2] = (
+        df.select(
+            apply_merges_expr(F.lit("aaaaa"), [("a", "a"), ("aa", "aa")]).alias(
+                "syms"
+            )
+        ).collect()
+    )
+    assert r2["syms"] == ["aaaa", "a", "</w>"]
+
+
+def test_matches_reference_bpe_on_real_corpus(spark):
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    rows = learn_bpe_merges(docs, k=10).orderBy("merge_rank").collect()
+    got = [(r["lhs"], r["rhs"], r["merged"], r["pair_count"]) for r in rows]
+
+    counts = collections.Counter()
+    for r in docs.collect():
+        for w in r["text"].lower().split():
+            counts[w] += 1
+    want = _ref_bpe(dict(counts), k=10)
+    assert got == want
+
+
+def test_encode_preserves_word_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, "")], "doc_id long, text string"
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in learn_bpe_merges(df, k=4).orderBy("merge_rank").collect()
+    ]
+    # symbols re-concatenate to word + marker (no characters lost)
+    [r] = df.filter("doc_id = 1").select(
+        apply_merges_expr(F.lit("lower"), merges).alias("syms")
+    ).collect()
+    assert "".join(r["syms"]) == "lower</w>"
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_symbols"])
+        for r in bpe_encode_counts(df, merges).collect()
+    }
+    assert enc[2] == (0, 0)
+    assert enc[1][0] == 2 and enc[1][1] >= 2
