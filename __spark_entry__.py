@@ -494,6 +494,36 @@ def _bpe_encode_oracle_sql() -> str:
     """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat + split at a 512-token budget): where
+    each doc lands in its shard's packed stream — pure per-shard
+    running-sum arithmetic (operators/packing.py)."""
+    from claude_readability_hook_spark.operators.packing import pack_assignments
+
+    return pack_assignments(_docs(spark, sf_dir), seq_len=512)
+
+
+def _sequence_pack_oracle_sql() -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source AS shard, len({_TOKS_SQL}) AS nt
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, nt,
+                 sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT doc_id, shard, CAST(nt AS BIGINT) AS n_tokens,
+               CAST((cum - nt) // 512 AS BIGINT) AS pack_first,
+               CAST(CASE WHEN nt > 0 THEN (cum - 1) // 512
+                    ELSE (cum - nt) // 512 END AS BIGINT) AS pack_last,
+               CAST((cum - nt) % 512 AS BIGINT) AS start_offset
+        FROM c
+    """
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style duplicated-span scrub over the planted-dup
     corpus: 10-token segments appearing in ≥2 distinct docs are
@@ -2056,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,  # new r5: bigram-LM quality scores
         "bpe_merges": q_bpe_merges,  # new r5: BPE merge-table training
         "bpe_encode": q_bpe_encode,  # new r5: re-tokenize with learned merges
+        "sequence_pack": q_sequence_pack,  # new r5: token-budget packing
         "media_video_demux": q_media_video_demux,  # new r4: ISO-BMFF demux
         "media_frame_decode": q_media_frame_decode,  # new r4: MJPEG frame decode
         "warc_ingest": q_warc_ingest,  # new r4: WARC walk hash-gated
@@ -3135,6 +3166,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _lm_perplexity_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "sequence_pack": _sequence_pack_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -1,0 +1,124 @@
+"""Sequence packing for pretraining export: concatenate documents (in
+deterministic doc_id order) into fixed token-budget sequences, split
+exactly at the budget boundary — the standard packing step between a
+curated corpus and training shards (one doc per JSONL record wastes
+budget on padding; packed sequences don't).
+
+Reference analog: none — LLM-data-pipeline brief (the export side of
+sources/export.export_jsonl_shards).
+
+Semantics (concat + split): per shard, documents form one continuous
+token stream in doc_id order; sequence i owns stream positions
+[i·L, (i+1)·L). A document therefore maps to a contiguous stream
+interval and may straddle sequence boundaries — pack_first/pack_last/
+start_offset are pure running-sum arithmetic, exact integers, and the
+DuckDB twin is the same frame-ordered window (deterministic by the
+repo's oracle rules: int window sums over ROWS UNBOUNDED PRECEDING).
+
+Scale shape: a GLOBAL running sum would serialize 10^12 docs through
+one window partition — the classic window scale-killer. Packing does
+not need global contiguity (training shards are independent), so the
+stream is per-shard: the window partitions by `shard_col` (default
+`source`) and orders by doc_id — one hash shuffle on the shard key,
+then embarrassingly parallel windows; pack ids are shard-local and
+(shard, pack_id) is globally unique. A skewed giant shard re-shards
+upstream (the sessions.py salting pattern) — documented, not hidden.
+The materialization path (pack_token_sequences) explodes per token;
+that is the export's output volume itself, not overhead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textcommon import tokens_expr
+
+
+def pack_assignments(
+    df: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, pack_first, pack_last, start_offset):
+    where each doc's tokens land in the packed stream. pack_last is
+    inclusive; zero-token docs occupy no positions (pack_last ==
+    pack_first == the pack their start falls in)."""
+    t = df.select(
+        "doc_id",
+        F.col(shard_col).alias("shard"),
+        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    begin = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {seq_len}").alias("pack_first"),
+        F.when(
+            F.col("n_tokens") > 0, F.expr(f"(cum - 1) div {seq_len}")
+        )
+        .otherwise(F.expr(f"(cum - n_tokens) div {seq_len}"))
+        .alias("pack_last"),
+        (begin % seq_len).alias("start_offset"),
+    )
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the packed sequences: (shard, pack_id, n, tokens)
+    with every pack exactly seq_len tokens except each shard's last.
+    Token order inside a pack is the stream order (doc_id, then
+    in-doc position) — the array_sort-on-struct reassembly keeps it
+    exact without a per-pack window."""
+    toks = tokens_expr(F.col(text_col))
+    t = df.select(
+        "doc_id",
+        F.col(shard_col).alias("shard"),
+        toks.alias("ts"),
+    ).withColumn(
+        "begin",
+        F.sum(F.size("ts").cast("long")).over(
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.size("ts"),
+    )
+    pos = t.select(
+        "shard",
+        F.col("begin"),
+        F.posexplode("ts").alias("i", "token"),
+    ).select(
+        "shard",
+        "token",
+        (F.col("begin") + F.col("i")).alias("gpos"),
+    )
+    return (
+        pos.select(
+            "shard",
+            F.expr(f"gpos div {seq_len}").alias("pack_id"),
+            (F.col("gpos") % seq_len).alias("ppos"),
+            "token",
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ppos"), F.col("token")))
+                ),
+                lambda s: s["token"],
+            ).alias("tokens"),
+        )
+    )

@@ -1,0 +1,94 @@
+"""Sequence packing: boundary arithmetic, the lossless round-trip
+(no token lost or reordered), and exact pack sizes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from claude_readability_hook_spark.operators.packing import (
+    pack_assignments,
+    pack_token_sequences,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tiny(spark):
+    # shard A stream: d1 (3 toks) + d2 (4) + d4 (6) = 13 → packs of 5:
+    # [0,5) [5,10) [10,13); d3 is empty and owns no positions
+    return spark.createDataFrame(
+        [
+            (1, "A", "a b c"),
+            (2, "A", "d e f g"),
+            (3, "A", ""),
+            (4, "A", "h i j k l m"),
+            (5, "B", "x y"),
+        ],
+        "doc_id long, source string, text string",
+    )
+
+
+def test_boundary_arithmetic(spark):
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["pack_first"],
+            r["pack_last"],
+            r["start_offset"],
+        )
+        for r in pack_assignments(_tiny(spark), seq_len=5).collect()
+    }
+    assert got == {
+        1: (3, 0, 0, 0),  # [0,3)
+        2: (4, 0, 1, 3),  # [3,7) straddles packs 0→1
+        3: (0, 1, 1, 2),  # empty doc at stream pos 7
+        4: (6, 1, 2, 2),  # [7,13) straddles 1→2
+        5: (2, 0, 0, 0),  # shard B has its own stream
+    }
+
+
+def test_roundtrip_no_token_lost(spark):
+    """Every pack is exactly seq_len except each shard's last, and the
+    concatenation of packs (in pack order) equals the concatenation of
+    docs (in doc_id order) — concat+split loses nothing."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    L = 128
+    packs = pack_token_sequences(docs, seq_len=L).collect()
+    by_shard: dict[str, list] = {}
+    for r in packs:
+        by_shard.setdefault(r["shard"], []).append(r)
+        assert r["n"] == len(r["tokens"])
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["pack_id"])
+        assert [r["pack_id"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["n"] == L
+        assert 1 <= rows[-1]["n"] <= L
+        stream = [t for r in rows for t in r["tokens"]]
+        want = [
+            t
+            for doc in sorted(
+                docs.filter(F.col("source") == shard).collect(),
+                key=lambda d: d["doc_id"],
+            )
+            for t in doc["text"].split()
+        ]
+        assert stream == want
+
+
+def test_assignment_consistent_with_materialization(spark):
+    """pack_first/pack_last from the arithmetic view match where the
+    materialized packs actually put each doc's first/last token."""
+    df = _tiny(spark)
+    asg = {r["doc_id"]: r for r in pack_assignments(df, seq_len=5).collect()}
+    packs = {
+        (r["shard"], r["pack_id"]): r["tokens"]
+        for r in pack_token_sequences(df, seq_len=5).collect()
+    }
+    # doc 2's tokens d..g: first in (A,0) at offset 3, last in (A,1)
+    assert packs[("A", 0)][asg[2]["start_offset"]] == "d"
+    assert packs[("A", asg[2]["pack_last"])][
+        (asg[2]["start_offset"] + asg[2]["n_tokens"] - 1) % 5
+    ] == "g"
