@@ -1782,6 +1782,71 @@ def _media_video_oracle_sql() -> str:
     """
 
 
+FMP4_ORACLE_REFS = 40
+
+
+def q_media_fmp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated oracle for the FRAGMENTED MP4 demux (moof/traf/trun
+    — the DASH/HLS segment layout): synthesized fMP4s have an
+    arithmetic layout (n_frag fragments × 3 seeded-size samples,
+    default-base-is-moof, tfdt decode times, 40 ms trex cadence,
+    fragment-start sync), so every demuxed (offset, size, timestamp,
+    sync) is a closed-form function of the ref string — offset =
+    header + (frag+1)·(moof+mdat-header) + payload running sum. Any
+    drift in the trun walk, the base-offset resolution, or the
+    tfdt/trex time math breaks the hash."""
+    from claude_readability_hook_spark.operators.multimodal import (
+        demux_video_samples,
+        synthesize_media_table,
+    )
+
+    refs = [f"fv:{i}" for i in range(FMP4_ORACLE_REFS)]
+    media = synthesize_media_table(spark, refs, real_fmp4=True)
+    return demux_video_samples(media).select(
+        "media_ref", "sample_idx", "offset", "size", "timestamp_ms",
+        "is_sync", "decode_ok",
+    )
+
+
+def _media_fmp4_oracle_sql() -> str:
+    from claude_readability_hook_spark.core.mp4codec import (
+        fmp4_header_len,
+        fmp4_moof_len,
+    )
+
+    hdr = fmp4_header_len()
+    m3 = fmp4_moof_len(3)
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    return f"""
+        WITH refs AS (
+          SELECT 'fv:' || i::VARCHAR AS media_ref
+          FROM range(0, {FMP4_ORACLE_REFS}) t(i)
+        ),
+        s AS (SELECT media_ref, {asciisum} AS seed FROM refs),
+        samples AS (
+          SELECT media_ref, seed, i.i AS idx,
+                 i.i // 3 AS frag,
+                 50 + ((seed + 31 * i.i) % 100) AS size
+          FROM s, range(0, 9) i(i)
+          WHERE i.i < 3 * (2 + seed % 2)
+        )
+        SELECT media_ref,
+               CAST(idx AS BIGINT) AS sample_idx,
+               CAST({hdr} + (frag + 1) * {m3 + 8} + COALESCE(SUM(size) OVER (
+                      PARTITION BY media_ref ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS BIGINT) AS "offset",
+               CAST(size AS BIGINT) AS size,
+               CAST(40 * idx AS BIGINT) AS timestamp_ms,
+               (idx % 3 = 0) AS is_sync,
+               'ok' AS decode_ok
+        FROM samples
+    """
+
+
 WARC_ORACLE_DOCS = 24  # 12 per segment: one plain, one member-gzip
 
 
@@ -2087,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,  # new r5: BPE merge-table training
         "bpe_encode": q_bpe_encode,  # new r5: re-tokenize with learned merges
         "sequence_pack": q_sequence_pack,  # new r5: token-budget packing
+        "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
         "media_video_demux": q_media_video_demux,  # new r4: ISO-BMFF demux
         "media_frame_decode": q_media_frame_decode,  # new r4: MJPEG frame decode
         "warc_ingest": q_warc_ingest,  # new r4: WARC walk hash-gated
@@ -3167,6 +3233,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "sequence_pack": _sequence_pack_oracle_sql(),
+        "media_fmp4_demux": _media_fmp4_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -7,8 +7,12 @@ to REAL per-sample (byte offset, size, timestamp, sync flag).
 Scope (honest): container DEMUX only — frame *sampling* gets true
 offsets/timestamps it can seek to; frame *decode* (H.264 et al.)
 stays out of scope for this container (no codec libs), exactly the
-boundary the r3 verdict set. Fragmented MP4 (moof) and editing
-artifacts (edts time remapping, ctts composition offsets) raise
+boundary the r3 verdict set. FRAGMENTED MP4 (moof/traf/trun — the
+DASH/HLS segment layout most crawled streaming video uses) is now
+demuxed for the common profile: per-trun explicit data offsets,
+default-base-is-moof or explicit base offsets, tfdt decode times,
+trex/tfhd sample defaults. Editing artifacts (edts time remapping,
+ctts/trun composition offsets) and trun-without-data-offset raise
 NotImplementedError so callers fall back — same poison-isolation
 contract as the other codecs.
 
@@ -121,7 +125,7 @@ def demux_mp4(payload: bytes) -> dict:
     data = payload
     end = len(data)
     if _find(data, 0, end, b"moof") is not None:
-        raise NotImplementedError("fragmented MP4 (moof)")
+        return _demux_fragmented(data, end)
     moov = _find(data, 0, end, b"moov")
     if moov is None:
         raise ValueError("no moov box")
@@ -332,3 +336,301 @@ def encode_minimal_mp4(
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return FTYP + mdat + moov
+
+
+# --- fragmented MP4 (moof/traf/trun) ---------------------------------------
+
+# tfhd flag bits (ISO/IEC 14496-12 §8.8.7)
+_TFHD_BASE_DATA_OFFSET = 0x1
+_TFHD_SAMPLE_DESC = 0x2
+_TFHD_DEFAULT_DURATION = 0x8
+_TFHD_DEFAULT_SIZE = 0x10
+_TFHD_DEFAULT_FLAGS = 0x20
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x20000
+# trun flag bits (§8.8.8)
+_TRUN_DATA_OFFSET = 0x1
+_TRUN_FIRST_FLAGS = 0x4
+_TRUN_SAMPLE_DURATION = 0x100
+_TRUN_SAMPLE_SIZE = 0x200
+_TRUN_SAMPLE_FLAGS = 0x400
+_TRUN_SAMPLE_CTS = 0x800
+_NON_SYNC = 0x10000  # sample_is_non_sync_sample
+
+
+def _tkhd_track_id(data: bytes, body: int) -> int:
+    ver, p = _full_box(data, body)
+    return _u32(data, p + 16) if ver == 1 else _u32(data, p + 8)
+
+
+def _demux_fragmented(data: bytes, end: int) -> dict:
+    """The moof/traf/trun walk (DASH/HLS segment layout): moov supplies
+    per-track handler/timescale and trex defaults; each movie fragment
+    carries its own sample runs with explicit data offsets resolved
+    against the moof (default-base-is-moof) or an explicit base. Same
+    poison guards and the same output shape as the stbl walk."""
+    moov = _find(data, 0, end, b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    mvhd = _find(data, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("no mvhd box")
+    mvhd_ms = _mvhd_duration_ms(data, mvhd[0], mvhd[1])
+
+    tracks: dict[int, dict] = {}
+    for fc, tb, te in _boxes(data, moov[0], moov[1]):
+        if fc != b"trak":
+            continue
+        tkhd = _find(data, tb, te, b"tkhd")
+        mdia = _find(data, tb, te, b"mdia")
+        if tkhd is None or mdia is None:
+            raise ValueError("incomplete trak")
+        if _find(data, tb, te, b"edts") is not None:
+            raise NotImplementedError("edit lists (edts)")
+        mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+        hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+        if mdhd is None or hdlr is None:
+            raise ValueError("incomplete mdia")
+        tracks[_tkhd_track_id(data, tkhd[0])] = {
+            "handler": data[hdlr[0] + 8 : hdlr[0] + 12].decode("latin-1"),
+            "timescale": _mdhd_timescale(data, mdhd[0]),
+            "samples": [],
+            "_decode_time": 0,  # running default when tfdt is absent
+            "trex": None,
+        }
+
+    mvex = _find(data, moov[0], moov[1], b"mvex")
+    if mvex is not None:
+        for fc, xb, xe in _boxes(data, mvex[0], mvex[1]):
+            if fc != b"trex":
+                continue
+            _ver, p = _full_box(data, xb)
+            tid = _u32(data, p)
+            if tid in tracks:
+                tracks[tid]["trex"] = (
+                    _u32(data, p + 8),  # default_sample_duration
+                    _u32(data, p + 12),  # default_sample_size
+                    _u32(data, p + 16),  # default_sample_flags
+                )
+
+    n_total = 0
+    for fc, mb, me in _boxes(data, 0, end):
+        if fc != b"moof":
+            continue
+        moof_start = mb - 8  # box header precedes the body
+        for tfc, fb, fe in _boxes(data, mb, me):
+            if tfc != b"traf":
+                continue
+            tfhd = _find(data, fb, fe, b"tfhd")
+            if tfhd is None:
+                raise ValueError("traf without tfhd")
+            _ver, p = _full_box(data, tfhd[0])
+            tf_flags = int.from_bytes(data[tfhd[0] + 1 : tfhd[0] + 4], "big")
+            tid = _u32(data, p)
+            p += 4
+            if tid not in tracks:
+                raise ValueError("traf references unknown track")
+            tr = tracks[tid]
+            base = moof_start
+            if tf_flags & _TFHD_BASE_DATA_OFFSET:
+                base = _u64(data, p)
+                p += 8
+            if tf_flags & _TFHD_SAMPLE_DESC:
+                p += 4
+            d_dur = d_size = d_flags = None
+            if tf_flags & _TFHD_DEFAULT_DURATION:
+                d_dur = _u32(data, p)
+                p += 4
+            if tf_flags & _TFHD_DEFAULT_SIZE:
+                d_size = _u32(data, p)
+                p += 4
+            if tf_flags & _TFHD_DEFAULT_FLAGS:
+                d_flags = _u32(data, p)
+                p += 4
+            trex = tr["trex"] or (None, None, None)
+            if d_dur is None:
+                d_dur = trex[0]
+            if d_size is None:
+                d_size = trex[1]
+            if d_flags is None:
+                d_flags = trex[2] if trex[2] is not None else 0
+
+            tfdt = _find(data, fb, fe, b"tfdt")
+            if tfdt is not None:
+                ver, p2 = _full_box(data, tfdt[0])
+                t = _u64(data, p2) if ver == 1 else _u32(data, p2)
+            else:
+                t = tr["_decode_time"]
+
+            for rfc, rb, re_ in _boxes(data, fb, fe):
+                if rfc != b"trun":
+                    continue
+                ver, p3 = _full_box(data, rb)
+                tr_flags = int.from_bytes(data[rb + 1 : rb + 4], "big")
+                if tr_flags & _TRUN_SAMPLE_CTS:
+                    raise NotImplementedError("trun composition offsets")
+                if not tr_flags & _TRUN_DATA_OFFSET:
+                    raise NotImplementedError("trun without data offset")
+                count = _u32(data, p3)
+                p3 += 4
+                if count > MAX_SAMPLES or n_total + count > MAX_SAMPLES:
+                    raise ValueError("implausible sample count")
+                data_off = struct.unpack_from(">i", data, p3)[0]
+                p3 += 4
+                first_flags = None
+                if tr_flags & _TRUN_FIRST_FLAGS:
+                    first_flags = _u32(data, p3)
+                    p3 += 4
+                pos = base + data_off
+                for i in range(count):
+                    dur, size, flags = d_dur, d_size, d_flags
+                    if tr_flags & _TRUN_SAMPLE_DURATION:
+                        dur = _u32(data, p3)
+                        p3 += 4
+                    if tr_flags & _TRUN_SAMPLE_SIZE:
+                        size = _u32(data, p3)
+                        p3 += 4
+                    if tr_flags & _TRUN_SAMPLE_FLAGS:
+                        flags = _u32(data, p3)
+                        p3 += 4
+                    elif i == 0 and first_flags is not None:
+                        flags = first_flags
+                    if dur is None or size is None:
+                        raise ValueError("no sample duration/size available")
+                    if pos + size > end or pos < 0:
+                        raise ValueError("sample overruns file")
+                    tr["samples"].append(
+                        (
+                            pos,
+                            size,
+                            t * 1000 // tr["timescale"],
+                            not (flags & _NON_SYNC),
+                        )
+                    )
+                    pos += size
+                    t += dur
+                    n_total += 1
+            tr["_decode_time"] = t
+
+    out_tracks = []
+    end_ms = 0
+    for tr in tracks.values():
+        if not tr["samples"]:
+            continue
+        end_ms = max(end_ms, tr["_decode_time"] * 1000 // tr["timescale"])
+        out_tracks.append(
+            {
+                "handler": tr["handler"],
+                "timescale": tr["timescale"],
+                "samples": tr["samples"],
+            }
+        )
+    if not out_tracks:
+        raise ValueError("no tracks")
+    return {"duration_ms": mvhd_ms if mvhd_ms > 0 else end_ms, "tracks": out_tracks}
+
+
+def _fmp4_moov(
+    timescale: int, handler: bytes, delta: int
+) -> bytes:
+    """moov for a fragmented file: empty sample tables (samples live in
+    fragments), mvex/trex carrying the defaults (duration = delta,
+    non-sync default flags — fragment starts override via
+    first_sample_flags)."""
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, 0)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIIII", 0, 0, 1, 0, 0) + b"\x00" * 60)
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12 + b"demux\x00")
+    stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + _box(b"mp4v" if handler == b"vide" else b"mp4a", b"\x00" * 6 + struct.pack(">H", 1)),
+    )
+    stbl = _box(
+        b"stbl",
+        stsd
+        + _full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")))
+    minf = _box(
+        b"minf",
+        _box(b"vmhd" if handler == b"vide" else b"smhd", b"\x00" * 12) + dinf + stbl,
+    )
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+    trex = _full(b"trex", 0, 0, struct.pack(">5I", 1, 1, delta, 0, _NON_SYNC))
+    return _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+
+
+def _fmp4_moof(
+    seq: int, base_decode_time: int, sizes: list[int]
+) -> bytes:
+    """moof for one fragment: mfhd + traf(tfhd default-base-is-moof,
+    tfdt v1, one trun with explicit data offset + per-sample sizes +
+    first-sample-flags marking the fragment start as sync)."""
+    mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+    tfhd = _full(b"tfhd", 0, _TFHD_DEFAULT_BASE_IS_MOOF, struct.pack(">I", 1))
+    tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", base_decode_time))
+    trun_flags = _TRUN_DATA_OFFSET | _TRUN_FIRST_FLAGS | _TRUN_SAMPLE_SIZE
+    trun_body = (
+        struct.pack(">I", len(sizes))
+        + struct.pack(">i", 0)  # data_offset patched below
+        + struct.pack(">I", 0)  # first_sample_flags: sync
+        + b"".join(struct.pack(">I", s) for s in sizes)
+    )
+    trun = _full(b"trun", 0, trun_flags, trun_body)
+    moof = _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun))
+    # patch data_offset: mdat body starts right after this moof's
+    # 8-byte mdat header; offset is relative to the moof start. The
+    # trun is the last child, so its body is the moof's tail and the
+    # data_offset field sits 4 bytes in (after sample_count).
+    data_offset = len(moof) + 8
+    patched = bytearray(moof)
+    struct.pack_into(">i", patched, len(moof) - len(trun_body) + 4, data_offset)
+    return bytes(patched)
+
+
+def fmp4_moof_len(n_samples: int) -> int:
+    """Byte length of the synthesized moof for n samples — affine in n
+    (the media_fmp4_demux oracle's layout arithmetic)."""
+    return len(_fmp4_moof(1, 0, [0] * n_samples))
+
+
+def fmp4_header_len(timescale: int = 1000, handler: bytes = b"vide", delta: int = 40) -> int:
+    """Byte length of ftyp + the fragmented moov (fixed for a config)."""
+    return len(FTYP) + len(_fmp4_moov(timescale, handler, delta))
+
+
+def encode_fragmented_mp4(
+    fragment_sizes: list[list[int]],
+    seed: int = 0,
+    delta: int = 40,
+    timescale: int = 1000,
+    handler: bytes = b"vide",
+) -> bytes:
+    """Deterministic fragmented MP4 (the DASH/HLS segment shape):
+    ftyp + moov(mvex/trex) + per-fragment [moof + mdat], samples
+    back-to-back in each mdat, constant `delta` cadence carried by the
+    trex default, fragment-start samples sync via first_sample_flags.
+    Sample bytes are seeded filler indexed by the GLOBAL sample index,
+    so layout and content are arithmetic in (seed, sizes)."""
+    out = bytearray(FTYP + _fmp4_moov(timescale, handler, delta))
+    gi = 0
+    t = 0
+    for f, sizes in enumerate(fragment_sizes):
+        out += _fmp4_moof(f + 1, t, sizes)
+        payload = bytearray()
+        for sz in sizes:
+            payload += bytes((seed + 31 * gi + j) % 256 for j in range(sz))
+            gi += 1
+        out += _box(b"mdat", bytes(payload))
+        t += delta * len(sizes)
+    return bytes(out)

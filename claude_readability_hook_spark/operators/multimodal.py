@@ -508,6 +508,7 @@ def synthesize_media_table(
     real_mp4: bool = False,
     real_mjpeg: bool = False,
     real_jpeg_prog: bool = False,
+    real_fmp4: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
@@ -545,6 +546,28 @@ def synthesize_media_table(
                     "width": 16,
                     "height": 16,
                     "duration_ms": 40 * n,
+                    "mime": "video/mp4",
+                }
+            )
+            continue
+        if real_fmp4:
+            from ..core.mp4codec import encode_fragmented_mp4
+
+            # arithmetic layout mirrored by the media_fmp4_demux
+            # DuckDB oracle: n_frag fragments of 3 samples each,
+            # seeded sizes over the GLOBAL sample index, 40 ms
+            # cadence, fragment-start samples sync
+            n_frag = 2 + seed % 2
+            sizes = [50 + ((seed + 31 * gi) % 100) for gi in range(3 * n_frag)]
+            frags = [sizes[3 * f : 3 * f + 3] for f in range(n_frag)]
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "modality": "video",
+                    "payload": encode_fragmented_mp4(frags, seed=seed),
+                    "width": None,
+                    "height": None,
+                    "duration_ms": 40 * 3 * n_frag,
                     "mime": "video/mp4",
                 }
             )

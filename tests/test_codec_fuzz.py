@@ -46,6 +46,12 @@ def _valid_mp4() -> bytes:
     return encode_minimal_mp4([50, 80, 64], seed=9)
 
 
+def _valid_fmp4() -> bytes:
+    from claude_readability_hook_spark.core.mp4codec import encode_fragmented_mp4
+
+    return encode_fragmented_mp4([[50, 64], [72, 40]], seed=9)
+
+
 def _valid_jpeg_prog() -> bytes:
     return encode_jpeg_gray_progressive(
         [[(x * 5 + y * 3) % 256 for x in range(16)] for y in range(16)]
@@ -73,7 +79,7 @@ def test_random_bytes_never_hang_decoders(payload):
 
 @settings(max_examples=60, deadline=None)
 @given(
-    st.sampled_from(["jpeg", "jpegprog", "wav", "png", "pdf", "pdf85", "mp4"]),
+    st.sampled_from(["jpeg", "jpegprog", "wav", "png", "pdf", "pdf85", "mp4", "fmp4"]),
     st.integers(min_value=0, max_value=10_000),
     st.integers(min_value=0, max_value=255),
 )
@@ -86,6 +92,7 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
         "pdf": _valid_pdf,
         "pdf85": _valid_pdf85,
         "mp4": _valid_mp4,
+        "fmp4": _valid_fmp4,
     }[kind]()
     mutated = bytearray(base)
     mutated[pos % len(mutated)] = val
@@ -97,6 +104,7 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
         "pdf": decode_pdf,
         "pdf85": decode_pdf,
         "mp4": demux_mp4,
+        "fmp4": demux_mp4,
     }[kind]
     try:
         dec(bytes(mutated))
@@ -105,7 +113,7 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.sampled_from(["jpeg", "jpegprog", "wav", "png", "pdf", "pdf85", "mp4"]), st.data())
+@given(st.sampled_from(["jpeg", "jpegprog", "wav", "png", "pdf", "pdf85", "mp4", "fmp4"]), st.data())
 def test_truncations_fail_cleanly(kind, data):
     base = {
         "jpeg": _valid_jpeg,
@@ -115,6 +123,7 @@ def test_truncations_fail_cleanly(kind, data):
         "pdf": _valid_pdf,
         "pdf85": _valid_pdf85,
         "mp4": _valid_mp4,
+        "fmp4": _valid_fmp4,
     }[kind]()
     cut = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
     dec = {
@@ -125,6 +134,7 @@ def test_truncations_fail_cleanly(kind, data):
         "pdf": decode_pdf,
         "pdf85": decode_pdf,
         "mp4": demux_mp4,
+        "fmp4": demux_mp4,
     }[kind]
     try:
         dec(base[:cut])

@@ -53,10 +53,59 @@ def test_no_stss_means_every_sample_sync_and_audio_handler():
     assert all(s[3] for s in track["samples"])
 
 
-def test_fragmented_and_edts_raise_not_implemented():
+def test_fragmented_roundtrip_offsets_bytes_timing_sync():
+    """moof/traf/trun walk: every demuxed (offset, size, ts, sync)
+    matches the closed-form fragment layout AND the bytes at each
+    offset are the seeded sample payload (the offsets really seek)."""
+    from claude_readability_hook_spark.core.mp4codec import (
+        encode_fragmented_mp4,
+        fmp4_header_len,
+        fmp4_moof_len,
+    )
+
+    frags = [[50, 60, 70], [80, 90, 100]]
+    payload = encode_fragmented_mp4(frags, seed=5)
+    out = demux_mp4(payload)
+    [tr] = out["tracks"]
+    assert tr["handler"] == "vide" and out["duration_ms"] == 240
+    hdr, m3 = fmp4_header_len(), fmp4_moof_len(3)
+    expect, cum, gi = [], 0, 0
+    for f, sizes in enumerate(frags):
+        for i, sz in enumerate(sizes):
+            expect.append((hdr + (f + 1) * (m3 + 8) + cum, sz, 40 * gi, i == 0))
+            cum += sz
+            gi += 1
+    assert tr["samples"] == expect
+    for gi, (off, sz, _ts, _sync) in enumerate(tr["samples"]):
+        assert payload[off : off + sz] == bytes(
+            (5 + 31 * gi + j) % 256 for j in range(sz)
+        )
+
+
+def test_fragmented_unsupported_shapes_raise():
+    """trun composition offsets and trun-without-data-offset stay
+    NotImplementedError (fallback ladder); an empty moof appended to a
+    plain file routes to the fragmented path and errors instead of
+    silently dropping the stbl samples."""
+    from claude_readability_hook_spark.core.mp4codec import (
+        encode_fragmented_mp4,
+    )
+
+    good = encode_fragmented_mp4([[40, 40]], seed=1)
+    # flip the trun flags: set the composition-offset bit (0x800) on
+    # the single trun box in the stream
+    idx = good.find(b"trun")
+    flags = int.from_bytes(good[idx + 5 : idx + 8], "big")
+    cts = good[: idx + 5] + (flags | 0x800).to_bytes(3, "big") + good[idx + 8 :]
+    with pytest.raises(NotImplementedError):
+        demux_mp4(cts)
+    nodo = good[: idx + 5] + (flags & ~0x1).to_bytes(3, "big") + good[idx + 8 :]
+    with pytest.raises(NotImplementedError):
+        demux_mp4(nodo)
+
     mp4 = encode_minimal_mp4([40], seed=0)
     frag = mp4 + struct.pack(">I", 8) + b"moof"
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         demux_mp4(frag)
 
 
