@@ -2593,7 +2593,9 @@ def _flagship_oracle_sql() -> str:
       first/last para chunk (formatters.py format_stackoverflow).
     - Reddit (%59): 540 + 2·(id%23 + id%11 + 2) + 0.3·len(text)
       (3 comments, 3 authors, all votes non-negative).
-    - PDF (%83, id>0): 0.8·len(fake-layout text) — see _pdf_len_sql.
+    - PDF (%83, id>0): 0.8·len(layout text) — see _pdf_len_sql; the
+      embedded DCTDecode image lifts to an empty-text media span, so
+      n_spans = 2 and the score is unchanged.
     - SPA (%31): no content candidate → success=false, score 0.
     Scores are computed in DOUBLE to match Spark's arithmetic."""
     return f"""
@@ -2679,7 +2681,8 @@ SELECT
             AND NOT (doc_id % 83 = 0 AND doc_id > 0)
             AND doc_id % 31 = 0 THEN true ELSE false END AS needs_ssr,
   CASE WHEN doc_id % 53 = 0 OR doc_id % 59 = 0 THEN 1
-       WHEN doc_id % 83 = 0 AND doc_id > 0 THEN 1
+       -- PDF docs: text span + the lifted DCTDecode image media span
+       WHEN doc_id % 83 = 0 AND doc_id > 0 THEN 2
        WHEN doc_id % 31 = 0 THEN 0
        ELSE nsp END AS n_spans
 FROM html

@@ -178,20 +178,25 @@ def _html_pass(
             out.append(_mk_span("media", text, span["media_ref"] or "", 0))
         elif kind == "pdf":
             # payload arrives base64 in the text field (spans are
-            # string-typed); decode is stubbed, layout parse is real
-            # (core/pdflayout.py)
+            # string-typed); content-stream decode + layout parse are
+            # real (core/pdflayout.py), and embedded /Image XObjects
+            # lift through the JPEG decoder into media spans — the
+            # interleaved-span analog of the in-HTML <img> lift
             import base64
 
-            from .pdflayout import pdf_to_text
+            from .pdflayout import pdf_to_content
 
             try:
                 payload = base64.b64decode(text or "")
             except Exception:
                 payload = b""
-            pdf_text, _status = pdf_to_text(payload)
+            pdf_text, pdf_images, _status = pdf_to_content(payload)
             if pdf_text:
                 out.append(_mk_span("text", normalize_text(pdf_text), "", 0))
                 any_content = True
+            for i, im in enumerate(pdf_images):
+                if im["status"] == "ok":
+                    out.append(_mk_span("media", "", f"pdfimg:{i}", 0))
         else:  # unknown / json kinds reaching the html pass: treat as text
             norm = normalize_text(text)
             if norm:

@@ -38,7 +38,72 @@ class Block:
 _STREAM_RE = None  # compiled lazily below
 
 
-def _decode_pdf(payload: bytes) -> list[Block]:
+def _decode_image_xobject(hdr: bytes, body: bytes) -> dict:
+    """Lift an embedded /Subtype /Image XObject. DCTDecode streams ARE
+    baseline/progressive JPEGs, and the repo carries a full JPEG
+    decoder (core/jpegcodec) — route them through it instead of
+    poisoning the whole document's decode (the r4 'what's missing #5'
+    connection between the two decode ladders). FlateDecode 8-bit
+    DeviceGray raw bitmaps decode via zlib. ASCII armor ahead of the
+    image filter is unwrapped like the text chain. Anything else
+    (JPX, CCITT, JBIG2…) degrades to a per-IMAGE 'stubbed' record —
+    the document's text decode stays 'ok'."""
+    import base64
+    import binascii
+    import re
+    import zlib
+
+    def dim(name: bytes) -> int | None:
+        m = re.search(rb"/" + name + rb"\s+(\d+)", hdr)
+        return int(m.group(1)) if m else None
+
+    w, h = dim(b"Width"), dim(b"Height")
+    rec = {"width": w, "height": h, "mean_lum": None, "status": "stubbed"}
+    filt = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", hdr)
+    names = re.findall(rb"/(\w+)", filt.group(1)) if filt else []
+    try:
+        for name in names[:-1]:  # armor ahead of the image codec
+            if name == b"ASCIIHexDecode":
+                data = b"".join(body.split())
+                eod = data.find(b">")
+                if eod != -1:
+                    data = data[:eod]
+                if len(data) % 2:
+                    data += b"0"
+                body = binascii.unhexlify(data)
+            elif name == b"ASCII85Decode":
+                data = b"".join(body.split())
+                if data.endswith(b"~>"):
+                    data = data[:-2]
+                body = base64.a85decode(data)
+            else:
+                return rec
+        last = names[-1] if names else None
+        if last == b"DCTDecode":
+            from .jpegcodec import decode_jpeg
+
+            jw, jh, _ch, raw = decode_jpeg(body)
+            rec.update(
+                width=jw,
+                height=jh,
+                mean_lum=sum(raw) // len(raw) if raw else 0,
+                status="ok",
+            )
+        elif last == b"FlateDecode" and b"/DeviceGray" in hdr and w and h:
+            raw = zlib.decompress(body)
+            if len(raw) < w * h:
+                raise ValueError("short image data")
+            raw = raw[: w * h]
+            rec.update(mean_lum=sum(raw) // len(raw), status="ok")
+        return rec
+    except NotImplementedError:
+        return rec  # codec scope boundary → stubbed, not poisoned
+    except Exception as exc:  # noqa: BLE001 — per-image poison isolation
+        rec["status"] = f"error: {type(exc).__name__}"
+        return rec
+
+
+def _decode_pdf(payload: bytes, images: list[dict] | None = None) -> list[Block]:
     """REAL decode for uncompressed PDFs: walk the content streams and
     interpret the text operators — `Tm`/`Td` (position), `Tf` (font
     size), `Tj` (show string) — emitting one positioned Block per shown
@@ -95,6 +160,13 @@ def _decode_pdf(payload: bytes) -> list[Block]:
             yield hdr_b, body_b
 
     for hdr, body in _streams():
+        if re.search(rb"/Subtype\s*/Image", hdr):
+            # image XObject: lift it (or degrade per-image) and keep
+            # walking — an embedded image must not flip the document's
+            # TEXT decode to the stubbed path
+            if images is not None:
+                images.append(_decode_image_xobject(hdr, body))
+            continue
         if b"/Filter" in hdr:
             filt = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", hdr)
             if filt is None:
@@ -330,10 +402,24 @@ def decode_pdf(payload: bytes) -> tuple[list[Block], str]:
         return [], f"decode error: {type(exc).__name__}"
 
 
+def decode_pdf_full(payload: bytes) -> tuple[list[Block], list[dict], str]:
+    """(blocks, images, status): like decode_pdf, plus the lifted
+    /Subtype /Image records (stream order; see _decode_image_xobject).
+    The stub/error fallbacks report no images."""
+    images: list[dict] = []
+    try:
+        return _decode_pdf(payload, images), images, "ok"
+    except NotImplementedError:
+        return _fake_decode(payload), [], "stubbed"
+    except Exception as exc:  # noqa: BLE001
+        return [], [], f"decode error: {type(exc).__name__}"
+
+
 def synthesize_pdf(
     pages: list[list[tuple[float, float, float, str]]],
     compress: bool = False,
     encoding: str | None = None,
+    images: list[list[list[int]]] | None = None,
 ) -> bytes:
     """A REAL minimal PDF (tests/bench — no fixture data): one content
     stream per page, each item = (x, y_from_top, font_size, text).
@@ -350,7 +436,11 @@ def synthesize_pdf(
 
     (array order is DECODE order, so the encoder applies Flate first,
     then the ASCII armor.) Round-trips through _decode_pdf exactly in
-    every mode."""
+    every mode.
+
+    `images`: grayscale pixel matrices embedded as /Subtype /Image
+    DCTDecode XObjects — REAL JPEG bytes (unit-quant, exact round
+    trip) the image lift decodes back."""
     import base64
     import binascii
     import zlib
@@ -401,6 +491,22 @@ def synthesize_pdf(
             + filter_tag
             + b" >>\nstream\n"
             + body
+            + b"\nendstream\n"
+        )
+    for px in images or []:
+        from .jpegcodec import encode_jpeg_gray
+
+        jp = encode_jpeg_gray(px, quant=[1] * 64)
+        parts.append(
+            b"<< /Subtype /Image /Width "
+            + str(len(px[0])).encode()
+            + b" /Height "
+            + str(len(px)).encode()
+            + b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            + b" /Filter /DCTDecode /Length "
+            + str(len(jp)).encode()
+            + b" >>\nstream\n"
+            + jp
             + b"\nendstream\n"
         )
     parts.append(b"%%EOF\n")
@@ -492,9 +598,18 @@ def assemble_text(blocks: list[Block], gap_threshold: float = 18.0) -> str:
 
 def pdf_to_text(payload: bytes) -> tuple[str, str]:
     """payload → (extracted text, decode status)."""
-    blocks, status = decode_pdf(payload)
+    text, _images, status = pdf_to_content(payload)
+    return text, status
+
+
+def pdf_to_content(payload: bytes) -> tuple[str, list[dict], str]:
+    """payload → (extracted text, lifted images, decode status) — the
+    extractor's entry: text through the layout pass, embedded images
+    through the JPEG/Flate lift (connecting the PDF and image decode
+    ladders; the extractor emits each 'ok' image as a media span)."""
+    blocks, images, status = decode_pdf_full(payload)
     if not blocks:
-        return "", status
+        return "", images, status
     cleaned = strip_running_furniture(blocks)
     ordered = reading_order(cleaned)
-    return assemble_text(ordered), status
+    return assemble_text(ordered), images, status

@@ -181,6 +181,12 @@ def build_html_doc(doc_id: int, text: str) -> list[dict]:
                 [(40, 100, 10, f"Pdf doc {doc_id} closing page.")],
             ],
             compress=(doc_id % 166 == 0),
+            # every real-PDF doc embeds one DCTDecode /Image XObject
+            # (flat 16×16 gray, REAL JPEG bytes): the extractor lifts
+            # it through the JPEG decoder into a media span, so each
+            # PDF doc extracts as [text, media] — the flagship oracle's
+            # n_spans case for %83 docs is 2, in lockstep
+            images=[[[(doc_id * 7) % 256] * 16 for _ in range(16)]],
         )
         return [
             {

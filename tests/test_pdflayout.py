@@ -85,3 +85,66 @@ def test_pdf_span_through_extractor():
     assert kinds == ["text", "media"]
     assert "c0 r0" in r.spans[0]["text"]
     assert r.spans[1]["media_ref"] == "img:9"
+
+
+def test_dct_image_lift_decodes_real_jpeg():
+    """A /Subtype /Image DCTDecode XObject routes through the JPEG
+    decoder: exact dims + mean luminance (flat field, unit quant →
+    exact round trip), document text decode stays 'ok'."""
+    from claude_readability_hook_spark.core.pdflayout import (
+        decode_pdf_full,
+        synthesize_pdf,
+    )
+
+    px = [[137] * 16 for _ in range(16)]
+    payload = synthesize_pdf(
+        [[(40, 100, 10, "text with a figure.")]], images=[px]
+    )
+    blocks, images, status = decode_pdf_full(payload)
+    assert status == "ok" and blocks
+    [im] = images
+    assert (im["width"], im["height"], im["mean_lum"], im["status"]) == (
+        16, 16, 137, "ok",
+    )
+
+
+def test_unsupported_image_filter_does_not_poison_text():
+    """A JPX image degrades to a per-image 'stubbed' record; before the
+    lift, the unknown filter flipped the WHOLE document to the
+    synthetic fallback."""
+    from claude_readability_hook_spark.core.pdflayout import (
+        decode_pdf_full,
+        synthesize_pdf,
+    )
+
+    payload = synthesize_pdf([[(40, 100, 10, "real text survives.")]])
+    jpx = (
+        b"<< /Subtype /Image /Width 4 /Height 4 /Filter /JPXDecode"
+        b" /Length 6 >>\nstream\nXXXXXX\nendstream\n"
+    )
+    payload = payload.replace(b"%%EOF\n", jpx + b"%%EOF\n")
+    blocks, images, status = decode_pdf_full(payload)
+    assert status == "ok"
+    assert any("real text survives" in b.text for b in blocks)
+    assert images[0]["status"] == "stubbed"
+
+
+def test_extractor_emits_media_span_for_lifted_pdf_image():
+    from claude_readability_hook_spark.core.extractor import extract_document
+    from claude_readability_hook_spark.core.pdflayout import synthesize_pdf
+    import base64
+
+    payload = synthesize_pdf(
+        [[(40, 100, 10, "Pdf paragraph with enough characters.")]],
+        compress=True,
+        images=[[[10] * 16 for _ in range(16)]],
+    )
+    res = extract_document(
+        "x",
+        [{"kind": "pdf", "text": base64.b64encode(payload).decode(),
+          "media_ref": "", "offset": 0}],
+    )
+    assert res.success
+    assert [(s["kind"], s["media_ref"]) for s in res.spans] == [
+        ("text", ""), ("media", "pdfimg:0"),
+    ]
