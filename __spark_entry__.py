@@ -2146,48 +2146,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     locally by tests/test_oracle_parity.py, which enumerates ALL
     pairs)."""
     return {
-        # flagship + round-5 new operators
+        # flagship (corpus/extractor/pdflayout changed: PDF image lift)
+        # + round-5 new operators
         "extract_flagship": q_extract_flagship,
         "lm_perplexity": q_lm_perplexity,  # new r5: bigram-LM quality scores
         "bpe_merges": q_bpe_merges,  # new r5: BPE merge-table training
         "bpe_encode": q_bpe_encode,  # new r5: re-tokenize with learned merges
         "sequence_pack": q_sequence_pack,  # new r5: token-budget packing
         "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
-        "media_video_demux": q_media_video_demux,  # new r4: ISO-BMFF demux
-        "media_frame_decode": q_media_frame_decode,  # new r4: MJPEG frame decode
-        "warc_ingest": q_warc_ingest,  # new r4: WARC walk hash-gated
-        "decontaminate": q_decontaminate,  # new r4: benchmark n-gram overlap
-        "remove_dup_spans": q_remove_dup_spans,  # new r4: C4-style span scrub
-        "redact_pii": q_redact_pii,  # new r4: PII scrub (email/IP/phone)
-        "corpus_report": q_corpus_report,  # new r4: one-pass health report
-        # changed this round (dedup convergence, sampling floor,
-        # index lifecycle, decode ladder)
-        "dedup_clusters": q_dedup_clusters,
-        "weighted_sample": q_weighted_sample,
+        # ann_index.py changed this round (manifest retry merge,
+        # retention knobs, compact kind carry, broadcast_queries knob)
         "ivf_ann_topk": q_ivf_ann_topk,
-        "ivf_ann_topk_q8": q_ivf_ann_topk_q8,  # new r4: int8-quantized index
-        "ann_knn_join_q8": q_ann_knn_join_q8,  # new r4: quantized batch retrieval
+        "ivf_ann_topk_q8": q_ivf_ann_topk_q8,
         "ann_knn_join": q_ann_knn_join,
+        "ann_knn_join_q8": q_ann_knn_join_q8,
         "lsh_knn_join": q_lsh_knn_join,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_topk_multiprobe": q_ann_lsh_topk_multiprobe,
         "dedup_semantic_indexed": q_dedup_semantic_indexed,
+        # mp4codec changed (fragmented routing); multimodal synthesizer
+        # grew the fmp4 branch
+        "media_video_demux": q_media_video_demux,
+        "media_frame_decode": q_media_frame_decode,
         "media_features": q_media_features,
         "media_audio_stats": q_media_audio_stats,
-        # never driver-checked before round 4 (r3 positions 51-61)
+        # driver-green ONCE so far (r4) — not yet demotable under the
+        # >=2-rounds rule
+        "warc_ingest": q_warc_ingest,
+        "decontaminate": q_decontaminate,
+        "remove_dup_spans": q_remove_dup_spans,
+        "redact_pii": q_redact_pii,
+        "corpus_report": q_corpus_report,
+        "left_outer_counts": q_left_outer_counts,
+        "below_avg_parts": q_below_avg_parts,
+        "value_deciles": q_value_deciles,
+        "source_set_ops": q_source_set_ops,
+        "windowed_counts": q_windowed_counts,
+        "content_hash": q_content_hash,
+        # recently-changed stable (r4 fixes, green r3+r4)
+        "dedup_clusters": q_dedup_clusters,
+        "weighted_sample": q_weighted_sample,
+        # stable fillers rotating through the window
         "reddit_parse_score": q_reddit_parse_score,
         "filter_agg_pushdown": q_filter_agg_pushdown,
         "join3_topk": q_join3_topk,
         "rollup_priority": q_rollup_priority,
         "running_revenue": q_running_revenue,
-        "left_outer_counts": q_left_outer_counts,
-        "below_avg_parts": q_below_avg_parts,
-        "value_deciles": q_value_deciles,
-        "source_set_ops": q_source_set_ops,
         "exists_semi_join": q_exists_semi_join,
         "per_source_stats": q_per_source_stats,
-        # stable core (kept in-window: one driver-green round or
-        # shared helpers touched this round)
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2200,6 +2206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_topk": q_bigram_topk,
         "text_repetition": q_text_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
+        # ---- position 51+: driver-hash-green on their CURRENT code in
+        # >=2 prior rounds, untouched this round; still covered every
+        # run by test_oracle_parity
         "ssrf_route": q_ssrf_route,
         "resume_anti_join": q_resume_anti_join,
         "ivf_assign": q_ivf_assign,
@@ -2207,15 +2216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_manifest": q_training_manifest,
         "url_dedup": q_url_dedup,
         "train_val_split": q_train_val_split,
-        # ---- position 51+: driver-hash-green on their CURRENT code in
-        # r3 (most also in r2), untouched this round; still covered
-        # every run by test_oracle_parity
         "cap_per_source": q_cap_per_source,
         "dedup_semantic": q_dedup_semantic,
         "sessionize": q_sessionize,
         "sessionize_salted": q_sessionize_salted,
-        "windowed_counts": q_windowed_counts,
-        "content_hash": q_content_hash,
         "so_parse_score": q_so_parse_score,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,

@@ -131,8 +131,11 @@ def _kept_segments(
         "doc_id",
         F.posexplode(F.col("segs")).alias("idx", "seg"),
     ).select("doc_id", "idx", F.md5(F.col("seg")).alias("seg_md5"))
-    # the frequency pass derives from the SAME exploded hashes (one
-    # segmentation of the corpus, not two)
+    # the frequency pass and the drops pass share this exploded-hash
+    # DEFINITION, but as two plan consumers they each re-segment the
+    # scan (hashes only — no text moves twice; a persist() would trade
+    # executor memory for the second pass and is not worth it at
+    # hash-row sizes)
     block = (
         exploded.groupBy("seg_md5")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
