@@ -121,7 +121,15 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "media_frame_decode",
         "corpus_report",
         "lm_perplexity",
+        "sequence_pack",
+        "media_fmp4_demux",
+        "bpe_merges",
+        "bpe_encode",
     ]
+    # driver-coordinated iterative jobs (8 BPE merge rounds each):
+    # one rep — the round count, not host noise, dominates their time,
+    # and 3 reps would double the whole bench wall-clock
+    single_rep = {"bpe_merges", "bpe_encode"}
 
     times: dict[str, float] = {}
 
@@ -198,7 +206,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         # (token_stats 0.55 s re-measured vs 2.99 s driver-recorded,
         # minhash 2.51 vs 5.12). BENCH/NOISE.md holds the committed
         # two-pass variance profile backing the rep count.
-        for _ in range(3):
+        for _ in range(1 if name in single_rep else 3):
             t0 = time.monotonic()
             materialize(qs[name](spark, sf_dir))
             dt = time.monotonic() - t0
