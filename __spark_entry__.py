@@ -524,6 +524,63 @@ def _sequence_pack_oracle_sql() -> str:
     """
 
 
+def q_sequence_pack_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack doc-boundary rollup (the packed-export metadata a
+    trainer uses for cross-document attention masking): doc count,
+    first/last doc, and token occupancy of every pack."""
+    from claude_readability_hook_spark.operators.packing import pack_doc_boundaries
+
+    b = pack_doc_boundaries(_docs(spark, sf_dir), seq_len=512)
+    return b.select(
+        "shard",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.size("docs").cast("long").alias("n_docs"),
+        F.aggregate(
+            "docs", F.lit(None).cast("long"), lambda acc, s: F.least(
+                F.coalesce(acc, s["doc_id"]), s["doc_id"]
+            )
+        ).alias("first_doc"),
+        F.aggregate(
+            "docs", F.lit(None).cast("long"), lambda acc, s: F.greatest(
+                F.coalesce(acc, s["doc_id"]), s["doc_id"]
+            )
+        ).alias("last_doc"),
+        F.aggregate(
+            "docs", F.lit(0).cast("long"), lambda acc, s: acc + s["n"]
+        ).alias("n_tokens"),
+    )
+
+
+def _sequence_pack_bounds_oracle_sql() -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source AS shard, len({_TOKS_SQL}) AS nt
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, nt,
+                 sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        ),
+        e AS (
+          SELECT shard, doc_id, cum - nt AS beg, cum AS fin,
+                 unnest(range(CAST((cum - nt) // 512 AS BIGINT),
+                              CAST((cum - 1) // 512 + 1 AS BIGINT)))
+                   AS pack_id
+          FROM c WHERE nt > 0
+        )
+        SELECT shard,
+               CAST(pack_id AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc,
+               CAST(sum(least(fin, (pack_id + 1) * 512)
+                        - greatest(beg, pack_id * 512)) AS BIGINT) AS n_tokens
+        FROM e GROUP BY shard, pack_id
+    """
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style duplicated-span scrub over the planted-dup
     corpus: 10-token segments appearing in ≥2 distinct docs are
@@ -2153,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,  # new r5: BPE merge-table training
         "bpe_encode": q_bpe_encode,  # new r5: re-tokenize with learned merges
         "sequence_pack": q_sequence_pack,  # new r5: token-budget packing
+        "sequence_pack_bounds": q_sequence_pack_bounds,  # new r5: pack metadata
         "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
         # ann_index.py changed this round (manifest retry merge,
         # retention knobs, compact kind carry, broadcast_queries knob)
@@ -2205,10 +2263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "bigram_topk": q_bigram_topk,
         "text_repetition": q_text_repetition,
-        "tfidf_top_terms": q_tfidf_top_terms,
         # ---- position 51+: driver-hash-green on their CURRENT code in
         # >=2 prior rounds, untouched this round; still covered every
         # run by test_oracle_parity
+        "tfidf_top_terms": q_tfidf_top_terms,
         "ssrf_route": q_ssrf_route,
         "resume_anti_join": q_resume_anti_join,
         "ivf_assign": q_ivf_assign,
@@ -3240,6 +3298,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "sequence_pack": _sequence_pack_oracle_sql(),
+        "sequence_pack_bounds": _sequence_pack_bounds_oracle_sql(),
         "media_fmp4_demux": _media_fmp4_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""

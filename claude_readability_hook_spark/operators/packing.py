@@ -122,3 +122,65 @@ def pack_token_sequences(
             ).alias("tokens"),
         )
     )
+
+
+def pack_doc_boundaries(
+    df: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard, pack_id, docs) — per pack, the ordered doc segments it
+    contains: array<struct<doc_id, start, n>> with `start` the pack-
+    local position and `n` the token count this pack holds of that
+    doc. Pure arithmetic over pack_assignments (a doc spanning packs
+    explodes to one row per covered pack — ≤ ceil(n_tokens/L)+1 rows);
+    the downstream trainer uses it to mask cross-document attention
+    inside packed sequences."""
+    a = pack_assignments(df, seq_len, shard_col, text_col).filter(
+        F.col("n_tokens") > 0
+    )
+    begin = F.col("pack_first") * seq_len + F.col("start_offset")
+    e = a.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        begin.alias("beg"),
+        (begin + F.col("n_tokens")).alias("fin"),
+        F.explode(F.sequence("pack_first", "pack_last")).alias("pack_id"),
+    )
+    lo = F.greatest(F.col("beg"), F.col("pack_id") * seq_len)
+    hi = F.least(F.col("fin"), (F.col("pack_id") + 1) * seq_len)
+    seg = e.select(
+        "shard",
+        "pack_id",
+        F.struct(
+            (lo - F.col("pack_id") * seq_len).cast("long").alias("start"),
+            F.col("doc_id"),
+            (hi - lo).cast("long").alias("n"),
+        ).alias("seg"),
+    )
+    return seg.groupBy("shard", "pack_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list("seg")),
+            lambda s: F.struct(
+                s["doc_id"].alias("doc_id"),
+                s["start"].alias("start"),
+                s["n"].alias("n"),
+            ),
+        ).alias("docs")
+    )
+
+
+def pack_records(
+    df: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full packed-export record: (shard, pack_id, n, tokens,
+    docs) — materialized sequences joined with their doc-boundary
+    metadata on the narrow (shard, pack_id) key."""
+    seqs = pack_token_sequences(df, seq_len, shard_col, text_col)
+    bounds = pack_doc_boundaries(df, seq_len, shard_col, text_col)
+    return seqs.join(bounds, ["shard", "pack_id"])

@@ -73,3 +73,33 @@ def export_jsonl_shards(
         .json(path)
     )
     return n_shards
+
+
+def export_packed_shards(
+    docs: DataFrame,
+    path: str,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    compression: str = "gzip",
+) -> int:
+    """Packed-sequence export (operators/packing.py): JSONL records
+    (shard, pack_id, n, tokens, docs) where `docs` is the ordered
+    doc-boundary metadata (doc_id, pack-local start, token count) a
+    trainer needs to mask cross-document attention. One output file
+    per shard key (the pack stream is shard-local by construction),
+    pack order preserved within each file by the pre-write sort.
+    Returns the pack count (one count() on the narrow record frame —
+    the documented sizing agg, same contract as export_jsonl_shards)."""
+    from ..operators.packing import pack_records
+
+    recs = pack_records(docs, seq_len, shard_col, text_col)
+    n_packs = recs.count()
+    (
+        recs.repartition("shard")
+        .sortWithinPartitions("shard", "pack_id")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .json(path)
+    )
+    return n_packs

@@ -65,6 +65,15 @@ def main() -> None:
         "MAX_SCORE (CCNet-style LM perplexity gate; the reference LM "
         "trains on a deterministic 1/4 hash-sample of the input)",
     )
+    parser.add_argument(
+        "--pack",
+        type=int,
+        metavar="SEQ_LEN",
+        default=0,
+        help="export packed token sequences of this fixed length "
+        "(concat + split with doc-boundary metadata) instead of "
+        "one-doc-per-record shards",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -148,6 +157,38 @@ def main() -> None:
             doc_texts = doc_texts.select(
                 "doc_id", redact_text_expr(F.col("text")).alias("text")
             )
+        if args.pack:
+            # packed-sequence export: fixed token-budget sequences with
+            # doc-boundary metadata (operators/packing.py), sharded by
+            # source — the training-ready layout
+            from claude_readability_hook_spark.sources.export import (
+                export_packed_shards,
+            )
+
+            train_texts = (
+                manifest.filter(F.col("split") == "train")
+                .select("doc_id", "source")
+                .join(doc_texts, "doc_id")
+            )
+            n_shards = export_packed_shards(
+                train_texts, f"{args.output}/packed", seq_len=args.pack
+            )
+            print(
+                json.dumps(
+                    {
+                        "docs_in": n_total,
+                        "manifest_rows": n_manifest,
+                        "train_rows": n_train,
+                        "val_rows": n_manifest - n_train,
+                        "contaminated_dropped": n_contaminated,
+                        "lm_dropped": n_lm_dropped,
+                        "packed_sequences": n_shards,
+                        "seq_len": args.pack,
+                    }
+                )
+            )
+            spark.stop()
+            return
         train_docs = (
             manifest.filter(F.col("split") == "train")
             .select("doc_id", "lang_pred")

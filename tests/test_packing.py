@@ -92,3 +92,61 @@ def test_assignment_consistent_with_materialization(spark):
     assert packs[("A", asg[2]["pack_last"])][
         (asg[2]["start_offset"] + asg[2]["n_tokens"] - 1) % 5
     ] == "g"
+
+
+def test_doc_boundaries_tile_each_pack_exactly(spark):
+    """Per pack: segments are ordered, disjoint, start at 0, tile the
+    pack's token count exactly, and agree with the materialized
+    sequences; re-slicing each pack's tokens by its boundaries
+    reproduces every doc's token run."""
+    from claude_readability_hook_spark.operators.packing import pack_records
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    L = 96
+    recs = sorted(
+        pack_records(docs, seq_len=L).collect(),
+        key=lambda r: (r["shard"], r["pack_id"]),
+    )
+    assert recs
+    doc_tokens: dict[int, list[str]] = {}
+    for r in recs:
+        segs = r["docs"]
+        pos = 0
+        for s in segs:
+            assert s["start"] == pos
+            pos += s["n"]
+            doc_tokens.setdefault(s["doc_id"], []).extend(
+                r["tokens"][s["start"] : s["start"] + s["n"]]
+            )
+        assert pos == r["n"] == len(r["tokens"])
+    want = {
+        r["doc_id"]: r["text"].split()
+        for r in docs.collect()
+        if r["text"].split()
+    }
+    assert doc_tokens == want
+
+
+def test_export_packed_shards_roundtrip(spark, tmp_path):
+    from claude_readability_hook_spark.sources.export import export_packed_shards
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .limit(100)
+    )
+    out = str(tmp_path / "packed")
+    n = export_packed_shards(docs, out, seq_len=128)
+    back = spark.read.json(out)
+    assert back.count() == n
+    assert set(back.columns) >= {"shard", "pack_id", "n", "tokens", "docs"}
+    # every non-final pack per shard is exactly seq_len
+    rows = back.select("shard", "pack_id", "n").collect()
+    last = {}
+    for r in rows:
+        last[r["shard"]] = max(last.get(r["shard"], -1), r["pack_id"])
+    for r in rows:
+        if r["pack_id"] != last[r["shard"]]:
+            assert r["n"] == 128
