@@ -908,3 +908,8 @@ def lsh_index_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+# kind-generic since round 5 (ivf / ivf_q8 / lsh all compact through the
+# same manifest commit); the historical name stays for callers
+compact_index = compact_ivf_index

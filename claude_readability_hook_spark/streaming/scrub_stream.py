@@ -47,18 +47,45 @@ def maintain_clean_corpus(
     n: int = DECONTAM_NGRAM,
     redact: bool = True,
     text_col: str = "text",
+    lm=None,
+    lm_max_score: float | None = None,
 ):
     """Start the ingest-scrub query: per micro-batch, flag docs
     sharing any word n-gram with the static benchmark set; clean docs
     (optionally PII-redacted) append to `clean_dir`, flagged docs to
     `quarantine_dir` with their hit counts. Returns the streaming
     query (availableNow, so callers can run it to completion over a
-    backfill directory and await termination)."""
+    backfill directory and await termination).
+
+    `lm` + `lm_max_score`: the model-based quality gate at ingest —
+    a PRE-TRAINED bigram LM (operators/lmfilter.train_bigram_lm on a
+    batch corpus snapshot; static count tables join each micro-batch
+    exactly like `bench` does, retrained periodically the way IVF
+    centroids are). Docs the LM finds too surprising quarantine with
+    n_hits = -1 (the contamination channel carries both rejection
+    kinds; per-doc scoring is batch-exact, no cross-batch state)."""
 
     def per_batch(batch: DataFrame, _epoch: int) -> None:
         if batch.isEmpty():
             return
         flags = decontaminate(batch, bench, n=n, text_col=text_col)
+        if lm is not None and lm_max_score is not None:
+            from ..operators.lmfilter import lm_surprise_scores
+
+            scores = lm_surprise_scores(batch, lm=lm, text_col=text_col)
+            flags = (
+                flags.join(scores.select("doc_id", "lm_score"), "doc_id")
+                .select(
+                    "doc_id",
+                    F.when(F.col("lm_score") > lm_max_score, F.lit(-1))
+                    .otherwise(F.col("n_hits"))
+                    .alias("n_hits"),
+                    (
+                        F.col("contaminated")
+                        | (F.col("lm_score") > lm_max_score)
+                    ).alias("contaminated"),
+                )
+            )
         # persist: the clean and quarantine sinks both consume the
         # tagged batch — without it the decontaminate join (the
         # expensive part) recomputes once per sink (r4 judge minor)

@@ -232,3 +232,60 @@ def test_spark_demux_stubs_non_mp4_payloads(spark):
     rows = demux_video_samples(media).collect()
     assert len(rows) == 2
     assert all(r["decode_ok"] == "stubbed" and r["offset"] is None for r in rows)
+
+
+def test_fragmented_explicit_base_offset_and_multi_trun():
+    """Hand-built fragment exercising the shapes the synthesizer does
+    not emit: tfhd with an EXPLICIT base_data_offset (flag 0x1) plus
+    default-sample-size (0x10), and TWO truns in one traf sharing the
+    defaults — decode times continue across runs, offsets resolve
+    against the explicit base."""
+    from claude_readability_hook_spark.core.mp4codec import (
+        FTYP,
+        _box,
+        _full,
+        _fmp4_moov,
+        demux_mp4,
+    )
+
+    moov = _fmp4_moov(1000, b"vide", 40)
+    # payload: 4 samples of 10 bytes, back-to-back in one mdat
+    mdat_payload = bytes(range(40))
+    header_len = len(FTYP) + len(moov)
+
+    def build(moof_len_guess: int) -> bytes:
+        base = header_len + moof_len_guess + 8  # mdat body start
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", 1))
+        tfhd = _full(
+            b"tfhd", 0, 0x1 | 0x10,
+            struct.pack(">I", 1) + struct.pack(">Q", base) + struct.pack(">I", 10),
+        )
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", 0))
+        # trun A: 1 sample, data_offset 0 from base, first-sample sync
+        trun_a = _full(
+            b"trun", 0, 0x1 | 0x4,
+            struct.pack(">I", 1) + struct.pack(">i", 0) + struct.pack(">I", 0),
+        )
+        # trun B: 3 samples, data_offset 10 from base (after trun A's)
+        trun_b = _full(
+            b"trun", 0, 0x1,
+            struct.pack(">I", 3) + struct.pack(">i", 10),
+        )
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun_a + trun_b))
+        return moof
+
+    moof = build(0)
+    moof = build(len(moof))  # fixpoint: moof length is flag-determined
+    payload = FTYP + moov + moof + _box(b"mdat", mdat_payload)
+    out = demux_mp4(payload)
+    [tr] = out["tracks"]
+    base = header_len + len(moof) + 8
+    # durations come from the trex default (40 @ timescale 1000)
+    assert tr["samples"] == [
+        (base, 10, 0, True),        # trun A, first_sample_flags = sync
+        (base + 10, 10, 40, False), # trun B inherits trex non-sync default
+        (base + 20, 10, 80, False),
+        (base + 30, 10, 120, False),
+    ]
+    for i, (off, sz, _t, _s) in enumerate(tr["samples"]):
+        assert payload[off : off + sz] == mdat_payload[10 * i : 10 * i + 10]

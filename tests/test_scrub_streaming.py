@@ -86,3 +86,64 @@ def test_stream_redact_pii_stateless(spark, tmp_path):
     q.awaitTermination(120)
     row = spark.read.parquet(out_dir).collect()[0]
     assert "<IP>" in row["text"] and "<EMAIL>" in row["text"]
+
+
+def test_maintain_clean_corpus_with_lm_gate(spark, tmp_path):
+    """The model-based quality gate at ingest: a pre-trained bigram LM
+    quarantines high-surprise docs (n_hits = -1 marks the LM channel),
+    matching the batch lm_surprise_scores threshold decision on the
+    same data."""
+    from claude_readability_hook_spark.operators.lmfilter import (
+        lm_surprise_scores,
+        train_bigram_lm,
+    )
+    from claude_readability_hook_spark.streaming.scrub_stream import (
+        maintain_clean_corpus,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "totally unrelated benchmark five gram text nothing shares")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again"),
+        (2, "the cat sat on the mat like the cat does"),
+        (3, "zx qv wq jj kk zz pp uu yy oo surprising gibberish"),
+        (4, "the mat the cat the sat on on on the mat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") <= 2), sample_mod=None)
+    scores = {
+        r["doc_id"]: r["lm_score"]
+        for r in lm_surprise_scores(docs, lm=lm).collect()
+    }
+    cut = sorted(scores.values())[1]  # keep the two calmest docs
+
+    in_dir = str(tmp_path / "in")
+    docs.filter(F.col("doc_id") <= 2).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    docs.filter(F.col("doc_id") >= 3).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = maintain_clean_corpus(
+        stream,
+        bench,
+        clean_dir=str(tmp_path / "clean"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lm=lm,
+        lm_max_score=cut,
+    )
+    q.awaitTermination(120)
+
+    clean = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "clean")).collect()}
+    quarantined = {
+        r["doc_id"]: r["n_hits"]
+        for r in spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    }
+    want_rejected = {d for d, s in scores.items() if s > cut}
+    assert set(quarantined) == want_rejected and len(want_rejected) == 2
+    assert all(v == -1 for v in quarantined.values())  # the LM channel
+    assert clean == {d for d, s in scores.items() if s <= cut}
