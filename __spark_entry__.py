@@ -1350,6 +1350,166 @@ SEMANTIC_CAP = 200
 KNN_QUERIES = 5
 
 
+PQ_RERANK = 50
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (FAISS IVF-PQ analog): 8-byte product-quantized
+    payload, ADC lookup-table scoring over the probed inverted lists
+    (operators/pq_index.py). Pure-ADC scores — the sharpest gate on
+    the codebook training, code assignment, and the lookup fold."""
+    from claude_readability_hook_spark.operators.pq_index import (
+        PQ_K,
+        PQ_M,
+        build_ivf_pq_index,
+        ivf_pq_topk,
+    )
+
+    path = _index_cache_dir(
+        sf_dir, "ivfpq",
+        f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{PQ_M}-{PQ_K}-{IVF_SAMPLE_MOD}",
+    )
+    _publish_index(
+        path,
+        lambda tmp: build_ivf_pq_index(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
+            sample_mod=IVF_SAMPLE_MOD,
+        ),
+    )
+    qvec = _query_embedding(spark, sf_dir, 0)
+    return ivf_pq_topk(
+        spark, path, qvec, kk=ANN_K, n_probe=IVF_N_PROBE, exclude_vec_id=0
+    )
+
+
+def _pq_chain_sql() -> tuple[str, str]:
+    """Unified per-sub-space Lloyd chain for the PQ codebooks: the
+    sub-space index j is a grouping key, so one chain trains all m
+    codebooks — same discipline as _ivf_chain_sql (init from vec_ids
+    0..k_pq-1 of the FULL table, train on the 1/IVF_SAMPLE_MOD
+    hash-sample, 6dp means, empty clusters keep their centroid,
+    distance ties to the lower cid). Returns (CTE-suffix, final-name);
+    assumes the _ivf_chain_sql `tr` CTE is already in scope."""
+    from claude_readability_hook_spark.operators.pq_index import (
+        PQ_ITERATIONS,
+        PQ_K,
+        PQ_M,
+    )
+
+    sd = EMBED_DIMS // PQ_M
+    dist = (
+        f"list_sum(list_transform(range(1, {sd} + 1), "
+        f"d -> (e.sv[d] - c.cv[d]) * (e.sv[d] - c.cv[d])))"
+    )
+    sql = [
+        f""",
+        trp AS MATERIALIZED (
+          SELECT e.vec_id, j.j,
+                 list_transform(range(1, {sd} + 1),
+                   d -> e.embedding[j.j * {sd} + d]::DOUBLE) AS sv
+          FROM tr e, range(0, {PQ_M}) j(j)
+        ),
+        pq0 AS MATERIALIZED (
+          SELECT e.vec_id::INT AS cid, j.j,
+                 list_transform(range(1, {sd} + 1),
+                   d -> e.embedding[j.j * {sd} + d]::DOUBLE) AS cv
+          FROM embeddings e, range(0, {PQ_M}) j(j)
+          WHERE e.vec_id < {PQ_K}
+        )"""
+    ]
+    prev = "pq0"
+    for it in range(PQ_ITERATIONS):
+        a, mm, c = f"pqa{it}", f"pqm{it}", f"pq{it + 1}"
+        sql.append(f""",
+        {a} AS MATERIALIZED (
+          SELECT e.vec_id, e.j, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id, e.j
+                   ORDER BY {dist}, c.cid) AS rn
+          FROM trp e JOIN {prev} c ON e.j = c.j
+        ),
+        {mm} AS MATERIALIZED (
+          SELECT j, cid, list(round_even(mv, 6) ORDER BY d) AS cv
+          FROM (
+            SELECT a.j, a.cid, d.d, avg(e.sv[d.d]) AS mv
+            FROM {a} a
+            JOIN trp e ON a.vec_id = e.vec_id AND a.j = e.j AND a.rn = 1,
+                 (SELECT unnest(range(1, {sd} + 1)) AS d) d
+            GROUP BY a.j, a.cid, d.d
+          ) t GROUP BY j, cid
+        ),
+        {c} AS MATERIALIZED (
+          SELECT p.j, p.cid, COALESCE(m.cv, p.cv) AS cv
+          FROM {prev} p LEFT JOIN {mm} m ON p.j = m.j AND p.cid = m.cid
+        )""")
+        prev = c
+    return "".join(sql), prev
+
+
+def _ivf_pq_topk_oracle_sql() -> str:
+    """IVF-PQ twin: coarse chain (probes + full assignment) + PQ chain
+    (codebooks), per-(vector, sub-space) code argmin, the two ADC
+    lookup tables (6dp — they re-enter comparisons), and the j-ordered
+    lookup folds — mirroring pq_index.ivf_pq_topk exactly."""
+    from claude_readability_hook_spark.operators.pq_index import PQ_M
+
+    sd = EMBED_DIMS // PQ_M
+    chain, final = _ivf_chain_sql()
+    pq_chain, pq_final = _pq_chain_sql()
+    code_dist = (
+        f"list_sum(list_transform(range(1, {sd} + 1), "
+        f"d -> (e.embedding[c.j * {sd} + d]::DOUBLE - c.cv[d]) "
+        f"* (e.embedding[c.j * {sd} + d]::DOUBLE - c.cv[d])))"
+    )
+    return f"""{chain}{pq_chain},
+        probes AS (
+          SELECT c.cid FROM embeddings e, {final} c
+          WHERE e.vec_id = 0
+          ORDER BY {_IVF_DIST}, c.cid LIMIT {IVF_N_PROBE}
+        ),
+        assigned AS (
+          SELECT e.vec_id, c.cid
+          FROM embeddings e, {final} c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {_IVF_DIST}, c.cid) = 1
+        ),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        pcodes AS (
+          SELECT e.vec_id, c.j, c.cid
+          FROM embeddings e, {pq_final} c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id, c.j
+            ORDER BY {code_dist}, c.cid) = 1
+        ),
+        lut AS (
+          SELECT c.j, c.cid,
+                 round_even(list_sum(list_transform(range(1, {sd} + 1),
+                   d -> q.embedding[c.j * {sd} + d]::DOUBLE * c.cv[d])), 6) AS dp,
+                 round_even(list_sum(list_transform(range(1, {sd} + 1),
+                   d -> c.cv[d] * c.cv[d])), 6) AS np
+          FROM {pq_final} c, q
+        ),
+        qn AS (
+          SELECT sqrt(list_sum(list_transform(range(1, {EMBED_DIMS} + 1),
+                   i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qnorm
+          FROM embeddings WHERE vec_id = 0
+        ),
+        scored AS (
+          SELECT p.vec_id,
+                 list_sum(list(l.dp ORDER BY p.j)) AS dot,
+                 list_sum(list(l.np ORDER BY p.j)) AS nsum
+          FROM pcodes p JOIN lut l ON p.j = l.j AND p.cid = l.cid
+          GROUP BY p.vec_id
+        )
+        SELECT s.vec_id, round(s.dot / (qn.qnorm * sqrt(s.nsum)), 6) AS cosine
+        FROM scored s
+        JOIN assigned a ON a.vec_id = s.vec_id
+        JOIN probes p ON a.cid = p.cid, qn
+        WHERE s.vec_id <> 0
+        ORDER BY cosine DESC, s.vec_id
+        LIMIT {ANN_K}
+    """
+
+
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN JOIN against the materialized IVF index: top-k neighbors
     for EVERY query row in one plan (in-row probe selection → DPP
@@ -2215,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_index.py changed this round (manifest retry merge,
         # retention knobs, compact kind carry, broadcast_queries knob)
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,  # new r5: product-quantized IVF (ADC)
         "ivf_ann_topk_q8": q_ivf_ann_topk_q8,
         "ann_knn_join": q_ann_knn_join,
         "ann_knn_join_q8": q_ann_knn_join_q8,
@@ -2262,10 +2423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
         "bigram_topk": q_bigram_topk,
-        "text_repetition": q_text_repetition,
         # ---- position 51+: driver-hash-green on their CURRENT code in
         # >=2 prior rounds, untouched this round; still covered every
         # run by test_oracle_parity
+        "text_repetition": q_text_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
         "ssrf_route": q_ssrf_route,
         "resume_anti_join": q_resume_anti_join,
@@ -3299,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle_sql(),
         "sequence_pack": _sequence_pack_oracle_sql(),
         "sequence_pack_bounds": _sequence_pack_bounds_oracle_sql(),
+        "ivf_pq_topk": _ivf_pq_topk_oracle_sql(),
         "media_fmp4_demux": _media_fmp4_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""

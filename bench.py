@@ -121,7 +121,9 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "media_frame_decode",
         "corpus_report",
         "lm_perplexity",
+        "ivf_pq_topk",
         "sequence_pack",
+        "sequence_pack_bounds",
         "media_fmp4_demux",
         "bpe_merges",
         "bpe_encode",

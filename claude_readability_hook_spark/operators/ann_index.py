@@ -724,8 +724,9 @@ def compact_ivf_index(
         .parquet(posixpath.join(root, ddir))
     )
     published = dict(kind=m["kind"], dirs=[ddir])
-    if "centroids" in m:
-        published["centroids"] = m["centroids"]
+    for payload_key in ("centroids", "codebooks"):  # ivf/q8: centroids; pq: both
+        if payload_key in m:
+            published[payload_key] = m[payload_key]
     published["version"] = _publish_manifest(root, published)
     _gc_previous_snapshots(root, published, retain=retain_snapshots)
     return _count_parquet_files(posixpath.join(root, ddir))
