@@ -122,6 +122,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "corpus_report",
         "lm_perplexity",
         "ivf_pq_topk",
+        "ann_knn_join_pq",
         "sequence_pack",
         "sequence_pack_bounds",
         "media_fmp4_demux",

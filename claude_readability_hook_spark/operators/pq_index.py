@@ -328,3 +328,119 @@ def ivf_pq_topk_rerank(
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(kk)
     )
+
+
+def ivf_pq_knn_join(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    kk: int = 10,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch k-NN retrieval against the PQ index — the PQ member of
+    the knn-join family (flat / q8 / lsh): in-row probe selection on
+    the coarse centroids, probe-union STATIC partition filter, query
+    join on the centroid_id partition column (broadcast by default,
+    `broadcast_queries=False` for batches too big to broadcast —
+    shuffle-hash via AQE, same knob as ivf_knn_join), then per
+    (query, candidate) the ADC score computed IN-ROW against the
+    literal codebooks: per-query lookup tables don't exist in batch
+    mode, so the dot folds j-then-d over the codebook literals
+    (~m·(dims/m) = dims multiplies per candidate — still reading only
+    8 bytes of payload); the query-independent norm table stays a
+    rounded 6dp literal, shared with the single-query path. One
+    narrow top-k window closes the plan."""
+    from pyspark.sql import Window
+
+    from .similarity import probe_cids_expr
+
+    mft = current_manifest(root)
+    if mft is None:
+        raise FileNotFoundError(f"no published index snapshot under {root}")
+    centroids, codebooks = mft["centroids"], mft["codebooks"]
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in cv]) for cv in codebooks[j]])
+            for j in range(m)
+        ]
+    )
+    np_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(round(sum(v * v for v in cv), 6))
+                    for cv in codebooks[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+
+    exploded = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            probe_cids_expr(F.col(vec_col), centroids, n_probe)
+        ).alias("_probe_cid"),
+    )
+    # documented tiny driver agg: ≤ len(centroids) distinct probe keys
+    probe_union = sorted(
+        r["_probe_cid"] for r in exploded.select("_probe_cid").distinct().collect()
+    )
+    index = read_index(spark, root, mft).filter(
+        F.col("centroid_id").isin(probe_union)
+    )
+    qside = F.broadcast(exploded) if broadcast_queries else exploded
+    cand = index.join(
+        qside, index["centroid_id"] == qside["_probe_cid"]
+    ).filter(F.col("vec_id") != F.col("_qid"))
+
+    qv = F.col("_qvec")
+    code_at = lambda j: F.element_at("pq_codes", j + 1) + 1
+    dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.aggregate(
+            F.sequence(F.lit(1), F.lit(sd)),
+            F.lit(0.0),
+            lambda a2, d: a2
+            + F.element_at(qv, j * sd + d).cast("double")
+            * F.element_at(
+                F.element_at(F.element_at(cb_lit, j + 1), code_at(j)), d
+            ),
+        ),
+    )
+    nsum = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + F.element_at(F.element_at(np_lit, j + 1), code_at(j)),
+    )
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform(qv, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    scored = cand.select(
+        F.col("_qid").alias(query_id_col),
+        "vec_id",
+        F.round(dot / (qnorm * F.sqrt(nsum)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(
+            query_id_col, "vec_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

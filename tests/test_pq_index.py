@@ -157,3 +157,52 @@ def test_pq_compact_carries_codebooks(spark, tmp_path):
     assert m["centroids"] == cents and m["codebooks"] == cbs
     after = [tuple(r) for r in ivf_pq_topk(spark, pq, qvec, kk=10, n_probe=2).collect()]
     assert after == before
+
+
+def test_pq_knn_join_broadcast_knob_and_scores(spark, tmp_path):
+    """Batch PQ retrieval: broadcast and shuffle-hash regimes agree
+    exactly; scores match the single-query ADC path to within the
+    LUT-rounding difference (the batch fold skips the per-query
+    dot-table rounding — documented asymmetry)."""
+    from claude_readability_hook_spark.operators.pq_index import (
+        ivf_pq_knn_join,
+    )
+
+    emb = _emb(spark)
+    pq = str(tmp_path / "pq")
+    build_ivf_pq_index(emb, pq, k=8, iterations=2, sample_mod=4)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_pq_knn_join(spark, pq, queries, kk=10, n_probe=2)
+    rows = out.collect()
+    assert len(rows) == 50
+    for qid in range(5):
+        got = {
+            r["vec_id"]: r["cosine"]
+            for r in rows
+            if r["query_id"] == qid
+        }
+        single = {
+            r["vec_id"]: r["cosine"]
+            for r in ivf_pq_topk(
+                spark, pq, _qvec(spark, qid), kk=10, n_probe=2,
+                exclude_vec_id=qid,
+            ).collect()
+        }
+        shared = set(got) & set(single)
+        assert len(shared) >= 8  # rounding can flip boundary ties only
+        for v in shared:
+            assert abs(got[v] - single[v]) < 5e-6
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nb = ivf_pq_knn_join(
+            spark, pq, queries, kk=10, n_probe=2, broadcast_queries=False
+        )
+        assert sorted(map(tuple, nb.collect())) == sorted(map(tuple, rows))
+        plan = nb._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
