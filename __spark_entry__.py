@@ -467,6 +467,47 @@ def _bpe_merges_oracle_sql() -> str:
     return f"WITH {_bpe_cte_chain(BPE_K)}\n{unions}"
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-tokenizer vocab artifact: base alphabet (distinct
+    corpus chars + the end-of-word marker, lexicographic ids) then the
+    merged symbols in merge-rank order."""
+    from claude_readability_hook_spark.operators.bpetrain import bpe_vocab
+
+    return bpe_vocab(_docs(spark, sf_dir), k=BPE_K)
+
+
+def _bpe_vocab_oracle_sql() -> str:
+    merges_union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rk, replace(pair, ' ', '') AS token"
+        f" FROM m{r}"
+        for r in range(1, BPE_K + 1)
+    )
+    return f"""
+        WITH {_bpe_cte_chain(BPE_K)},
+        alpha AS (
+          SELECT DISTINCT token FROM (
+            SELECT unnest(list_transform(range(1, length(w) + 1),
+                     i -> w[i:i])) AS token
+            FROM (SELECT unnest(list_transform({_TOKS_SQL}, t -> lower(t)))
+                    AS w FROM documents)
+          )
+        ),
+        base AS (SELECT token FROM alpha UNION SELECT '</w>' AS token),
+        base_ids AS (
+          SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT)
+                   AS token_id,
+                 token, 'base' AS kind
+          FROM base
+        ),
+        nb AS (SELECT count(*) AS n FROM base),
+        mg AS ({merges_union})
+        SELECT token_id, token, kind FROM base_ids
+        UNION ALL
+        SELECT CAST(m.rk - 1 + nb.n AS BIGINT), m.token, 'merge'
+        FROM mg m, nb
+    """
+
+
 def _bpe_encode_oracle_sql() -> str:
     k = BPE_K
     return f"""
@@ -2477,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,  # new r5: bigram-LM quality scores
         "bpe_merges": q_bpe_merges,  # new r5: BPE merge-table training
         "bpe_encode": q_bpe_encode,  # new r5: re-tokenize with learned merges
+        "bpe_vocab": q_bpe_vocab,  # new r5: the trained vocab artifact
         "sequence_pack": q_sequence_pack,  # new r5: token-budget packing
         "sequence_pack_bounds": q_sequence_pack_bounds,  # new r5: pack metadata
         "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
@@ -2530,10 +2572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "vocab_topk": q_vocab_topk,
         # ---- position 51+: driver-hash-green on their CURRENT code in
         # >=2 prior rounds, untouched this round; still covered every
         # run by test_oracle_parity
+        "vocab_topk": q_vocab_topk,
         "bigram_topk": q_bigram_topk,
         "text_repetition": q_text_repetition,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3567,6 +3609,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _lm_perplexity_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "bpe_vocab": _bpe_vocab_oracle_sql(),
         "sequence_pack": _sequence_pack_oracle_sql(),
         "sequence_pack_bounds": _sequence_pack_bounds_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_topk_oracle_sql(),

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .textcommon import tokens_expr
 from .textstats import vocabulary
 
 END_OF_WORD = "</w>"
@@ -169,3 +170,47 @@ def bpe_encode_counts(
             ).alias("n_bpe_symbols"),
         )
     )
+
+
+def bpe_vocab(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    merges: DataFrame | None = None,
+) -> DataFrame:
+    """The trained-tokenizer VOCAB artifact (token_id, token, kind):
+    base symbols first — the corpus's distinct characters plus the
+    end-of-word marker, lexicographically ordered — then the merged
+    symbols in merge-rank order (the standard BPE vocab layout:
+    id-stable under corpus growth as long as the alphabet and the
+    merge table are stable). The alphabet is tiny (≤ a few hundred
+    rows), so the id-assigning sort is a deliberate single-partition
+    window over the ALPHABET, never the corpus; the alphabet size is
+    a documented one-int driver value."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if merges is None:
+        merges = learn_bpe_merges(df, k=k, text_col=text_col)
+    toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
+    chars = (
+        df.select(F.explode(toks).alias("w"))
+        .select(F.explode(F.filter(F.split("w", ""), lambda c: c != F.lit(""))).alias("token"))
+        .distinct()
+    )
+    base = chars.unionByName(
+        spark.createDataFrame([(END_OF_WORD,)], "token string")
+    ).distinct()
+    w = Window.orderBy("token")  # alphabet-sized, documented
+    base_ids = base.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "token",
+        F.lit("base").alias("kind"),
+    )
+    n_base = base.count()  # documented tiny driver value (one int)
+    merge_ids = merges.select(
+        (F.col("merge_rank") - 1 + n_base).cast("long").alias("token_id"),
+        F.col("merged").alias("token"),
+        F.lit("merge").alias("kind"),
+    )
+    return base_ids.unionByName(merge_ids)

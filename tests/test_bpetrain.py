@@ -125,3 +125,20 @@ def test_encode_preserves_word_and_counts(spark):
     }
     assert enc[2] == (0, 0)
     assert enc[1][0] == 2 and enc[1][1] >= 2
+
+
+def test_bpe_vocab_layout(spark):
+    """Vocab artifact: base alphabet (sorted chars + marker) gets the
+    low ids, merges follow in rank order, ids are dense and unique."""
+    from claude_readability_hook_spark.operators.bpetrain import bpe_vocab
+
+    df = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id long, text string"
+    )
+    rows = sorted(bpe_vocab(df, k=3).collect(), key=lambda r: r["token_id"])
+    base = [r for r in rows if r["kind"] == "base"]
+    merges = [r for r in rows if r["kind"] == "merge"]
+    assert [r["token"] for r in base] == sorted(["l", "o", "w", "e", "r", "</w>"])
+    assert [r["token_id"] for r in rows] == list(range(len(rows)))
+    assert len(merges) == 3
+    assert all(m["token_id"] >= len(base) for m in merges)
