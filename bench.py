@@ -121,6 +121,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "media_frame_decode",
         "corpus_report",
         "lm_perplexity",
+        "lm_perplexity_tri",
         "ivf_pq_topk",
         "ann_knn_join_pq",
         "sequence_pack",

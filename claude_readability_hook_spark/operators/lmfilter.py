@@ -191,3 +191,108 @@ def lm_quality_filter(
         scores.filter(F.col("lm_score") <= max_score).select("doc_id", "lm_score"),
         "doc_id",
     )
+
+
+def _trigram_pairs_expr(ts: F.Column) -> F.Column:
+    """Adjacent (ctx='w1 w2', tri='w1 w2 w3') structs, in-row over the
+    materialized token array (shifted-slice zip_with three ways;
+    tokens never contain spaces, so the joined keys are unambiguous)."""
+    n2 = F.greatest(F.size(ts) - 2, F.lit(0))
+    a = F.slice(ts, 1, n2)
+    b = F.slice(ts, 2, n2)
+    c = F.slice(ts, 3, n2)
+    ab = F.zip_with(a, b, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.zip_with(
+        ab,
+        c,
+        lambda xy, z: F.struct(
+            xy.alias("ctx"), F.concat(xy, F.lit(" "), z).alias("tri")
+        ),
+    )
+
+
+def train_trigram_lm(
+    df: DataFrame,
+    sample_mod: int | None = LM_SAMPLE_MOD,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(trigram_counts, context_counts, vocab) — the order-3 analog of
+    train_bigram_lm: trigram_counts = (tri, c3), context_counts =
+    (ctx, c2 = Σ c3 over the context's trigrams), vocab = distinct
+    sample tokens. Same plan shape: in-row expansion, one
+    vocabulary-bounded hash agg."""
+    sample = df
+    if sample_mod is not None:
+        sample = df.filter(
+            (h32_expr(F.col("doc_id").cast("string")) % sample_mod) == 0
+        )
+    toks = sample.select(_lower_tokens(text_col).alias("ts"))
+    tri = (
+        toks.select(F.explode(_trigram_pairs_expr(F.col("ts"))).alias("p"))
+        .select(F.col("p.ctx").alias("ctx"), F.col("p.tri").alias("tri"))
+        .groupBy("ctx", "tri")
+        .agg(F.count("*").alias("c3"))
+    )
+    ctx = tri.groupBy("ctx").agg(F.sum("c3").alias("c2"))
+    vocab = toks.select(F.explode(F.col("ts")).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    return tri.select("tri", "c3"), ctx, vocab
+
+
+def lm_trigram_surprise_scores(
+    df: DataFrame,
+    lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    sample_mod: int | None = LM_SAMPLE_MOD,
+    broadcast_lm: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_trigrams, lm3_score): mean add-one TRIGRAM surprise
+    (c2(ctx)+V)/(c3(tri)+1) in the same exact integer micro-unit
+    arithmetic as the bigram scorer — the sharper curation signal when
+    the sample is large enough for order-3 counts (the CCNet 5-gram
+    direction; going past order 3 just repeats this shape). Docs with
+    <3 tokens score 0.0."""
+    tri, ctx, vocab = lm if lm is not None else train_trigram_lm(
+        df, sample_mod, text_col
+    )
+    if broadcast_lm:
+        tri, ctx, vocab = F.broadcast(tri), F.broadcast(ctx), F.broadcast(vocab)
+    grams = df.select(
+        "doc_id",
+        F.explode_outer(_trigram_pairs_expr(_lower_tokens(text_col))).alias("p"),
+    ).select("doc_id", F.col("p.ctx").alias("ctx"), F.col("p.tri").alias("tri"))
+    term_micro = F.expr("(2 * num * 1000000 + den) div (2 * den)")
+    scored = (
+        grams.join(tri.withColumnRenamed("c3", "_c3"), ["tri"], "left")
+        .join(ctx.withColumnRenamed("c2", "_c2"), ["ctx"], "left")
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            "tri",
+            (F.coalesce(F.col("_c2"), F.lit(0)) + F.col("v"))
+            .cast("long")
+            .alias("num"),
+            (F.coalesce(F.col("_c3"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("den"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("tri").cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("tri").isNotNull(), term_micro)).alias("s_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        F.when(
+            F.col("n_trigrams") > 0,
+            F.expr("(2 * s_micro + n_trigrams) div (2 * n_trigrams)").cast(
+                "double"
+            )
+            / F.lit(1000000.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lm3_score"),
+    )

@@ -102,3 +102,46 @@ def test_score_plan_broadcasts_lm_and_never_shuffles_text(spark):
         if kind == "SinglePartition" or "broadcast" in detail.lower():
             continue
         assert "doc_id" in detail, f"unexpected shuffle: {m.group(0)}"
+
+
+def test_trigram_hand_computed_scores(spark):
+    """Order-3 semantics on the tiny corpus (trained on all docs):
+    doc1 'a b a b' yields (a b, a b a), (b a, b a b); doc2 'a b c'
+    yields (a b, a b c). c3: each 1. c2: {a b: 2, b a: 1}.
+    V = |{a,b,c,zzz,q,r}| = 6.
+      doc1: t1 num=c2(a b)+6=8, den=c3(a b a)+1=2 → 4.0;
+            t2 num=c2(b a)+6=7, den=2 → 3.5 → mean 3.75
+      doc2: (a b, a b c): num=8, den=2 → 4.0
+      doc3 'zzz', doc4 'q r': <3 tokens → 0.0"""
+    from claude_readability_hook_spark.operators.lmfilter import (
+        lm_trigram_surprise_scores,
+        train_trigram_lm,
+    )
+
+    df = _tiny(spark)
+    lm = train_trigram_lm(df, sample_mod=None)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["lm3_score"])
+        for r in lm_trigram_surprise_scores(df, lm=lm).collect()
+    }
+    assert got == {
+        1: (2, 3.75),
+        2: (1, 4.0),
+        3: (0, 0.0),
+        4: (0, 0.0),
+    }
+
+
+def test_trigram_broadcast_knob_equal(spark):
+    from claude_readability_hook_spark.operators.lmfilter import (
+        lm_trigram_surprise_scores,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+    )
+    a = sorted(map(tuple, lm_trigram_surprise_scores(docs, broadcast_lm=True).collect()))
+    b = sorted(map(tuple, lm_trigram_surprise_scores(docs, broadcast_lm=False).collect()))
+    assert a == b and len(a) == 150
