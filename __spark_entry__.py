@@ -612,6 +612,45 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assignments(_docs(spark, sf_dir), seq_len=512)
 
 
+def q_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing budgeted by TOKENIZER counts instead of whitespace
+    words: the BPE-regex token count (textstats.BPE_TOKEN_PATTERN)
+    drives the same running-sum boundary arithmetic — the budget a
+    real training shard charges."""
+    from claude_readability_hook_spark.operators.packing import pack_assignments
+    from claude_readability_hook_spark.operators.textstats import (
+        BPE_TOKEN_PATTERN,
+    )
+
+    return pack_assignments(
+        _docs(spark, sf_dir),
+        seq_len=512,
+        count_expr=F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_PATTERN)),
+    )
+
+
+def _sequence_pack_bpe_oracle_sql() -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source AS shard,
+                 len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS nt
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, nt,
+                 sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT doc_id, shard, CAST(nt AS BIGINT) AS n_tokens,
+               CAST((cum - nt) // 512 AS BIGINT) AS pack_first,
+               CAST(CASE WHEN nt > 0 THEN (cum - 1) // 512
+                    ELSE (cum - nt) // 512 END AS BIGINT) AS pack_last,
+               CAST((cum - nt) % 512 AS BIGINT) AS start_offset
+        FROM c
+    """
+
+
 def _sequence_pack_oracle_sql() -> str:
     return f"""
         WITH t AS (
@@ -2590,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,  # new r5: the trained vocab artifact
         "sequence_pack": q_sequence_pack,  # new r5: token-budget packing
         "sequence_pack_bounds": q_sequence_pack_bounds,  # new r5: pack metadata
+        "sequence_pack_bpe": q_sequence_pack_bpe,  # new r5: tokenizer budget
         "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
         # ann_index.py changed this round (manifest retry merge,
         # retention knobs, compact kind carry, broadcast_queries knob)
@@ -3682,6 +3722,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_vocab_oracle_sql(),
         "sequence_pack": _sequence_pack_oracle_sql(),
         "sequence_pack_bounds": _sequence_pack_bounds_oracle_sql(),
+        "sequence_pack_bpe": _sequence_pack_bpe_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_topk_oracle_sql(),
         "ann_knn_join_pq": _ivf_pq_knn_join_oracle_sql(),
         "media_fmp4_demux": _media_fmp4_oracle_sql(),

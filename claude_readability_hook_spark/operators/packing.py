@@ -40,15 +40,27 @@ def pack_assignments(
     seq_len: int = 512,
     shard_col: str = "source",
     text_col: str = "text",
+    count_expr: F.Column | None = None,
 ) -> DataFrame:
     """(doc_id, shard, n_tokens, pack_first, pack_last, start_offset):
     where each doc's tokens land in the packed stream. pack_last is
     inclusive; zero-token docs occupy no positions (pack_last ==
-    pack_first == the pack their start falls in)."""
+    pack_first == the pack their start falls in).
+
+    `count_expr` swaps the budget unit: default is whitespace tokens,
+    but a real training shard budgets by TOKENIZER counts — pass e.g.
+    textstats' BPE-regex count (`sequence_pack_bpe` does) or a
+    learned-merge symbol count. Pure arithmetic either way; only the
+    per-doc length column changes."""
+    n_tokens = (
+        count_expr
+        if count_expr is not None
+        else F.size(tokens_expr(F.col(text_col)))
+    )
     t = df.select(
         "doc_id",
         F.col(shard_col).alias("shard"),
-        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
     )
     c = t.withColumn("cum", F.sum("n_tokens").over(
         Window.partitionBy("shard")

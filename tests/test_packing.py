@@ -150,3 +150,30 @@ def test_export_packed_shards_roundtrip(spark, tmp_path):
     for r in rows:
         if r["pack_id"] != last[r["shard"]]:
             assert r["n"] == 128
+
+
+def test_custom_count_expr_budget(spark):
+    """count_expr swaps the budget unit (tokenizer counts instead of
+    whitespace words): doubling every doc's count doubles the stream
+    positions exactly."""
+    from claude_readability_hook_spark.operators.packing import pack_assignments
+    from claude_readability_hook_spark.operators.textcommon import tokens_expr
+
+    df = _tiny(spark)
+    base = {
+        r["doc_id"]: r
+        for r in pack_assignments(df, seq_len=10).collect()
+    }
+    doubled = {
+        r["doc_id"]: r
+        for r in pack_assignments(
+            df, seq_len=10,
+            count_expr=F.size(tokens_expr(F.col("text"))) * 2,
+        ).collect()
+    }
+    for d, r in doubled.items():
+        assert r["n_tokens"] == base[d]["n_tokens"] * 2
+    # doc 4 (6→12 tokens after docs 1-3 contribute 14) straddles:
+    # begin 14, end 26 → packs 1..2
+    assert (doubled[4]["pack_first"], doubled[4]["pack_last"]) == (1, 2)
+    assert doubled[4]["start_offset"] == 4
