@@ -367,6 +367,60 @@ def _lm_perplexity_oracle_sql() -> str:
     """
 
 
+CMS_HOT_THRESHOLD = 300
+
+
+def q_cms_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch hot-key detection over the token stream: the
+    bounded-memory (d×w integers, cardinality-independent) estimator
+    the skew-salting pass consumes (operators/sketch.py). Exact
+    integer estimates — the sketch is deterministic, so DuckDB
+    rebuilds it cell-for-cell."""
+    from claude_readability_hook_spark.operators.sketch import cms_hot_keys
+    from claude_readability_hook_spark.operators.textcommon import tokens_expr
+
+    keyed = _docs(spark, sf_dir).select(
+        F.explode(
+            F.transform(tokens_expr(F.col("text")), F.lower)
+        ).alias("key")
+    )
+    return cms_hot_keys(keyed, threshold=CMS_HOT_THRESHOLD)
+
+
+def _cms_hot_keys_oracle_sql() -> str:
+    from claude_readability_hook_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    h32_seeded = _H32_SQL.replace("md5(s)", "md5(r.r::VARCHAR || '|' || t.w)")
+    return f"""
+        WITH toks AS (
+          SELECT unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS w
+          FROM documents
+        ),
+        cells AS (
+          SELECT r.r AS row,
+                 CAST(({h32_seeded}) % {CMS_WIDTH} AS INT) AS col
+          FROM toks t, range(0, {CMS_DEPTH}) r(r)
+        ),
+        sk AS (
+          SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+          FROM cells GROUP BY row, col
+        ),
+        cands AS (SELECT DISTINCT w FROM toks),
+        probes AS (
+          SELECT t.w AS key, r.r AS row,
+                 CAST(({h32_seeded}) % {CMS_WIDTH} AS INT) AS col
+          FROM cands t, range(0, {CMS_DEPTH}) r(r)
+        )
+        SELECT p.key, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+        FROM probes p LEFT JOIN sk s ON p.row = s.row AND p.col = s.col
+        GROUP BY p.key
+        HAVING min(COALESCE(s.cnt, 0)) >= {CMS_HOT_THRESHOLD}
+    """
+
+
 def q_lm_perplexity_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-3 LM quality scores: add-one TRIGRAM surprise against the
     hash-sample-trained model — the sharper CCNet-direction signal,
@@ -2624,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_flagship": q_extract_flagship,
         "lm_perplexity": q_lm_perplexity,  # new r5: bigram-LM quality scores
         "lm_perplexity_tri": q_lm_perplexity_tri,  # new r5: order-3 LM scores
+        "cms_hot_keys": q_cms_hot_keys,  # new r5: count-min hot-key sketch
         "bpe_merges": q_bpe_merges,  # new r5: BPE merge-table training
         "bpe_encode": q_bpe_encode,  # new r5: re-tokenize with learned merges
         "bpe_vocab": q_bpe_vocab,  # new r5: the trained vocab artifact
@@ -2679,10 +2734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
         # ---- position 51+: driver-hash-green on their CURRENT code in
         # >=2 prior rounds, untouched this round; still covered every
         # run by test_oracle_parity
+        "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
         "bigram_topk": q_bigram_topk,
@@ -3717,6 +3772,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _corpus_report_oracle_sql(),
         "lm_perplexity": _lm_perplexity_oracle_sql(),
         "lm_perplexity_tri": _lm_perplexity_tri_oracle_sql(),
+        "cms_hot_keys": _cms_hot_keys_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
         "bpe_vocab": _bpe_vocab_oracle_sql(),

@@ -122,6 +122,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "corpus_report",
         "lm_perplexity",
         "lm_perplexity_tri",
+        "cms_hot_keys",
         "ivf_pq_topk",
         "ann_knn_join_pq",
         "sequence_pack",

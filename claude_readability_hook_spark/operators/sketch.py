@@ -1,0 +1,128 @@
+"""Count-min sketch over a key stream — bounded-memory frequency
+estimation, and the repo's HOT-KEY detector: the skew-salting pass
+(operators/skew.py) needs to know which join/group keys are heavy
+BEFORE it aggregates them, and at 10^12 rows an exact per-key count
+is itself the aggregation you were trying to avoid. The sketch's
+state is d×w integers regardless of key cardinality.
+
+Why this is oracle-able when most sketches aren't: the CMS is a
+DETERMINISTIC function of its inputs — cell (row, col) counts every
+key whose seeded hash lands there, estimates are mins over d cells —
+so DuckDB reproduces the exact sketch and the exact estimates from
+the same md5-derived hash family (textcommon.seeded_md5_expr, the
+minhash discipline). No RNG, no merge-order sensitivity (cell counts
+are order-independent integer sums).
+
+Plan shape at scale:
+  BUILD: one explode + one groupBy (row, col) — the shuffle carries
+  at most d×w rows per partition after map-side combine, CONSTANT in
+  both corpus size and key cardinality (the point; a vocabulary agg
+  is bounded by distinct keys, the sketch by d×w).
+  PROBE: candidate keys join the d×w sketch (broadcast — a few KB)
+  and take min over their d cells; estimate ≥ true count always
+  (CMS one-sided error), with overestimates bounded by the usual
+  e/w per-row collision mass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textcommon import seeded_md5_expr
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_col_expr(key: F.Column, row: int, width: int) -> F.Column:
+    """Column index of `key` in sketch row `row`: first 8 hex chars of
+    the seeded md5 as int64, mod width — the h32 family keyed like the
+    minhash seeds. DuckDB twin mirrors digit-by-digit."""
+    h = F.conv(F.substring(seeded_md5_expr(row, key), 1, 8), 16, 10).cast("long")
+    return (h % width).cast("int")
+
+
+def cms_build(
+    keyed: DataFrame,
+    key_col: str = "key",
+    weight_col: str | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The sketch table (row, col, cnt): d hash rows per input key,
+    one bounded groupBy. `weight_col` aggregates pre-counted keys
+    (e.g. a (key, n) table) instead of raw occurrences."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_col_expr(F.col(key_col), r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+        w.alias("w"),
+    )
+    return (
+        cells.select("cell.row", "cell.col", "w")
+        .groupBy("row", "col")
+        .agg(F.sum("w").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str = "key",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key, est) for every candidate key: min over its d cells.
+    The sketch broadcasts (≤ d×w rows); absent cells count 0 (a key
+    the stream never hashed there)."""
+    probes = candidates.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_col_expr(F.col(key_col), r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("key", "cell.row", "cell.col")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def cms_hot_keys(
+    keyed: DataFrame,
+    key_col: str = "key",
+    threshold: int = 100,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Keys whose CMS estimate clears `threshold` — the hot-key
+    candidate set the skew-salting pass consumes. One-sided: every
+    truly-hot key survives (est ≥ true count); collision-inflated
+    cold keys may ride along and cost only an unnecessary salt. The
+    candidate probe deduplicates keys first (distinct is bounded by
+    key cardinality; in the hot-key use the caller usually probes a
+    SAMPLE of keys instead — pass that as `candidates` via
+    cms_estimate directly)."""
+    sketch = cms_build(keyed, key_col, depth=depth, width=width)
+    cands = keyed.select(F.col(key_col).alias("key")).distinct()
+    return cms_estimate(sketch, cands, "key", depth, width).filter(
+        F.col("est") >= threshold
+    )
