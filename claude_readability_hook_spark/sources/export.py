@@ -95,8 +95,14 @@ def export_packed_shards(
 
     recs = pack_records(docs, seq_len, shard_col, text_col)
     n_packs = recs.count()
+    # one partition per DISTINCT shard key: a bare repartition("shard")
+    # hash-partitions into spark.sql.shuffle.partitions, colliding
+    # shards into shared files and writing many empty parts — count the
+    # shard cardinality (tiny: shards are sources) and size the shuffle
+    # to it so the per-file claim actually holds
+    n_shards = recs.select("shard").distinct().count()
     (
-        recs.repartition("shard")
+        recs.repartition(max(n_shards, 1), "shard")
         .sortWithinPartitions("shard", "pack_id")
         .write.mode("overwrite")
         .option("compression", compression)

@@ -77,7 +77,13 @@ def maintain_clean_corpus(
                 flags.join(scores.select("doc_id", "lm_score"), "doc_id")
                 .select(
                     "doc_id",
-                    F.when(F.col("lm_score") > lm_max_score, F.lit(-1))
+                    # a doc that is BOTH contaminated and LM-rejected keeps
+                    # its real hit count; -1 marks LM-only rejections
+                    F.when(
+                        (F.col("lm_score") > lm_max_score)
+                        & ~F.col("contaminated"),
+                        F.lit(-1),
+                    )
                     .otherwise(F.col("n_hits"))
                     .alias("n_hits"),
                     (

@@ -127,6 +127,112 @@ def test_encode_preserves_word_and_counts(spark):
     assert enc[1][0] == 2 and enc[1][1] >= 2
 
 
+def _ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sennrich apply_bpe reference: each iteration picks the
+    lowest-rank pair present and merges all its leftmost
+    non-overlapping occurrences in one pass."""
+    ranks = {m: i for i, m in enumerate(merges)}
+    syms = list(word) + ["</w>"]
+    while len(syms) >= 2:
+        present = [
+            (ranks[(syms[i], syms[i + 1])])
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not present:
+            break
+        a, b = merges[min(present)]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_trie_encoder_matches_expr_chain_k8(spark):
+    """encode_word_symbols (heap) == apply_merges_expr (k-replace
+    chain) for every distinct corpus word at k=8, and the full
+    counts frame is identical between the two encode paths."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        bpe_encode_counts_trie,
+        encode_word_symbols,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    merges_df = learn_bpe_merges(docs, k=8)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    ranks = {m: i for i, m in enumerate(merges)}
+    words = sorted(
+        {w for r in docs.collect() for w in r["text"].lower().split()}
+    )[:200]
+    expr_out = (
+        spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", apply_merges_expr(F.col("w"), merges).alias("syms"))
+        .collect()
+    )
+    for row in expr_out:
+        assert encode_word_symbols(row["w"], ranks) == row["syms"], row["w"]
+
+    a = {
+        (r["doc_id"], r["n_words"], r["n_bpe_symbols"])
+        for r in bpe_encode_counts(docs, merges).collect()
+    }
+    b = {
+        (r["doc_id"], r["n_words"], r["n_bpe_symbols"])
+        for r in bpe_encode_counts_trie(docs, merges_df).collect()
+    }
+    assert a == b
+
+
+def test_trie_encoder_matches_sennrich_at_k1000():
+    """The heap encoder against the pure-Python Sennrich reference on
+    a REAL-SIZE merge table (k=1000): trained in pure Python over a
+    seeded synthetic vocabulary, then every training word plus unseen
+    words must encode identically."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        encode_word_symbols,
+    )
+
+    alphabet = "abcdefghijklmnopqrst"
+    words: dict[str, int] = {}
+    state = 12345
+    for n in range(400):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        length = 5 + state % 14
+        chars = []
+        s = state
+        for _ in range(length):
+            s = (s * 48271) % 2147483647
+            chars.append(alphabet[s % len(alphabet)])
+        words["".join(chars)] = 1 + state % 9
+    trained = _ref_bpe(words, k=1000)
+    merges = [(a, b) for a, b, _m, _c in trained]
+    assert len(merges) == 1000
+    ranks = {m: i for i, m in enumerate(merges)}
+    probe = list(words)[:150] + [
+        "aaaaa",
+        "abcabcabc",
+        "tttttttttt",
+        "zq",  # chars outside every merge
+        "",
+    ]
+    for w in probe:
+        assert encode_word_symbols(w, ranks) == _ref_encode(w, merges), w
+        assert "".join(encode_word_symbols(w, ranks)) == w + "</w>"
+
+
 def test_bpe_vocab_layout(spark):
     """Vocab artifact: base alphabet (sorted chars + marker) gets the
     low ids, merges follow in rank order, ids are dense and unique."""
