@@ -16,6 +16,13 @@ exceeds `gap` seconds. Two implementations, identical output:
                      gap exceeds `gap`. The merge window runs over
                      BUCKETS per user (tiny), never events. Exactness
                      is differential-tested against sessionize.
+  sessionize_auto    DETECTS which treatment each user needs: the
+                     count-min sketch (operators/sketch.cms_hot_keys —
+                     bounded d×w state) flags users whose event count
+                     clears a threshold; flagged users run the salted
+                     plan, the long tail runs the plain window, results
+                     union. The sketch's production consumer — no
+                     per-key exact pre-count, no blanket fan-out.
 """
 
 from __future__ import annotations
@@ -84,4 +91,38 @@ def sessionize_salted(
         (
             F.sum("breaks") + F.coalesce(F.sum("boundary_break"), F.lit(0)) + 1
         ).cast("long").alias("n_sessions"),
+    )
+
+
+def sessionize_auto(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    hot_threshold: int = 10_000,
+    bucket: str = "day",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Skew-routing sessionization: probe the count-min sketch for
+    users whose event count clears `hot_threshold` (one-sided — every
+    truly-hot user is caught; a collision-inflated cold user only pays
+    the salted plan's extra agg), then run detected hot users through
+    sessionize_salted and the long tail through the plain window.
+    Results are exact either way (the salted plan is
+    differential-tested), so routing changes only the physical plan:
+    tail users avoid the two-stage overhead, hot users never serialize
+    one window partition. The hot set broadcasts into both branch
+    filters (≤ total_events/hot_threshold keys by construction).
+    `candidates` forwards to cms_hot_keys — pass a bounded sample at
+    scale instead of the distinct-keys default."""
+    from .sketch import cms_hot_keys
+
+    hot = cms_hot_keys(
+        events.select(F.col("user_id").alias("key")),
+        threshold=hot_threshold,
+        candidates=candidates,
+    ).select(F.col("key").alias("user_id"))
+    hot_b = F.broadcast(hot)
+    hot_events = events.join(hot_b, "user_id", "left_semi")
+    cold_events = events.join(hot_b, "user_id", "left_anti")
+    return sessionize(cold_events, gap_seconds).unionByName(
+        sessionize_salted(hot_events, gap_seconds, bucket)
     )

@@ -112,17 +112,27 @@ def cms_hot_keys(
     threshold: int = 100,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Keys whose CMS estimate clears `threshold` — the hot-key
-    candidate set the skew-salting pass consumes. One-sided: every
+    candidate set the skew-salting pass consumes
+    (operators/skew.hot_key_salted_repartition and
+    operators/sessions.sessionize_auto probe this). One-sided: every
     truly-hot key survives (est ≥ true count); collision-inflated
-    cold keys may ride along and cost only an unnecessary salt. The
-    candidate probe deduplicates keys first (distinct is bounded by
-    key cardinality; in the hot-key use the caller usually probes a
-    SAMPLE of keys instead — pass that as `candidates` via
-    cms_estimate directly)."""
+    cold keys may ride along and cost only an unnecessary salt.
+
+    `candidates` is the SCALE path: pass a bounded candidate set (a
+    stored row sample, last batch's hot set, a domain whitelist) and
+    the probe never touches key cardinality. The convenience default
+    distincts the input keys — bounded by key cardinality, which is
+    exactly what the sketch's build side avoids; fine when distinct
+    keys are vocabulary-sized, wrong when keys are near-unique."""
     sketch = cms_build(keyed, key_col, depth=depth, width=width)
-    cands = keyed.select(F.col(key_col).alias("key")).distinct()
+    cands = (
+        candidates.select(F.col(key_col).alias("key")).distinct()
+        if candidates is not None
+        else keyed.select(F.col(key_col).alias("key")).distinct()
+    )
     return cms_estimate(sketch, cands, "key", depth, width).filter(
         F.col("est") >= threshold
     )

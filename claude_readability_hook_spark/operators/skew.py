@@ -14,6 +14,13 @@ This is the batch analog of the reference's bounded concurrency — its
 semaphore(8) kept one slow page from starving the rest
 (apps/extractor/app/api.py:15); here one giant page must not starve a
 partition.
+
+KEY skew (a join/group key owned by a giant group, not a giant row)
+is the second axis: hot_key_salted_repartition detects heavy keys
+with the count-min sketch (operators/sketch.py — bounded d×w state)
+and stripes exactly those keys over (key, salt), leaving the long
+tail un-fanned. operators/sessions.sessionize_auto is the windowed
+consumer: detected hot users route through the salted exact plan.
 """
 
 from __future__ import annotations
@@ -67,6 +74,71 @@ def salted_repartition(
     normals = df.filter(~is_giant).repartition(num_partitions, key)
     giants = df.filter(is_giant).repartition(num_partitions, key)
     return normals.unionByName(giants)
+
+
+def salt_hot_keys(
+    df: DataFrame,
+    key_col: str,
+    hot_keys: DataFrame,
+    n_salts: int = 8,
+    salt_from: str = "doc_id",
+) -> DataFrame:
+    """Stripe a DETECTED hot-key set: rows whose `key_col` is in
+    `hot_keys` (the count-min output — operators/sketch.cms_hot_keys)
+    get salt = h32(salt_from) % n_salts, spreading one reducer's worth
+    of a hot key over n_salts stripes; cold keys keep salt 0 (one
+    stripe — no fan-out cost on the long tail). The hot set broadcasts
+    (it is threshold-bounded: at most total_rows/threshold keys can be
+    hot). Deterministic — no rand(), so resume-safe like
+    salted_repartition. Downstream per-key ops group on
+    (key, salt) partials and merge, the sessionize_salted pattern."""
+    from .dedup import h32_expr
+
+    hot = hot_keys.select(F.col("key").alias(key_col)).withColumn(
+        "_hot", F.lit(True)
+    )
+    return (
+        df.join(F.broadcast(hot), [key_col], "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                (h32_expr(F.col(salt_from).cast("string")) % n_salts).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+
+
+def hot_key_salted_repartition(
+    df: DataFrame,
+    key_col: str,
+    num_partitions: int,
+    threshold: int,
+    n_salts: int = 8,
+    salt_from: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """KEY-skew-aware repartitioning (the consumer the count-min
+    sketch's docstring promises): build the CMS over df's keys
+    (bounded d×w state, constant in corpus AND key cardinality), probe
+    it for keys whose estimated count clears `threshold`, stripe those
+    with salt_hot_keys, and hash-repartition on (key, salt). A hot key
+    now occupies up to n_salts partitions instead of drowning one;
+    cold keys land exactly where a plain repartition(key) would put
+    them (salt 0 is constant, so (key, 0) hashes are still uniform).
+    Pass `candidates` (a bounded sample) at scale — the default probe
+    distincts the keys, which is key-cardinality-bounded (documented
+    in cms_hot_keys)."""
+    from .sketch import cms_hot_keys
+
+    hot = cms_hot_keys(
+        df.select(F.col(key_col).alias("key")),
+        threshold=threshold,
+        candidates=candidates,
+    )
+    salted = salt_hot_keys(df, key_col, hot, n_salts, salt_from)
+    return salted.repartition(num_partitions, F.col(key_col), F.col("salt"))
 
 
 def partitions_for(df: DataFrame, cfg: EngineConfig = DEFAULT, minimum: int = 8) -> int:

@@ -82,3 +82,106 @@ def test_hot_keys_catch_every_truly_hot_key(spark):
     hot = {r["key"] for r in cms_hot_keys(keyed, threshold=40).collect()}
     truly_hot = {k for k, n in truth.items() if n >= 40}
     assert truly_hot <= hot
+
+
+def test_hot_key_salting_spreads_planted_hot_key(spark):
+    """The skew wire (r5 verdict item): plant one hot key, assert its
+    rows spread across multiple salts while every cold key keeps
+    exactly one stripe (salt 0)."""
+    from claude_readability_hook_spark.operators.skew import (
+        hot_key_salted_repartition,
+        salt_hot_keys,
+    )
+
+    rows = [(f"d{i}", "hot") for i in range(400)] + [
+        (f"c{i}", f"cold{i % 20}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, key string")
+    hot = cms_hot_keys(df.select("key"), threshold=300)
+    assert [r["key"] for r in hot.collect()] == ["hot"]
+
+    salted = salt_hot_keys(df, "key", hot, n_salts=8)
+    per_key = {
+        r["key"]: (r["n_salts"], r["n_rows"])
+        for r in salted.groupBy("key")
+        .agg(
+            F.countDistinct("salt").alias("n_salts"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+    assert per_key["hot"][0] > 1 and per_key["hot"][1] == 400
+    for k, (n_salts, _n) in per_key.items():
+        if k != "hot":
+            assert n_salts == 1
+    # cold keys carry the constant salt 0
+    assert (
+        salted.filter((F.col("key") != "hot") & (F.col("salt") != 0)).count() == 0
+    )
+
+    # end-to-end: the repartition plan keys on (key, salt) and the hot
+    # key's rows land in more than one partition
+    rep = hot_key_salted_repartition(df, "key", 16, threshold=300, n_salts=8)
+    import pyspark.sql.functions as SF
+
+    parts = (
+        rep.withColumn("pid", SF.spark_partition_id())
+        .filter(SF.col("key") == "hot")
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert parts > 1
+
+
+def test_candidate_probe_bounds_the_hot_scan(spark):
+    """cms_hot_keys(candidates=...) never distincts the raw keys: a
+    caller-supplied candidate set is the only thing probed."""
+    rows = [("hot",)] * 200 + [(f"k{i}",) for i in range(50)]
+    keyed = spark.createDataFrame(rows, "key string")
+    cands = spark.createDataFrame([("hot",), ("k1",)], "key string")
+    got = {
+        r["key"]: r["est"]
+        for r in cms_hot_keys(keyed, threshold=100, candidates=cands).collect()
+    }
+    assert got == {"hot": 200}
+
+
+def test_sessionize_auto_routes_and_stays_exact(spark):
+    """The CMS consumer: a planted power user routes through the
+    salted plan, everyone's counts match plain sessionize exactly."""
+    import datetime as dt
+
+    from claude_readability_hook_spark.operators.sessions import (
+        sessionize,
+        sessionize_auto,
+    )
+
+    base = dt.datetime(2026, 1, 1, 23, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(10):
+        for i in range(200):
+            rows.append(
+                ("giant", base + dt.timedelta(days=day, minutes=10 * i), eid)
+            )
+            eid += 1
+    for u in range(30):
+        for i in range(40):
+            rows.append(
+                (f"u{u}", base + dt.timedelta(hours=u, minutes=45 * i), eid)
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long"
+    )
+    plain = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in sessionize(events).collect()
+    }
+    auto = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in sessionize_auto(events, hot_threshold=1000).collect()
+    }
+    assert plain == auto
+    assert auto["giant"][0] == 2000
