@@ -2390,6 +2390,103 @@ def _media_fmp4_oracle_sql() -> str:
     """
 
 
+PTS_ORACLE_REFS = 36  # half moov-ctts/elst, half fMP4 trun-cts
+
+
+def q_media_video_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated oracle for PRESENTATION timestamps (r6: ctts/elst +
+    trun composition offsets — core/mp4codec.py): half the refs are
+    plain MP4s with a v1 ctts table and an edit list (leading empty
+    edit + media_time=40 trim), half are fragmented MP4s carrying the
+    same composition pattern in v1 trun per-sample offsets. The
+    offsets/sizes/dts stay the established closed forms; pts adds
+    40·((seed+31·i)%3) + 20+(seed%5)·20 on top of dts — any drift in
+    the ctts walk, the trun cts parse, or the elst remap breaks the
+    hash."""
+    from claude_readability_hook_spark.operators.multimodal import (
+        demux_video_samples,
+        synthesize_media_table,
+    )
+
+    half = PTS_ORACLE_REFS // 2
+    media = synthesize_media_table(
+        spark, [f"pv:{i}" for i in range(half)], real_mp4_pts=True
+    ).unionByName(
+        synthesize_media_table(
+            spark, [f"pf:{i}" for i in range(half)], real_fmp4_pts=True
+        )
+    )
+    return demux_video_samples(media).select(
+        "media_ref", "sample_idx", "offset", "size", "timestamp_ms",
+        "pts_ms", "is_sync", "decode_ok",
+    )
+
+
+def _media_video_pts_oracle_sql() -> str:
+    from claude_readability_hook_spark.core.mp4codec import (
+        MDAT_DATA_START,
+        fmp4_header_len,
+        fmp4_moof_len,
+    )
+
+    half = PTS_ORACLE_REFS // 2
+    hdr = fmp4_header_len(elst_media_time=40, elst_empty_ms=20)
+    m3 = fmp4_moof_len(3, with_cts=True)
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    pts = "40 * idx + 40 * ((seed + 31 * idx) % 3) + 20 + (seed % 5) * 20"
+    return f"""
+        WITH mrefs AS (
+          SELECT 'pv:' || i::VARCHAR AS media_ref FROM range(0, {half}) t(i)
+        ),
+        ms AS (SELECT media_ref, {asciisum} AS seed FROM mrefs),
+        msamples AS (
+          SELECT media_ref, seed, i.i AS idx,
+                 50 + ((seed + 31 * i.i) % 100) AS size
+          FROM ms, range(0, 8) i(i)
+          WHERE i.i < 4 + seed % 4
+        ),
+        frefs AS (
+          SELECT 'pf:' || i::VARCHAR AS media_ref FROM range(0, {half}) t(i)
+        ),
+        fs AS (SELECT media_ref, {asciisum} AS seed FROM frefs),
+        fsamples AS (
+          SELECT media_ref, seed, i.i AS idx,
+                 i.i // 3 AS frag,
+                 50 + ((seed + 31 * i.i) % 100) AS size
+          FROM fs, range(0, 9) i(i)
+          WHERE i.i < 3 * (2 + seed % 2)
+        )
+        SELECT media_ref,
+               CAST(idx AS BIGINT) AS sample_idx,
+               CAST({MDAT_DATA_START} + COALESCE(SUM(size) OVER (
+                      PARTITION BY media_ref ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS BIGINT) AS "offset",
+               CAST(size AS BIGINT) AS size,
+               CAST(40 * idx AS BIGINT) AS timestamp_ms,
+               CAST({pts} AS BIGINT) AS pts_ms,
+               (idx % 2 = 0) AS is_sync,
+               'ok' AS decode_ok
+        FROM msamples
+        UNION ALL
+        SELECT media_ref,
+               CAST(idx AS BIGINT) AS sample_idx,
+               CAST({hdr} + (frag + 1) * {m3 + 8} + COALESCE(SUM(size) OVER (
+                      PARTITION BY media_ref ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS BIGINT) AS "offset",
+               CAST(size AS BIGINT) AS size,
+               CAST(40 * idx AS BIGINT) AS timestamp_ms,
+               CAST({pts} AS BIGINT) AS pts_ms,
+               (idx % 3 = 0) AS is_sync,
+               'ok' AS decode_ok
+        FROM fsamples
+    """
+
+
 WARC_ORACLE_DOCS = 24  # 12 per segment: one plain, one member-gzip
 
 
@@ -2703,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_bounds": q_sequence_pack_bounds,  # new r5: pack metadata
         "sequence_pack_bpe": q_sequence_pack_bpe,  # new r5: tokenizer budget
         "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
+        "media_video_pts": q_media_video_pts,  # new r6: ctts/elst/trun-cts pts
         # ann_index.py changed this round (manifest retry merge,
         # retention knobs, compact kind carry, broadcast_queries knob)
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -3800,6 +3898,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_topk": _ivf_pq_topk_oracle_sql(),
         "ann_knn_join_pq": _ivf_pq_knn_join_oracle_sql(),
         "media_fmp4_demux": _media_fmp4_oracle_sql(),
+        "media_video_pts": _media_video_pts_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

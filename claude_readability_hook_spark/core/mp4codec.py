@@ -8,13 +8,18 @@ Scope (honest): container DEMUX only — frame *sampling* gets true
 offsets/timestamps it can seek to; frame *decode* (H.264 et al.)
 stays out of scope for this container (no codec libs), exactly the
 boundary the r3 verdict set. FRAGMENTED MP4 (moof/traf/trun — the
-DASH/HLS segment layout most crawled streaming video uses) is now
+DASH/HLS segment layout most crawled streaming video uses) is
 demuxed for the common profile: per-trun explicit data offsets,
-default-base-is-moof or explicit base offsets, tfdt decode times,
-trex/tfhd sample defaults. Editing artifacts (edts time remapping,
-ctts/trun composition offsets) and trun-without-data-offset raise
-NotImplementedError so callers fall back — same poison-isolation
-contract as the other codecs.
+default-base-is-moof / explicit base offsets (flag-less non-first
+trafs raise — their spec default is the previous traf's data end,
+which this walk does not reconstruct), tfdt decode times, trex/tfhd
+sample defaults. COMPOSITION TIME is real: ctts (v0/v1) and trun
+per-sample composition offsets yield pts alongside dts, and edit
+lists (elst) in the supported profile — optional leading empty edit
++ one rate-1 media edit, the shape B-frame muxers emit — remap pts
+to presentation time. Complex elst (multi-segment, dwell, rate≠1)
+and trun-without-data-offset raise NotImplementedError so callers
+fall back — same poison-isolation contract as the other codecs.
 
 The encoder synthesizes a minimal-but-valid MP4 (ftyp + mdat + moov
 with one track and a full sample table) so tests/bench exercise the
@@ -47,9 +52,12 @@ def _u64(b: bytes, i: int) -> int:
     return struct.unpack_from(">Q", b, i)[0]
 
 
-def _boxes(data: bytes, start: int, end: int):
-    """Yield (fourcc, body_start, body_end) for the child boxes of
-    [start, end). Validates sizes stay in-bounds and make progress."""
+def _boxes_full(data: bytes, start: int, end: int):
+    """Yield (fourcc, box_start, body_start, body_end) for the child
+    boxes of [start, end). Validates sizes stay in-bounds and make
+    progress. box_start is the first byte of the box HEADER — for a
+    64-bit largesize box that is 16 bytes before the body, not 8
+    (the fragmented walk anchors default-base-is-moof there)."""
     pos = start
     seen = 0
     while pos + 8 <= end:
@@ -68,8 +76,14 @@ def _boxes(data: bytes, start: int, end: int):
             size = end - pos
         if size < body - pos or pos + size > end:
             raise ValueError("box overruns container")
-        yield fourcc, body, pos + size
+        yield fourcc, pos, body, pos + size
         pos += size
+
+
+def _boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the child boxes."""
+    for fourcc, _pos, body, box_end in _boxes_full(data, start, end):
+        yield fourcc, body, box_end
 
 
 def _find(data: bytes, start: int, end: int, fourcc: bytes) -> tuple[int, int] | None:
@@ -95,12 +109,71 @@ def _mvhd_duration_ms(data: bytes, body: int, end: int) -> int:
     return duration * 1000 // timescale
 
 
+def _mvhd_timescale(data: bytes, body: int) -> int:
+    ver, p = _full_box(data, body)
+    ts = _u32(data, p + 16) if ver == 1 else _u32(data, p + 8)
+    if ts == 0:
+        raise ValueError("zero mvhd timescale")
+    return ts
+
+
 def _mdhd_timescale(data: bytes, body: int) -> int:
     ver, p = _full_box(data, body)
     ts = _u32(data, p + 16) if ver == 1 else _u32(data, p + 8)
     if ts == 0:
         raise ValueError("zero mdhd timescale")
     return ts
+
+
+def _s32(b: bytes, i: int) -> int:
+    return struct.unpack_from(">i", b, i)[0]
+
+
+def _s64(b: bytes, i: int) -> int:
+    return struct.unpack_from(">q", b, i)[0]
+
+
+def _parse_elst(
+    data: bytes, trak_body: int, trak_end: int, movie_timescale: int
+) -> tuple[int, int]:
+    """Resolve a track's edit list (edts/elst — ISO 14496-12 §8.6.5/6)
+    to the supported profile: an optional leading EMPTY edit (the
+    presentation delay DASH muxers emit) followed by exactly one
+    normal rate-1 edit whose media_time trims decoder priming. Returns
+    (media_time_units, empty_delay_ms): presentation time = (pts_media
+    - media_time) scaled to ms + empty delay. No edts ⇒ (0, 0).
+    Multi-segment lists / dwell edits (rate 0) / rate≠1 raise
+    NotImplementedError so callers fall back — the same poison
+    contract as the rest of the codec ladder."""
+    edts = _find(data, trak_body, trak_end, b"edts")
+    if edts is None:
+        return 0, 0
+    elst = _find(data, edts[0], edts[1], b"elst")
+    if elst is None:
+        return 0, 0
+    ver, p = _full_box(data, elst[0])
+    count = _u32(data, p)
+    p += 4
+    entries = []
+    for _ in range(count):
+        if ver == 1:
+            seg_dur, media_time = _u64(data, p), _s64(data, p + 8)
+            rate_i = struct.unpack_from(">h", data, p + 16)[0]
+            p += 20
+        else:
+            seg_dur, media_time = _u32(data, p), _s32(data, p + 4)
+            rate_i = struct.unpack_from(">h", data, p + 8)[0]
+            p += 12
+        if p > elst[1]:
+            raise ValueError("elst overruns box")
+        entries.append((seg_dur, media_time, rate_i))
+    empty_ms = 0
+    if entries and entries[0][1] == -1:  # leading empty edit
+        empty_ms = entries[0][0] * 1000 // movie_timescale
+        entries = entries[1:]
+    if len(entries) != 1 or entries[0][1] < 0 or entries[0][2] != 1:
+        raise NotImplementedError("complex edit list (elst)")
+    return entries[0][1], empty_ms
 
 
 def _table(data: bytes, body: int, end: int, entry_bytes: int, skip: int = 0):
@@ -117,9 +190,15 @@ def _table(data: bytes, body: int, end: int, entry_bytes: int, skip: int = 0):
 def demux_mp4(payload: bytes) -> dict:
     """Parse the container: {"duration_ms": int, "tracks": [{"handler":
     'vide'|'soun'|..., "timescale": int, "samples": [(offset, size,
-    timestamp_ms, is_sync), ...]}]}. Offsets are absolute byte
+    dts_ms, pts_ms, is_sync), ...]}]}. Offsets are absolute byte
     positions in the payload — a seeking reader (or a future frame
-    decoder) consumes them directly."""
+    decoder) consumes them directly. dts is the decode timestamp
+    (stts / tfdt+durations); pts adds ctts/trun composition offsets
+    and applies the edit-list remap (elst media_time trim + leading
+    empty-edit delay) — equal to dts for B-frame-free tracks. A pts
+    before the edit start comes out negative (floor-divided ms): the
+    sample is decoded but not presented, and samplers keying on pts
+    skip it exactly like a real player."""
     if not is_mp4(payload):
         raise ValueError("not an ISO-BMFF file")
     data = payload
@@ -132,6 +211,7 @@ def demux_mp4(payload: bytes) -> dict:
     mvhd = _find(data, moov[0], moov[1], b"mvhd")
     if mvhd is None:
         raise ValueError("no mvhd box")
+    movie_ts = _mvhd_timescale(data, mvhd[0])
     out = {"duration_ms": _mvhd_duration_ms(data, mvhd[0], mvhd[1]), "tracks": []}
 
     for fc, tb, te in _boxes(data, moov[0], moov[1]):
@@ -140,8 +220,7 @@ def demux_mp4(payload: bytes) -> dict:
         mdia = _find(data, tb, te, b"mdia")
         if mdia is None:
             raise ValueError("trak without mdia")
-        if _find(data, tb, te, b"edts") is not None:
-            raise NotImplementedError("edit lists (edts)")
+        media_time, empty_ms = _parse_elst(data, tb, te, movie_ts)
         mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
         hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
         minf = _find(data, mdia[0], mdia[1], b"minf")
@@ -153,8 +232,6 @@ def demux_mp4(payload: bytes) -> dict:
         if stbl is None:
             raise ValueError("no stbl box")
         sb, se = stbl
-        if _find(data, sb, se, b"ctts") is not None:
-            raise NotImplementedError("composition offsets (ctts)")
 
         # stts → per-sample decode timestamps (run-length deltas)
         stts = _find(data, sb, se, b"stts")
@@ -191,6 +268,29 @@ def demux_mp4(payload: bytes) -> dict:
                 t += delta
         if len(ts) != n_samples:
             raise ValueError("stts does not cover all samples")
+
+        # composition offsets (ctts §8.6.1.3): pts = dts + offset.
+        # version 0 carries unsigned offsets, version 1 signed.
+        ctts = _find(data, sb, se, b"ctts")
+        cts = [0] * n_samples
+        if ctts is not None:
+            cver, _ = _full_box(data, ctts[0])
+            count, p = _table(data, ctts[0], ctts[1], 8)
+            ci = 0
+            for i in range(count):
+                run = _u32(data, p + 8 * i)
+                off = (
+                    _s32(data, p + 8 * i + 4)
+                    if cver == 1
+                    else _u32(data, p + 8 * i + 4)
+                )
+                if ci + run > n_samples:
+                    run = n_samples - ci
+                for _ in range(run):
+                    cts[ci] = off
+                    ci += 1
+            if ci != n_samples:
+                raise ValueError("ctts does not cover all samples")
 
         # chunk offsets
         if stco is not None:
@@ -242,6 +342,8 @@ def demux_mp4(payload: bytes) -> dict:
                         offsets[i],
                         sizes[i],
                         ts[i] * 1000 // timescale,
+                        (ts[i] + cts[i] - media_time) * 1000 // timescale
+                        + empty_ms,
                         (i + 1) in sync,
                     )
                     for i in range(n_samples)
@@ -276,6 +378,9 @@ def encode_minimal_mp4(
     handler: bytes = b"vide",
     sync_every: int = 2,
     sample_payloads: list[bytes] | None = None,
+    ctts_offsets: list[int] | None = None,
+    elst_media_time: int | None = None,
+    elst_empty_ms: int = 0,
 ) -> bytes:
     """Deterministic minimal MP4: ftyp + mdat (samples back-to-back)
     + moov with one track whose sample tables describe exactly those
@@ -285,7 +390,11 @@ def encode_minimal_mp4(
     REAL codec payloads (sample_payloads — e.g. JPEG frames, making
     the container an MJPEG-style video a downstream frame decoder can
     actually decode). The demuxer gets REAL offsets it can verify
-    byte-for-byte."""
+    byte-for-byte. ctts_offsets (per-sample composition deltas, media
+    units) adds a v1 ctts box; elst_media_time / elst_empty_ms add an
+    edit list (one rate-1 media edit, optionally preceded by an empty
+    edit) — together they make pts-bearing B-frame-style fixtures
+    whose presentation times stay arithmetic in the inputs."""
     if sample_payloads is not None:
         sample_sizes = [len(p) for p in sample_payloads]
         payload = bytearray(b"".join(sample_payloads))
@@ -329,11 +438,36 @@ def encode_minimal_mp4(
         b"stss", 0, 0,
         struct.pack(">I", len(sync_ids)) + b"".join(struct.pack(">I", s) for s in sync_ids),
     )
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    ctts = b""
+    if ctts_offsets is not None:
+        if len(ctts_offsets) != n:
+            raise ValueError("ctts_offsets must cover every sample")
+        ctts = _full(
+            b"ctts", 1, 0,
+            struct.pack(">I", n)
+            + b"".join(struct.pack(">Ii", 1, c) for c in ctts_offsets),
+        )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss + ctts)
     dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")))
     minf = _box(b"minf", _box(b"vmhd" if handler == b"vide" else b"smhd", b"\x00" * 12) + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
+    edts = b""
+    if elst_media_time is not None or elst_empty_ms:
+        entries = []
+        if elst_empty_ms:
+            # movie timescale is 1000 in this synthesizer ⇒ ms units
+            entries.append(struct.pack(">Iihh", elst_empty_ms, -1, 1, 0))
+        entries.append(
+            struct.pack(">Iihh", duration, elst_media_time or 0, 1, 0)
+        )
+        edts = _box(
+            b"edts",
+            _full(
+                b"elst", 0, 0,
+                struct.pack(">I", len(entries)) + b"".join(entries),
+            ),
+        )
+    trak = _box(b"trak", tkhd + edts + mdia)
     moov = _box(b"moov", mvhd + trak)
     return FTYP + mdat + moov
 
@@ -376,6 +510,7 @@ def _demux_fragmented(data: bytes, end: int) -> dict:
         raise ValueError("no mvhd box")
     mvhd_ms = _mvhd_duration_ms(data, mvhd[0], mvhd[1])
 
+    movie_ts = _mvhd_timescale(data, mvhd[0])
     tracks: dict[int, dict] = {}
     for fc, tb, te in _boxes(data, moov[0], moov[1]):
         if fc != b"trak":
@@ -384,8 +519,7 @@ def _demux_fragmented(data: bytes, end: int) -> dict:
         mdia = _find(data, tb, te, b"mdia")
         if tkhd is None or mdia is None:
             raise ValueError("incomplete trak")
-        if _find(data, tb, te, b"edts") is not None:
-            raise NotImplementedError("edit lists (edts)")
+        media_time, empty_ms = _parse_elst(data, tb, te, movie_ts)
         mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
         hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
         if mdhd is None or hdlr is None:
@@ -396,6 +530,7 @@ def _demux_fragmented(data: bytes, end: int) -> dict:
             "samples": [],
             "_decode_time": 0,  # running default when tfdt is absent
             "trex": None,
+            "edit": (media_time, empty_ms),
         }
 
     mvex = _find(data, moov[0], moov[1], b"mvex")
@@ -413,10 +548,12 @@ def _demux_fragmented(data: bytes, end: int) -> dict:
                 )
 
     n_total = 0
-    for fc, mb, me in _boxes(data, 0, end):
+    for fc, moof_start, mb, me in _boxes_full(data, 0, end):
         if fc != b"moof":
             continue
-        moof_start = mb - 8  # box header precedes the body
+        # moof_start is the actual header start from _boxes_full —
+        # correct for 64-bit largesize headers too (16-byte header).
+        traf_idx = 0
         for tfc, fb, fe in _boxes(data, mb, me):
             if tfc != b"traf":
                 continue
@@ -430,10 +567,22 @@ def _demux_fragmented(data: bytes, end: int) -> dict:
             if tid not in tracks:
                 raise ValueError("traf references unknown track")
             tr = tracks[tid]
-            base = moof_start
             if tf_flags & _TFHD_BASE_DATA_OFFSET:
                 base = _u64(data, p)
                 p += 8
+            elif tf_flags & _TFHD_DEFAULT_BASE_IS_MOOF:
+                base = moof_start
+            elif traf_idx == 0:
+                # §8.8.7: flag-less FIRST traf defaults to the moof
+                # start; later flag-less trafs default to the END of
+                # the previous traf's data, which this walk does not
+                # reconstruct — raise rather than demux wrong offsets.
+                base = moof_start
+            else:
+                raise NotImplementedError(
+                    "flag-less base-data-offset on a non-first traf"
+                )
+            traf_idx += 1
             if tf_flags & _TFHD_SAMPLE_DESC:
                 p += 4
             d_dur = d_size = d_flags = None
@@ -461,13 +610,12 @@ def _demux_fragmented(data: bytes, end: int) -> dict:
             else:
                 t = tr["_decode_time"]
 
+            media_time, empty_ms = tr["edit"]
             for rfc, rb, re_ in _boxes(data, fb, fe):
                 if rfc != b"trun":
                     continue
                 ver, p3 = _full_box(data, rb)
                 tr_flags = int.from_bytes(data[rb + 1 : rb + 4], "big")
-                if tr_flags & _TRUN_SAMPLE_CTS:
-                    raise NotImplementedError("trun composition offsets")
                 if not tr_flags & _TRUN_DATA_OFFSET:
                     raise NotImplementedError("trun without data offset")
                 count = _u32(data, p3)
@@ -482,7 +630,7 @@ def _demux_fragmented(data: bytes, end: int) -> dict:
                     p3 += 4
                 pos = base + data_off
                 for i in range(count):
-                    dur, size, flags = d_dur, d_size, d_flags
+                    dur, size, flags, cts = d_dur, d_size, d_flags, 0
                     if tr_flags & _TRUN_SAMPLE_DURATION:
                         dur = _u32(data, p3)
                         p3 += 4
@@ -494,6 +642,11 @@ def _demux_fragmented(data: bytes, end: int) -> dict:
                         p3 += 4
                     elif i == 0 and first_flags is not None:
                         flags = first_flags
+                    if tr_flags & _TRUN_SAMPLE_CTS:
+                        # §8.8.8: trun v0 carries unsigned composition
+                        # offsets, v1 signed (B-frames before an IDR).
+                        cts = _s32(data, p3) if ver == 1 else _u32(data, p3)
+                        p3 += 4
                     if dur is None or size is None:
                         raise ValueError("no sample duration/size available")
                     if pos + size > end or pos < 0:
@@ -503,6 +656,8 @@ def _demux_fragmented(data: bytes, end: int) -> dict:
                             pos,
                             size,
                             t * 1000 // tr["timescale"],
+                            (t + cts - media_time) * 1000 // tr["timescale"]
+                            + empty_ms,
                             not (flags & _NON_SYNC),
                         )
                     )
@@ -530,12 +685,14 @@ def _demux_fragmented(data: bytes, end: int) -> dict:
 
 
 def _fmp4_moov(
-    timescale: int, handler: bytes, delta: int
+    timescale: int, handler: bytes, delta: int,
+    elst_media_time: int | None = None, elst_empty_ms: int = 0,
 ) -> bytes:
     """moov for a fragmented file: empty sample tables (samples live in
     fragments), mvex/trex carrying the defaults (duration = delta,
     non-sync default flags — fragment starts override via
-    first_sample_flags)."""
+    first_sample_flags). Optional edit list, same shape as the plain
+    synthesizer's (movie timescale 1000 ⇒ elst_empty_ms in ms)."""
     mvhd = _full(
         b"mvhd", 0, 0,
         struct.pack(">IIII", 0, 0, timescale, 0)
@@ -565,28 +722,53 @@ def _fmp4_moov(
         b"minf",
         _box(b"vmhd" if handler == b"vide" else b"smhd", b"\x00" * 12) + dinf + stbl,
     )
-    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+    edts = b""
+    if elst_media_time is not None or elst_empty_ms:
+        entries = []
+        if elst_empty_ms:
+            entries.append(struct.pack(">Iihh", elst_empty_ms, -1, 1, 0))
+        entries.append(struct.pack(">Iihh", 0, elst_media_time or 0, 1, 0))
+        edts = _box(
+            b"edts",
+            _full(
+                b"elst", 0, 0,
+                struct.pack(">I", len(entries)) + b"".join(entries),
+            ),
+        )
+    trak = _box(b"trak", tkhd + edts + _box(b"mdia", mdhd + hdlr + minf))
     trex = _full(b"trex", 0, 0, struct.pack(">5I", 1, 1, delta, 0, _NON_SYNC))
     return _box(b"moov", mvhd + trak + _box(b"mvex", trex))
 
 
 def _fmp4_moof(
-    seq: int, base_decode_time: int, sizes: list[int]
+    seq: int, base_decode_time: int, sizes: list[int],
+    cts: list[int] | None = None,
 ) -> bytes:
     """moof for one fragment: mfhd + traf(tfhd default-base-is-moof,
     tfdt v1, one trun with explicit data offset + per-sample sizes +
-    first-sample-flags marking the fragment start as sync)."""
+    first-sample-flags marking the fragment start as sync). With
+    `cts`, the trun goes version 1 and carries per-sample signed
+    composition offsets (the B-frame reorder shape)."""
     mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
     tfhd = _full(b"tfhd", 0, _TFHD_DEFAULT_BASE_IS_MOOF, struct.pack(">I", 1))
     tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", base_decode_time))
     trun_flags = _TRUN_DATA_OFFSET | _TRUN_FIRST_FLAGS | _TRUN_SAMPLE_SIZE
+    if cts is not None:
+        if len(cts) != len(sizes):
+            raise ValueError("cts must cover every sample")
+        trun_flags |= _TRUN_SAMPLE_CTS
+    rows = b"".join(
+        struct.pack(">I", s)
+        + (struct.pack(">i", cts[i]) if cts is not None else b"")
+        for i, s in enumerate(sizes)
+    )
     trun_body = (
         struct.pack(">I", len(sizes))
         + struct.pack(">i", 0)  # data_offset patched below
         + struct.pack(">I", 0)  # first_sample_flags: sync
-        + b"".join(struct.pack(">I", s) for s in sizes)
+        + rows
     )
-    trun = _full(b"trun", 0, trun_flags, trun_body)
+    trun = _full(b"trun", 1 if cts is not None else 0, trun_flags, trun_body)
     moof = _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun))
     # patch data_offset: mdat body starts right after this moof's
     # 8-byte mdat header; offset is relative to the moof start. The
@@ -598,15 +780,25 @@ def _fmp4_moof(
     return bytes(patched)
 
 
-def fmp4_moof_len(n_samples: int) -> int:
+def fmp4_moof_len(n_samples: int, with_cts: bool = False) -> int:
     """Byte length of the synthesized moof for n samples — affine in n
     (the media_fmp4_demux oracle's layout arithmetic)."""
-    return len(_fmp4_moof(1, 0, [0] * n_samples))
+    return len(
+        _fmp4_moof(
+            1, 0, [0] * n_samples,
+            cts=[0] * n_samples if with_cts else None,
+        )
+    )
 
 
-def fmp4_header_len(timescale: int = 1000, handler: bytes = b"vide", delta: int = 40) -> int:
+def fmp4_header_len(
+    timescale: int = 1000, handler: bytes = b"vide", delta: int = 40,
+    elst_media_time: int | None = None, elst_empty_ms: int = 0,
+) -> int:
     """Byte length of ftyp + the fragmented moov (fixed for a config)."""
-    return len(FTYP) + len(_fmp4_moov(timescale, handler, delta))
+    return len(FTYP) + len(
+        _fmp4_moov(timescale, handler, delta, elst_media_time, elst_empty_ms)
+    )
 
 
 def encode_fragmented_mp4(
@@ -615,18 +807,28 @@ def encode_fragmented_mp4(
     delta: int = 40,
     timescale: int = 1000,
     handler: bytes = b"vide",
+    fragment_cts: list[list[int]] | None = None,
+    elst_media_time: int | None = None,
+    elst_empty_ms: int = 0,
 ) -> bytes:
     """Deterministic fragmented MP4 (the DASH/HLS segment shape):
     ftyp + moov(mvex/trex) + per-fragment [moof + mdat], samples
     back-to-back in each mdat, constant `delta` cadence carried by the
     trex default, fragment-start samples sync via first_sample_flags.
     Sample bytes are seeded filler indexed by the GLOBAL sample index,
-    so layout and content are arithmetic in (seed, sizes)."""
-    out = bytearray(FTYP + _fmp4_moov(timescale, handler, delta))
+    so layout and content are arithmetic in (seed, sizes).
+    fragment_cts adds per-sample trun composition offsets (v1 trun);
+    the elst args add a moov edit list — both feed the pts column."""
+    out = bytearray(
+        FTYP + _fmp4_moov(timescale, handler, delta, elst_media_time, elst_empty_ms)
+    )
     gi = 0
     t = 0
     for f, sizes in enumerate(fragment_sizes):
-        out += _fmp4_moof(f + 1, t, sizes)
+        out += _fmp4_moof(
+            f + 1, t, sizes,
+            cts=fragment_cts[f] if fragment_cts is not None else None,
+        )
         payload = bytearray()
         for sz in sizes:
             payload += bytes((seed + 31 * gi + j) % 256 for j in range(sz))

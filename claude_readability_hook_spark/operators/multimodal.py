@@ -285,7 +285,8 @@ VIDEO_SAMPLES = StructType(
         StructField("sample_idx", LongType(), True),
         StructField("offset", LongType(), True),  # absolute byte offset
         StructField("size", LongType(), True),
-        StructField("timestamp_ms", LongType(), True),
+        StructField("timestamp_ms", LongType(), True),  # decode time (dts)
+        StructField("pts_ms", LongType(), True),  # presentation (ctts/elst)
         StructField("is_sync", BooleanType(), True),
         StructField("decode_ok", StringType(), False),  # ok | stubbed | error
     ]
@@ -296,7 +297,9 @@ def demux_video_samples(media: DataFrame, sync_only: bool = False) -> DataFrame:
     """REAL frame-sampling metadata for kind='video' payloads: the
     ISO-BMFF box walk (core/mp4codec.py — moov/trak/stbl: stts, stsz,
     stsc, stco, stss) resolves each video sample to its absolute byte
-    offset, size, decode timestamp and keyframe flag. Frame DECODE
+    offset, size, decode timestamp (dts), presentation timestamp
+    (pts — ctts/trun composition offsets + elst edit-list remap; ==
+    dts for B-frame-free tracks) and keyframe flag. Frame DECODE
     stays out of scope (no codec libs in this container) — but a
     downstream frame extractor seeks straight to these offsets, which
     is the part a sampling pipeline needs from the container.
@@ -317,8 +320,8 @@ def demux_video_samples(media: DataFrame, sync_only: bool = False) -> DataFrame:
                 raw = bytes(payload) if payload is not None else b""
                 stub = {
                     "media_ref": ref, "sample_idx": None, "offset": None,
-                    "size": None, "timestamp_ms": None, "is_sync": None,
-                    "decode_ok": "stubbed",
+                    "size": None, "timestamp_ms": None, "pts_ms": None,
+                    "is_sync": None, "decode_ok": "stubbed",
                 }
                 if not is_mp4(raw):
                     records.append(stub)
@@ -329,13 +332,15 @@ def demux_video_samples(media: DataFrame, sync_only: bool = False) -> DataFrame:
                     if not vid:
                         records.append(stub)
                         continue
-                    for i, (off, size, ts, sync) in enumerate(vid[0]["samples"]):
+                    for i, (off, size, ts, pts, sync) in enumerate(
+                        vid[0]["samples"]
+                    ):
                         if sync_only and not sync:
                             continue
                         records.append(
                             {
                                 "media_ref": ref, "sample_idx": i, "offset": off,
-                                "size": size, "timestamp_ms": ts,
+                                "size": size, "timestamp_ms": ts, "pts_ms": pts,
                                 "is_sync": sync, "decode_ok": "ok",
                             }
                         )
@@ -431,12 +436,17 @@ def extract_video_frames(
                         records.append(frame_row(ref, None, None, b""))
                         continue
                     emitted = 0
-                    for i, (off, size, ts, sync) in enumerate(vid[0]["samples"]):
+                    for i, (off, size, _ts, pts, sync) in enumerate(
+                        vid[0]["samples"]
+                    ):
                         if sync_only and not sync:
                             continue
                         if emitted >= max_frames:
                             break
-                        records.append(frame_row(ref, i, ts, raw[off : off + size]))
+                        # frames carry PRESENTATION time — what a
+                        # thumbnailer/shot-sampler keys on (== dts for
+                        # B-frame-free tracks, so existing oracles hold)
+                        records.append(frame_row(ref, i, pts, raw[off : off + size]))
                         emitted += 1
                 except NotImplementedError:
                     records.append(frame_row(ref, None, None, b""))
@@ -509,6 +519,8 @@ def synthesize_media_table(
     real_mjpeg: bool = False,
     real_jpeg_prog: bool = False,
     real_fmp4: bool = False,
+    real_mp4_pts: bool = False,
+    real_fmp4_pts: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
@@ -546,6 +558,61 @@ def synthesize_media_table(
                     "width": 16,
                     "height": 16,
                     "duration_ms": 40 * n,
+                    "mime": "video/mp4",
+                }
+            )
+            continue
+        if real_mp4_pts:
+            from ..core.mp4codec import encode_minimal_mp4
+
+            # B-frame-style pts fixture mirrored by the media_video_pts
+            # DuckDB oracle: seeded sizes + ctts offsets 40·(1+(seed+31i)%3),
+            # elst media_time=40 trim, empty-edit delay 20+(seed%5)·20 ms
+            # (always ≥20 so the elst shape — and pts arithmetic — is
+            # uniform across refs). pts = 40i + 40·((seed+31i)%3) +
+            # 20+(seed%5)·20, non-negative by construction.
+            n = 4 + seed % 4
+            sizes = [50 + ((seed + 31 * i) % 100) for i in range(n)]
+            cts = [40 * (1 + ((seed + 31 * i) % 3)) for i in range(n)]
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "modality": "video",
+                    "payload": encode_minimal_mp4(
+                        sizes, seed=seed, ctts_offsets=cts,
+                        elst_media_time=40,
+                        elst_empty_ms=20 + (seed % 5) * 20,
+                    ),
+                    "width": None,
+                    "height": None,
+                    "duration_ms": 40 * n,
+                    "mime": "video/mp4",
+                }
+            )
+            continue
+        if real_fmp4_pts:
+            from ..core.mp4codec import encode_fragmented_mp4
+
+            # fragmented sibling: v1 trun per-sample composition
+            # offsets (same 40·(1+(seed+31gi)%3) pattern over the
+            # GLOBAL sample index) + the same moov edit list
+            n_frag = 2 + seed % 2
+            sizes = [50 + ((seed + 31 * gi) % 100) for gi in range(3 * n_frag)]
+            cts = [40 * (1 + ((seed + 31 * gi) % 3)) for gi in range(3 * n_frag)]
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "modality": "video",
+                    "payload": encode_fragmented_mp4(
+                        [sizes[3 * f : 3 * f + 3] for f in range(n_frag)],
+                        seed=seed,
+                        fragment_cts=[cts[3 * f : 3 * f + 3] for f in range(n_frag)],
+                        elst_media_time=40,
+                        elst_empty_ms=20 + (seed % 5) * 20,
+                    ),
+                    "width": None,
+                    "height": None,
+                    "duration_ms": 40 * 3 * n_frag,
                     "mime": "video/mp4",
                 }
             )

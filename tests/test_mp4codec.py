@@ -30,13 +30,14 @@ def test_roundtrip_offsets_sizes_timestamps_sync():
     assert [s[1] for s in samples] == sizes
     # offsets: contiguous from MDAT_DATA_START
     expect = MDAT_DATA_START
-    for i, (off, size, ts, sync) in enumerate(samples):
+    for i, (off, size, ts, pts, sync) in enumerate(samples):
         assert off == expect
         expect += size
         assert ts == 40 * i
+        assert pts == ts  # no ctts/elst ⇒ presentation == decode
         assert sync == (i % 2 == 0)  # stss every 2nd sample
     # offsets are REAL: the bytes at each offset are the seeded payload
-    for i, (off, size, _ts, _sync) in enumerate(samples):
+    for i, (off, size, _ts, _pts, _sync) in enumerate(samples):
         assert mp4[off : off + size] == bytes(
             (7 + 31 * i + j) % 256 for j in range(size)
         )
@@ -50,7 +51,7 @@ def test_no_stss_means_every_sample_sync_and_audio_handler():
     d = demux_mp4(bytes(mp4))
     (track,) = d["tracks"]
     assert track["handler"] == "soun"
-    assert all(s[3] for s in track["samples"])
+    assert all(s[4] for s in track["samples"])
 
 
 def test_fragmented_roundtrip_offsets_bytes_timing_sync():
@@ -72,33 +73,30 @@ def test_fragmented_roundtrip_offsets_bytes_timing_sync():
     expect, cum, gi = [], 0, 0
     for f, sizes in enumerate(frags):
         for i, sz in enumerate(sizes):
-            expect.append((hdr + (f + 1) * (m3 + 8) + cum, sz, 40 * gi, i == 0))
+            expect.append(
+                (hdr + (f + 1) * (m3 + 8) + cum, sz, 40 * gi, 40 * gi, i == 0)
+            )
             cum += sz
             gi += 1
     assert tr["samples"] == expect
-    for gi, (off, sz, _ts, _sync) in enumerate(tr["samples"]):
+    for gi, (off, sz, _ts, _pts, _sync) in enumerate(tr["samples"]):
         assert payload[off : off + sz] == bytes(
             (5 + 31 * gi + j) % 256 for j in range(sz)
         )
 
 
 def test_fragmented_unsupported_shapes_raise():
-    """trun composition offsets and trun-without-data-offset stay
-    NotImplementedError (fallback ladder); an empty moof appended to a
-    plain file routes to the fragmented path and errors instead of
-    silently dropping the stbl samples."""
+    """trun-without-data-offset stays NotImplementedError (fallback
+    ladder); an empty moof appended to a plain file routes to the
+    fragmented path and errors instead of silently dropping the stbl
+    samples."""
     from claude_readability_hook_spark.core.mp4codec import (
         encode_fragmented_mp4,
     )
 
     good = encode_fragmented_mp4([[40, 40]], seed=1)
-    # flip the trun flags: set the composition-offset bit (0x800) on
-    # the single trun box in the stream
     idx = good.find(b"trun")
     flags = int.from_bytes(good[idx + 5 : idx + 8], "big")
-    cts = good[: idx + 5] + (flags | 0x800).to_bytes(3, "big") + good[idx + 8 :]
-    with pytest.raises(NotImplementedError):
-        demux_mp4(cts)
     nodo = good[: idx + 5] + (flags & ~0x1).to_bytes(3, "big") + good[idx + 8 :]
     with pytest.raises(NotImplementedError):
         demux_mp4(nodo)
@@ -107,6 +105,107 @@ def test_fragmented_unsupported_shapes_raise():
     frag = mp4 + struct.pack(">I", 8) + b"moof"
     with pytest.raises(ValueError):
         demux_mp4(frag)
+
+
+def test_ctts_and_elst_yield_presentation_timestamps():
+    """B-frame-style fixture: ctts composition offsets + an edit list
+    (leading empty edit + media_time trim) remap pts while dts stays
+    the stts cadence — byte offsets untouched."""
+    sizes = [40, 40, 40, 40]
+    cts = [40, 120, 0, 80]  # v1 signed offsets, media units
+    mp4 = encode_minimal_mp4(
+        sizes, seed=2, delta=40, ctts_offsets=cts,
+        elst_media_time=40, elst_empty_ms=60,
+    )
+    (track,) = demux_mp4(mp4)["tracks"]
+    for i, (off, _sz, ts, pts, _sync) in enumerate(track["samples"]):
+        assert ts == 40 * i
+        assert pts == 40 * i + cts[i] - 40 + 60
+    # offsets still byte-exact despite the extra boxes (mdat precedes moov)
+    assert track["samples"][0][0] == MDAT_DATA_START
+
+
+def test_elst_media_time_only_shifts_pts_and_floor_divides_negatives():
+    """media_time trim without ctts: pts = dts - media_time; a sample
+    decoded before the edit start goes negative (trimmed priming)."""
+    mp4 = encode_minimal_mp4([40, 40, 40], seed=1, delta=40, elst_media_time=40)
+    (track,) = demux_mp4(mp4)["tracks"]
+    assert [(s[2], s[3]) for s in track["samples"]] == [
+        (0, -40), (40, 0), (80, 40)
+    ]
+
+
+def test_complex_elst_raises():
+    """Multi-segment edit lists stay NotImplementedError (the poison
+    ladder): append a second media edit to the elst."""
+    mp4 = bytearray(encode_minimal_mp4([40, 40], seed=0, elst_media_time=0))
+    i = bytes(mp4).find(b"elst")
+    # bump entry_count 1 → 2 and splice in a second 12-byte v0 entry;
+    # grow the elst/edts box sizes accordingly
+    entry2 = struct.pack(">Iihh", 40, 80, 1, 0)
+    insert_at = i + 12 + 12  # fourcc + verflags + count + first entry
+    out = bytearray(mp4[: i - 4] + mp4[i - 4 : insert_at] + entry2 + mp4[insert_at:])
+    for box_start in (i - 4, i - 4 - 8):  # elst header, edts header
+        struct.pack_into(">I", out, box_start, struct.unpack_from(">I", mp4, box_start)[0] + 12)
+    struct.pack_into(">I", out, i + 8, 2)  # entry_count
+    # also grow the enclosing trak/moov sizes
+    for fourcc in (b"trak", b"moov"):
+        j = bytes(out).find(fourcc)
+        struct.pack_into(">I", out, j - 4, struct.unpack_from(">I", out, j - 4)[0] + 12)
+    with pytest.raises(NotImplementedError):
+        demux_mp4(bytes(out))
+
+
+def test_fragmented_trun_cts_and_elst():
+    """fMP4 pts: v1 trun per-sample signed composition offsets + moov
+    edit list remap presentation time across fragments."""
+    from claude_readability_hook_spark.core.mp4codec import (
+        encode_fragmented_mp4,
+    )
+
+    frags = [[50, 60], [70, 80]]
+    cts = [[40, 120], [0, 80]]
+    payload = encode_fragmented_mp4(
+        frags, seed=3, fragment_cts=cts, elst_media_time=40, elst_empty_ms=20
+    )
+    [tr] = demux_mp4(payload)["tracks"]
+    flat_cts = [c for fc in cts for c in fc]
+    for gi, (_off, _sz, ts, pts, _sync) in enumerate(tr["samples"]):
+        assert ts == 40 * gi
+        assert pts == 40 * gi + flat_cts[gi] - 40 + 20
+
+
+def test_fragmented_flagless_second_traf_raises():
+    """ADVICE r5 medium: a flag-less traf AFTER the first in a moof
+    must not silently resolve against the moof start (spec default is
+    the previous traf's data end) — it raises for the fallback ladder."""
+    from claude_readability_hook_spark.core.mp4codec import (
+        FTYP,
+        _box,
+        _fmp4_moov,
+        _full,
+    )
+
+    moov = _fmp4_moov(1000, b"vide", 40)
+    mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", 1))
+
+    def traf(with_flags: int) -> bytes:
+        tfhd = _full(b"tfhd", 0, with_flags, struct.pack(">I", 1))
+        trun = _full(
+            b"trun", 0, 0x1 | 0x200,
+            struct.pack(">I", 1) + struct.pack(">i", 0) + struct.pack(">I", 10),
+        )
+        return _box(b"traf", tfhd + _full(b"tfdt", 1, 0, struct.pack(">Q", 0)) + trun)
+
+    moof = _box(b"moof", mfhd + traf(0) + traf(0))
+    payload = FTYP + moov + moof + _box(b"mdat", bytes(64))
+    with pytest.raises(NotImplementedError):
+        demux_mp4(payload)
+    # with default-base-is-moof on the second traf it demuxes fine
+    moof_ok = _box(b"moof", mfhd + traf(0) + traf(0x20000))
+    payload_ok = FTYP + moov + moof_ok + _box(b"mdat", bytes(64))
+    [tr] = demux_mp4(payload_ok)["tracks"]
+    assert len(tr["samples"]) == 2
 
 
 def test_poison_guards():
@@ -282,10 +381,10 @@ def test_fragmented_explicit_base_offset_and_multi_trun():
     base = header_len + len(moof) + 8
     # durations come from the trex default (40 @ timescale 1000)
     assert tr["samples"] == [
-        (base, 10, 0, True),        # trun A, first_sample_flags = sync
-        (base + 10, 10, 40, False), # trun B inherits trex non-sync default
-        (base + 20, 10, 80, False),
-        (base + 30, 10, 120, False),
+        (base, 10, 0, 0, True),         # trun A, first_sample_flags = sync
+        (base + 10, 10, 40, 40, False), # trun B inherits trex non-sync default
+        (base + 20, 10, 80, 80, False),
+        (base + 30, 10, 120, 120, False),
     ]
-    for i, (off, sz, _t, _s) in enumerate(tr["samples"]):
+    for i, (off, sz, _t, _pts, _s) in enumerate(tr["samples"]):
         assert payload[off : off + sz] == mdat_payload[10 * i : 10 * i + 10]
