@@ -2487,6 +2487,143 @@ def _media_video_pts_oracle_sql() -> str:
     """
 
 
+PHASH_GRAD_REFS = 30
+PHASH_FLAT_REFS = 10
+IMGDUP_PAIR_REFS = 24
+
+
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated oracle for the perceptual image hash (r6:
+    operators/imagededup.image_dhash over core/imagecodec.dhash64):
+    varied-slope PNG gradients decode losslessly, so every dHash bit —
+    g(x,y) = (seed + a·(x·w//9) + b·2y) % 256 compared to its right
+    neighbor — is closed-form in the ref string; flat unit-quant JPEGs
+    exercise the JPEG dispatch arm and hash to exactly 0. DuckDB
+    rebuilds the signed 64-bit hash bit-by-bit (bit 63 via the
+    two's-complement CASE); any drift in the decode, the luminance
+    sampling, or the bit packing breaks the hash."""
+    from claude_readability_hook_spark.operators.imagededup import image_dhash
+    from claude_readability_hook_spark.operators.multimodal import (
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(
+        spark, [f"ph:{i}" for i in range(PHASH_GRAD_REFS)], real_png_dhash=True
+    ).unionByName(
+        synthesize_media_table(
+            spark, [f"pj:{i}" for i in range(PHASH_FLAT_REFS)], real_jpeg_flat=True
+        )
+    )
+    return image_dhash(media)
+
+
+_DHASH_BITS_SQL = """
+          SELECT media_ref, twin, y.y * 8 + x.x AS k,
+                 CASE WHEN ((seed + a * ((x.x * w) // 9) + b * (2 * y.y)
+                             + CASE WHEN twin = 1 AND x.x = 0 AND y.y = 0
+                                    THEN 24 ELSE 0 END) % 256)
+                    < ((seed + a * (((x.x + 1) * w) // 9) + b * (2 * y.y)) % 256)
+                      THEN 1 ELSE 0 END AS bit
+          FROM dims, range(0, 8) y(y), range(0, 8) x(x)
+"""
+
+_DHASH_PACK_SQL = """
+          SELECT media_ref,
+                 CAST(SUM(CASE WHEN k = 63
+                               THEN bit * (-9223372036854775807 - 1)
+                               ELSE bit * (1::BIGINT << k) END)
+                      AS BIGINT) AS dhash
+          FROM bits GROUP BY media_ref
+"""
+
+
+def _media_phash_oracle_sql() -> str:
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    return f"""
+        WITH prefs AS (
+          SELECT 'ph:' || i::VARCHAR AS media_ref
+          FROM range(0, {PHASH_GRAD_REFS}) t(i)
+        ),
+        ps AS (SELECT media_ref, {asciisum} AS seed FROM prefs),
+        dims AS (
+          SELECT media_ref, seed, 0 AS twin, 16 + seed % 16 AS w,
+                 5 + seed % 7 AS a, 11 + seed % 5 AS b
+          FROM ps
+        ),
+        bits AS ({_DHASH_BITS_SQL}),
+        hashes AS ({_DHASH_PACK_SQL})
+        SELECT media_ref, dhash, 'ok' AS decode_ok FROM hashes
+        UNION ALL
+        SELECT 'pj:' || i::VARCHAR AS media_ref, 0::BIGINT AS dhash,
+               'ok' AS decode_ok
+        FROM range(0, {PHASH_FLAT_REFS}) t(i)
+    """
+
+
+def q_image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated oracle for Hamming-banded perceptual dedup (r6:
+    operators/imagededup.image_dup_pairs). Fixture: 'ia:N' base
+    gradients and 'ai:N' twins — ANAGRAM prefixes, so both sides of a
+    planted pair share the ascii-sum seed (hence the image), and the
+    twin's +24 bump on pixel (0,0) flips at most dHash bit 0 ⇒ every
+    planted pair sits at distance ≤ 1. DuckDB computes every hash
+    closed-form and takes ALL pairs at bit_count(xor) ≤ 3 — legitimate
+    because 8-band LSH is COMPLETE for distance ≤ 7 (pigeonhole) and
+    the query disables the bucket cap, so banding changes the plan,
+    never the result. Accidental cross-ref collisions (gradients are
+    a dense hash family) are predicted by the same arithmetic."""
+    from claude_readability_hook_spark.operators.imagededup import (
+        image_dhash,
+        image_dup_pairs,
+    )
+    from claude_readability_hook_spark.operators.multimodal import (
+        synthesize_media_table,
+    )
+
+    base = synthesize_media_table(
+        spark, [f"ia:{i}" for i in range(IMGDUP_PAIR_REFS)], real_png_dhash=True
+    )
+    twin = synthesize_media_table(
+        spark,
+        [f"ai:{i}" for i in range(IMGDUP_PAIR_REFS)],
+        real_png_dhash=True,
+        dhash_twin=True,
+    )
+    hashes = image_dhash(base.unionByName(twin))
+    return image_dup_pairs(hashes, max_distance=3, max_bucket_size=None)
+
+
+def _image_dedup_pairs_oracle_sql() -> str:
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    return f"""
+        WITH prefs AS (
+          SELECT 'ia:' || i::VARCHAR AS media_ref, 0 AS twin
+          FROM range(0, {IMGDUP_PAIR_REFS}) t(i)
+          UNION ALL
+          SELECT 'ai:' || i::VARCHAR AS media_ref, 1 AS twin
+          FROM range(0, {IMGDUP_PAIR_REFS}) t(i)
+        ),
+        ps AS (SELECT media_ref, twin, {asciisum} AS seed FROM prefs),
+        dims AS (
+          SELECT media_ref, seed, twin, 16 + seed % 16 AS w,
+                 5 + seed % 7 AS a, 11 + seed % 5 AS b
+          FROM ps
+        ),
+        bits AS ({_DHASH_BITS_SQL}),
+        hashes AS MATERIALIZED ({_DHASH_PACK_SQL})
+        SELECT h1.media_ref AS ref_a, h2.media_ref AS ref_b,
+               CAST(bit_count(xor(h1.dhash, h2.dhash)) AS BIGINT) AS distance
+        FROM hashes h1 JOIN hashes h2 ON h1.media_ref < h2.media_ref
+        WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 3
+    """
+
+
 WARC_ORACLE_DOCS = 24  # 12 per segment: one plain, one member-gzip
 
 
@@ -2801,6 +2938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_bpe": q_sequence_pack_bpe,  # new r5: tokenizer budget
         "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
         "media_video_pts": q_media_video_pts,  # new r6: ctts/elst/trun-cts pts
+        "media_phash": q_media_phash,  # new r6: perceptual image hash
+        "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
         # ann_index.py changed this round (manifest retry merge,
         # retention knobs, compact kind carry, broadcast_queries knob)
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -3899,6 +4038,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_knn_join_pq": _ivf_pq_knn_join_oracle_sql(),
         "media_fmp4_demux": _media_fmp4_oracle_sql(),
         "media_video_pts": _media_video_pts_oracle_sql(),
+        "media_phash": _media_phash_oracle_sql(),
+        "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

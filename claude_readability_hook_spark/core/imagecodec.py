@@ -159,6 +159,64 @@ def image_luminance_histogram(payload: bytes, dim: int = 16) -> list[float]:
     raise ValueError("not a PNG or JPEG payload")
 
 
+def _lum_plane(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Grayscale luminance plane (ITU-R 601 integer weights for RGB —
+    the same arithmetic _lum_histogram and resize_png use)."""
+    if channels == 1:
+        return pixels
+    gray = bytearray(width * height)
+    for i in range(width * height):
+        j = 3 * i
+        gray[i] = (
+            299 * pixels[j] + 587 * pixels[j + 1] + 114 * pixels[j + 2]
+        ) // 1000
+    return bytes(gray)
+
+
+def dhash64(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> int:
+    """Perceptual difference hash (dHash): decode (PNG chunk walk or
+    baseline JPEG huffman+IDCT — the repo's own codecs), take the
+    luminance plane, nearest-neighbor sample to a grid_w × grid_h grid
+    (sx = x·w//grid_w, sy = y·h//grid_h — the resize_png sampling
+    rule), and emit one bit per horizontal gradient: bit(y,x) = 1 iff
+    g[y][x] < g[y][x+1]. Default 9×8 ⇒ 64 bits, returned as a SIGNED
+    64-bit int (bit index y·(grid_w−1)+x; two's complement, so the
+    value round-trips through a Spark/parquet LongType). Near-visual
+    duplicates — re-encodes, mild recompression, small crops — land
+    within a few bits of Hamming distance; operators/imagededup.py
+    does the banded pair search. Honest boundary: a bit whose two
+    samples are exactly EQUAL (large perfectly flat regions) has zero
+    margin, so lossy re-encode noise flips it coin-wise — inherent to
+    comparison hashing; production stacks pair dHash with a DCT pHash
+    for flat-heavy corpora. Raises like the underlying decoders on
+    non-image / unsupported payloads (the fallback-ladder contract)."""
+    from .jpegcodec import decode_jpeg, is_jpeg
+
+    if is_png(payload):
+        w, h, ch, px = decode_png(payload)
+    elif is_jpeg(payload):
+        w, h, ch, px = decode_jpeg(payload)
+    else:
+        raise ValueError("not a PNG or JPEG payload")
+    if w < grid_w or h < grid_h:
+        raise ValueError("image smaller than the hash grid")
+    lum = _lum_plane(w, h, ch, px)
+    bits_per_row = grid_w - 1
+    acc = 0
+    for y in range(grid_h):
+        row_base = (y * h // grid_h) * w
+        prev = lum[row_base]
+        for x in range(bits_per_row):
+            nxt = lum[row_base + ((x + 1) * w // grid_w)]
+            if prev < nxt:
+                acc |= 1 << (y * bits_per_row + x)
+            prev = nxt
+    n_bits = bits_per_row * grid_h
+    if acc >= 1 << (n_bits - 1):
+        acc -= 1 << n_bits
+    return acc
+
+
 def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
     """REAL nearest-neighbor resize: decode → sample → re-encode
     (grayscale output; RGB inputs are luminance-converted first — the

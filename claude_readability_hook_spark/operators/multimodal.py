@@ -521,6 +521,9 @@ def synthesize_media_table(
     real_fmp4: bool = False,
     real_mp4_pts: bool = False,
     real_fmp4_pts: bool = False,
+    real_png_dhash: bool = False,
+    dhash_twin: bool = False,
+    real_jpeg_flat: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
@@ -681,7 +684,37 @@ def synthesize_media_table(
                 }
             )
             continue
-        if real_png:
+        if real_png_dhash:
+            from ..core.imagecodec import encode_png
+
+            # varied-slope gradient for the perceptual-hash oracles:
+            # pixel = (seed + a·x + b·y) % 256 with seed-dependent
+            # slopes, so distinct refs get distinct wrap patterns and
+            # the dHash population is diverse. dhash_twin bumps pixel
+            # (0,0) — the only cell the 9×8 grid samples at (0,0) — by
+            # +24, flipping AT MOST bit 0: a planted near-duplicate at
+            # Hamming distance ≤ 1, still arithmetic for DuckDB.
+            w, h = 16 + seed % 16, 16
+            a, b = 5 + seed % 7, 11 + seed % 5
+            grid = [
+                [(seed + a * x + b * y) % 256 for x in range(w)] for y in range(h)
+            ]
+            if dhash_twin:
+                grid[0][0] = (grid[0][0] + 24) % 256
+            payload = encode_png(grid)
+            mime = "image/png"
+        elif real_jpeg_flat:
+            from ..core.jpegcodec import encode_jpeg_gray
+
+            # flat field + unit quant ⇒ the DCT round trip is EXACT
+            # (the mjpeg fixture's established property): dHash = 0,
+            # exercising the JPEG dispatch arm of the hash oracle
+            w, h = 16, 16
+            payload = encode_jpeg_gray(
+                [[(seed * 7) % 256] * w for _ in range(h)], quant=[1] * 64
+            )
+            mime = "image/jpeg"
+        elif real_png:
             from ..core.imagecodec import encode_png
 
             w, h = 16 + seed % 16, 16

@@ -1,0 +1,191 @@
+"""Perceptual image dedup (operators/imagededup.py + imagecodec.dhash64):
+re-encode robustness (the LAION-style use case: same picture at a
+different JPEG quality), Hamming-LSH completeness, bucket-cap
+quarantine, cluster composition, and poison isolation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from claude_readability_hook_spark.core.imagecodec import (
+    dhash64,
+    encode_png,
+)
+from claude_readability_hook_spark.core.jpegcodec import encode_jpeg_gray
+
+
+def _grid(seed: int, w: int = 24, h: int = 16):
+    # smooth photo-like ramp: adjacent 9×8 samples differ by ≥ 16
+    # luminance steps, so every dHash bit has real margin (exact-tie
+    # bits — large perfectly flat regions — are coin flips under
+    # lossy re-encode noise by construction, for ANY comparison hash;
+    # the dhash64 docstring documents that boundary)
+    if seed % 2:
+        return [
+            [max(0, 230 - 8 * x - 4 * y) for x in range(w)] for y in range(h)
+        ]
+    return [[min(255, 8 * x + 4 * y) for x in range(w)] for y in range(h)]
+
+
+def _dist(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dhash_deterministic_and_signed_roundtrip():
+    png = encode_png(_grid(0))
+    assert dhash64(png) == dhash64(png)
+    # signed two's complement: value fits a 64-bit long either sign
+    assert -(1 << 63) <= dhash64(png) < (1 << 63)
+
+
+def test_dhash_survives_jpeg_reencode_at_two_qualities():
+    """The core near-dup property: the SAME pixels re-encoded as JPEG
+    (lossy, two different quant tables) stay within a few bits of the
+    lossless PNG hash, while a different image is far away."""
+    g = _grid(0)
+    h_png = dhash64(encode_png(g))
+    h_q1 = dhash64(encode_jpeg_gray(g, quant=[1] * 64))
+    h_q4 = dhash64(encode_jpeg_gray(g, quant=[4] * 64))
+    assert _dist(h_png, h_q1) <= 3
+    assert _dist(h_png, h_q4) <= 3
+    h_other = dhash64(encode_png(_grid(1)))
+    assert _dist(h_png, h_other) > 10
+
+
+def test_dhash_rejects_non_images_and_tiny_images():
+    with pytest.raises(ValueError):
+        dhash64(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        dhash64(encode_png([[1, 2], [3, 4]]))  # smaller than the grid
+
+
+def test_image_dhash_spark_poison_isolation(spark):
+    from claude_readability_hook_spark.operators.imagededup import image_dhash
+    from claude_readability_hook_spark.operators.multimodal import MEDIA
+
+    rows = [
+        {
+            "media_ref": "good", "modality": "image",
+            "payload": encode_png(_grid(0)), "width": 24, "height": 16,
+            "duration_ms": None, "mime": "image/png",
+        },
+        {
+            "media_ref": "junk", "modality": "image",
+            "payload": b"\x00" * 99, "width": None, "height": None,
+            "duration_ms": None, "mime": "image/png",
+        },
+        {
+            "media_ref": "notimg", "modality": "audio",
+            "payload": b"RIFF", "width": None, "height": None,
+            "duration_ms": None, "mime": "audio/wav",
+        },
+    ]
+    out = {
+        r["media_ref"]: (r["dhash"], r["decode_ok"])
+        for r in image_dhash(spark.createDataFrame(rows, schema=MEDIA)).collect()
+    }
+    assert out["good"][1] == "ok" and out["good"][0] is not None
+    assert out["junk"] == (None, "stubbed")
+    assert "notimg" not in out  # modality filter
+
+
+def _hash_df(spark, items):
+    return spark.createDataFrame(
+        [(r, h) for r, h in items], "media_ref string, dhash long"
+    )
+
+
+def test_pairs_exact_distance_and_banding_completeness(spark):
+    """Every pair within distance ≤ 3 is found (8-band LSH is complete
+    to distance 7), with the EXACT Hamming distance; far pairs are
+    absent."""
+    from claude_readability_hook_spark.operators.imagededup import (
+        image_dup_pairs,
+    )
+
+    def signed(v):
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x0123456789ABCDEF
+    items = [
+        ("a", signed(base)),
+        ("b", signed(base ^ 0b111)),      # distance 3 from a
+        ("c", signed(base ^ (1 << 63))),  # distance 1 from a (sign bit!)
+        ("d", signed(~base)),             # complement: distance 64
+    ]
+    got = {
+        (r["ref_a"], r["ref_b"]): r["distance"]
+        for r in image_dup_pairs(_hash_df(spark, items), max_distance=3).collect()
+    }
+    assert got[("a", "b")] == 3
+    assert got[("a", "c")] == 1
+    assert ("b", "c") not in got  # distance 4 > max_distance
+    assert all("d" not in pair for pair in got)
+
+
+def test_bucket_cap_drops_and_quarantines(spark):
+    """A degenerate bucket (many identical hashes — the meme-template
+    case) is dropped by the cap and surfaces in the oversize metadata
+    sink instead of exploding to O(m²) pairs."""
+    from claude_readability_hook_spark.operators.imagededup import (
+        image_dup_pairs,
+        image_oversize_buckets,
+    )
+
+    items = [(f"m{i}", 42) for i in range(30)] + [("x", 1 << 40), ("y", (1 << 40) ^ 1)]
+    hashes = _hash_df(spark, items)
+    pairs = image_dup_pairs(hashes, max_distance=3, max_bucket_size=10)
+    got = {(r["ref_a"], r["ref_b"]) for r in pairs.collect()}
+    assert got == {("x", "y")}  # the meme clique was capped away
+    over = image_oversize_buckets(hashes, max_bucket_size=10).collect()
+    # the meme clique (30 refs) plus x/y's zero bands where they overlap
+    assert over and all(r["n_refs"] in (30, 32) for r in over)
+    # and without the cap the clique expands fully: 30·29/2 pairs
+    uncapped = image_dup_pairs(hashes, max_distance=3, max_bucket_size=None)
+    assert uncapped.count() == 30 * 29 // 2 + 1
+
+
+def test_clusters_transitive_closure(spark):
+    """A ≈ B ≈ C chains into one cluster keyed by the min ref, via the
+    shared connected-components loop."""
+    from claude_readability_hook_spark.operators.imagededup import (
+        image_dup_clusters,
+        image_dup_pairs,
+    )
+
+    base = 0x7EADBEEF0BADF00D
+    items = [
+        ("imgA", base),
+        ("imgB", base ^ 0b11),        # d(A,B)=2
+        ("imgC", base ^ 0b11 ^ 0xC),  # d(B,C)=2, d(A,C)=4 — chain only
+        ("imgZ", base ^ ((1 << 50) - 1)),
+    ]
+    pairs = image_dup_pairs(_hash_df(spark, items), max_distance=3)
+    got = {
+        r["media_ref"]: r["cluster_id"] for r in image_dup_clusters(pairs).collect()
+    }
+    assert got == {"imgA": "imgA", "imgB": "imgA", "imgC": "imgA"}
+
+
+def test_planted_twin_fixture_distance(spark):
+    """The driver fixture's invariant: anagram-prefix twins ('ia:N' /
+    'ai:N' share the ascii-sum seed) sit at Hamming distance ≤ 1."""
+    from claude_readability_hook_spark.operators.imagededup import image_dhash
+    from claude_readability_hook_spark.operators.multimodal import (
+        synthesize_media_table,
+    )
+
+    base = synthesize_media_table(
+        spark, [f"ia:{i}" for i in range(6)], real_png_dhash=True
+    )
+    twin = synthesize_media_table(
+        spark, [f"ai:{i}" for i in range(6)], real_png_dhash=True, dhash_twin=True
+    )
+    hashes = {
+        r["media_ref"]: r["dhash"]
+        for r in image_dhash(base.unionByName(twin)).collect()
+    }
+    for i in range(6):
+        assert _dist(hashes[f"ia:{i}"], hashes[f"ai:{i}"]) <= 1
