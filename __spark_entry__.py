@@ -367,6 +367,109 @@ def _lm_perplexity_oracle_sql() -> str:
     """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (r6): every doc scored under a
+    TARGET bigram LM (trained on the lang='en' hash-sample — the
+    domain being selected for) and the CORPUS LM (full hash-sample);
+    weight = corpus-surprise / target-surprise, exactly-rounded IEEE
+    ratio of two integer-micro-unit means (operators/lmfilter.py's
+    no-libm discipline), so the DuckDB oracle is bit-exact."""
+    from claude_readability_hook_spark.operators.lmfilter import (
+        dsir_importance_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), sample_mod=4
+    )
+
+
+def _dsir_weights_oracle_sql() -> str:
+    h32_doc = _H32_SQL.replace("md5(s)", "md5(doc_id::VARCHAR)")
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 list_transform({_TOKS_SQL}, t -> lower(t)) AS ts
+          FROM documents
+        ),
+        tsample AS MATERIALIZED (
+          SELECT ts FROM toks WHERE lang = 'en' AND ({h32_doc}) % 4 = 0
+        ),
+        rsample AS MATERIALIZED (
+          SELECT ts FROM toks WHERE ({h32_doc}) % 4 = 0
+        ),
+        tbg AS (
+          SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                   i -> [ts[i], ts[i + 1]])) AS p
+          FROM tsample WHERE len(ts) >= 2
+        ),
+        tbgc AS MATERIALIZED (
+          SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+          FROM tbg GROUP BY 1, 2
+        ),
+        tctx AS MATERIALIZED (SELECT w1, sum(c12) AS c1 FROM tbgc GROUP BY 1),
+        tvocab AS MATERIALIZED (
+          SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(ts) AS w FROM tsample)
+        ),
+        rbg AS (
+          SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                   i -> [ts[i], ts[i + 1]])) AS p
+          FROM rsample WHERE len(ts) >= 2
+        ),
+        rbgc AS MATERIALIZED (
+          SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+          FROM rbg GROUP BY 1, 2
+        ),
+        rctx AS MATERIALIZED (SELECT w1, sum(c12) AS c1 FROM rbgc GROUP BY 1),
+        rvocab AS MATERIALIZED (
+          SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(ts) AS w FROM rsample)
+        ),
+        docbg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(ts), 1)),
+                   i -> [ts[i], ts[i + 1]])) AS p
+          FROM toks WHERE len(ts) >= 2
+        ),
+        terms AS (
+          SELECT d.doc_id,
+                 (2 * CAST(COALESCE(tc.c1, 0) + tv.v AS BIGINT) * 1000000
+                    + CAST(COALESCE(tb.c12, 0) + 1 AS BIGINT))
+                 // (2 * CAST(COALESCE(tb.c12, 0) + 1 AS BIGINT)) AS t_micro,
+                 (2 * CAST(COALESCE(rc.c1, 0) + rv.v AS BIGINT) * 1000000
+                    + CAST(COALESCE(rb.c12, 0) + 1 AS BIGINT))
+                 // (2 * CAST(COALESCE(rb.c12, 0) + 1 AS BIGINT)) AS r_micro
+          FROM (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM docbg) d
+          LEFT JOIN tbgc tb ON d.w1 = tb.w1 AND d.w2 = tb.w2
+          LEFT JOIN tctx tc ON d.w1 = tc.w1
+          LEFT JOIN rbgc rb ON d.w1 = rb.w1 AND d.w2 = rb.w2
+          LEFT JOIN rctx rc ON d.w1 = rc.w1
+          CROSS JOIN tvocab tv
+          CROSS JOIN rvocab rv
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS nb,
+                 CAST(sum(t_micro) AS BIGINT) AS st_micro,
+                 CAST(sum(r_micro) AS BIGINT) AS sr_micro
+          FROM terms GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bigrams,
+               COALESCE(
+                 (((2 * a.st_micro + a.nb) // (2 * a.nb))::DOUBLE) / 1000000.0,
+                 0.0) AS lm_target,
+               COALESCE(
+                 (((2 * a.sr_micro + a.nb) // (2 * a.nb))::DOUBLE) / 1000000.0,
+                 0.0) AS lm_corpus,
+               COALESCE(
+                 round((((2 * a.sr_micro + a.nb) // (2 * a.nb))::DOUBLE)
+                       / (((2 * a.st_micro + a.nb) // (2 * a.nb))::DOUBLE), 6),
+                 1.0) AS dsir_weight
+        FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """
+
+
 CMS_HOT_THRESHOLD = 300
 
 
@@ -2927,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + round-5 new operators
         "extract_flagship": q_extract_flagship,
         "lm_perplexity": q_lm_perplexity,  # new r5: bigram-LM quality scores
+        "dsir_weights": q_dsir_weights,  # new r6: DSIR importance weights
         "lm_perplexity_tri": q_lm_perplexity_tri,  # new r5: order-3 LM scores
         "cms_hot_keys": q_cms_hot_keys,  # new r5: count-min hot-key sketch
         "bpe_merges": q_bpe_merges,  # new r5: BPE merge-table training
@@ -4025,6 +4129,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_pii_oracle_sql(),
         "corpus_report": _corpus_report_oracle_sql(),
         "lm_perplexity": _lm_perplexity_oracle_sql(),
+        "dsir_weights": _dsir_weights_oracle_sql(),
         "lm_perplexity_tri": _lm_perplexity_tri_oracle_sql(),
         "cms_hot_keys": _cms_hot_keys_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),

@@ -198,6 +198,143 @@ def lm_quality_filter(
     )
 
 
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    lm_target: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    lm_corpus: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    sample_mod: int | None = LM_SAMPLE_MOD,
+    broadcast_lm: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, the
+    DoReMi/DSIR domain-mixing stage): score every doc under TWO
+    add-one bigram LMs — one trained on a target-domain subset, one on
+    the corpus — and weight it by how much less surprised the target
+    model is:
+
+        dsir_weight = mean_corpus_surprise / mean_target_surprise
+
+    (surprise = inverse probability, so this ratio is monotone with
+    the DSIR log-ratio score p_target/p_corpus without ever calling
+    log — the repo's no-libm rule). Docs that read like the target
+    domain get weight > 1; out-of-domain docs < 1. Returns (doc_id,
+    n_bigrams, lm_target, lm_corpus, dsir_weight); <2-token docs
+    score 0.0/0.0 with weight 1.0 (neutral — the length gate is
+    quality_keep_expr's job).
+
+    One scan, one shuffle: the doc bigrams expand in-row ONCE and
+    join all four count tables (+ both 1-row vocabs) in the same
+    projection, then a single map-side-reduced agg carries (doc_id,
+    two int64 partials, count). Scoring under both models costs the
+    same corpus traffic as scoring under one — at 10^12 docs the text
+    scan dominates, so two lm_surprise_scores passes would double the
+    dominant cost for nothing. Both means stay in the exact integer
+    micro-unit discipline; the ONLY float ops are the two micros→
+    double scalings and the final exactly-rounded IEEE ratio, so the
+    DuckDB oracle matches bit-for-bit. broadcast_lm=False flips every
+    count join to shuffle joins keyed on the gram (same hot-bigram
+    caveat as lm_surprise_scores)."""
+    bg_t, ctx_t, v_t = lm_target if lm_target is not None else train_bigram_lm(
+        target, sample_mod, text_col
+    )
+    bg_r, ctx_r, v_r = lm_corpus if lm_corpus is not None else train_bigram_lm(
+        df, sample_mod, text_col
+    )
+    bg_t = bg_t.withColumnRenamed("c12", "c12_t")
+    ctx_t = ctx_t.withColumnRenamed("c1", "c1_t")
+    v_t = v_t.withColumnRenamed("v", "v_t")
+    bg_r = bg_r.withColumnRenamed("c12", "c12_r")
+    ctx_r = ctx_r.withColumnRenamed("c1", "c1_r")
+    v_r = v_r.withColumnRenamed("v", "v_r")
+    if broadcast_lm:
+        bg_t, ctx_t, v_t = F.broadcast(bg_t), F.broadcast(ctx_t), F.broadcast(v_t)
+        bg_r, ctx_r, v_r = F.broadcast(bg_r), F.broadcast(ctx_r), F.broadcast(v_r)
+    pairs = df.select(
+        "doc_id", F.explode_outer(_pairs_expr(_lower_tokens(text_col))).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    def micro(num_col: str, den_col: str) -> F.Column:
+        return F.expr(f"(2 * {num_col} * 1000000 + {den_col}) div (2 * {den_col})")
+
+    scored = (
+        pairs.join(bg_t, ["w1", "w2"], "left")
+        .join(ctx_t, ["w1"], "left")
+        .join(bg_r, ["w1", "w2"], "left")
+        .join(ctx_r, ["w1"], "left")
+        .crossJoin(v_t)
+        .crossJoin(v_r)
+        .select(
+            "doc_id",
+            "w1",
+            (F.coalesce(F.col("c1_t"), F.lit(0)) + F.col("v_t"))
+            .cast("long")
+            .alias("num_t"),
+            (F.coalesce(F.col("c12_t"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("den_t"),
+            (F.coalesce(F.col("c1_r"), F.lit(0)) + F.col("v_r"))
+            .cast("long")
+            .alias("num_r"),
+            (F.coalesce(F.col("c12_r"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("den_r"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("w1").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("w1").isNotNull(), micro("num_t", "den_t"))
+            ).alias("st_micro"),
+            F.sum(
+                F.when(F.col("w1").isNotNull(), micro("num_r", "den_r"))
+            ).alias("sr_micro"),
+        )
+    )
+    mean_t = F.expr("(2 * st_micro + n_bigrams) div (2 * n_bigrams)")
+    mean_r = F.expr("(2 * sr_micro + n_bigrams) div (2 * n_bigrams)")
+    has = F.col("n_bigrams") > 0
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.when(has, mean_t.cast("double") / F.lit(1000000.0))
+        .otherwise(F.lit(0.0))
+        .alias("lm_target"),
+        F.when(has, mean_r.cast("double") / F.lit(1000000.0))
+        .otherwise(F.lit(0.0))
+        .alias("lm_corpus"),
+        F.when(has, F.round(mean_r.cast("double") / mean_t.cast("double"), 6))
+        .otherwise(F.lit(1.0))
+        .alias("dsir_weight"),
+    )
+
+
+def dsir_resample_expr(weight_col: str = "dsir_weight", scale: int = 1) -> F.Column:
+    """Deterministic importance-RESAMPLING keep predicate: accept doc
+    i with probability min(1, weight_i / scale), decided by the
+    RNG-free uniform u = h32(doc_id||'dsir') % 10^6 / 10^6 — the
+    repo's hash-sample family, so the kept set is reproducible and
+    resume-safe (no rand()). `scale` plays the role of DSIR's
+    normalizer: with scale ≈ the high quantile of weights, acceptance
+    ≈ importance resampling without replacement's first pass. Exact
+    integer arithmetic: acceptance_micro = min(10^6, round-half-up of
+    weight·10^6/scale), compared against the integer hash draw."""
+    from .dedup import h32_expr
+
+    acc_micro = F.least(
+        F.lit(1_000_000).cast("long"),
+        # the 6dp weight times 10^6 is integer up to 1 ulp — round()
+        # (never near a .5 tie here) recovers it exactly before the
+        # integer half-up division; a bare CAST would truncate-by-ulp
+        F.expr(
+            f"(2 * CAST(round({weight_col} * 1000000) AS BIGINT) + {scale}) "
+            f"div (2 * {scale})"
+        ),
+    )
+    draw = h32_expr(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))) % 1_000_000
+    return draw < acc_micro
+
+
 def _trigram_pairs_expr(ts: F.Column) -> F.Column:
     """Adjacent (ctx='w1 w2', tri='w1 w2 w3') structs, in-row over the
     materialized token array (shifted-slice zip_with three ways;

@@ -11,7 +11,7 @@ cluster).
         [--cap-per-source 10000] [--val-fraction 0.1] [--langs en] \
         [--dedup minhash|exact|none] [--manifest-only] \
         [--decontaminate bench.parquet] [--redact-pii] [--scrub-spans 3] \
-        [--lm-filter 500.0]
+        [--lm-filter 500.0] [--dsir-target-lang en --dsir-scale 2]
 
 Pipeline (all narrow joins on doc_id — text never travels past the
 gate): curation gate (language ∧ quality ∧ not-exact-dup-loser) →
@@ -64,6 +64,21 @@ def main() -> None:
         help="drop docs whose mean add-one bigram surprise exceeds "
         "MAX_SCORE (CCNet-style LM perplexity gate; the reference LM "
         "trains on a deterministic 1/4 hash-sample of the input)",
+    )
+    parser.add_argument(
+        "--dsir-target-lang",
+        metavar="LANG",
+        default=None,
+        help="DSIR importance resampling toward this language's "
+        "distribution: train target + corpus bigram LMs on hash-"
+        "samples, weight docs by surprise ratio, keep each doc with "
+        "probability min(1, weight/scale) via the RNG-free hash draw",
+    )
+    parser.add_argument(
+        "--dsir-scale",
+        type=int,
+        default=2,
+        help="DSIR acceptance normalizer (weight/scale capped at 1)",
     )
     parser.add_argument(
         "--pack",
@@ -120,6 +135,26 @@ def main() -> None:
         before = manifest.count()
         manifest = manifest.join(calm_ids, "doc_id", "left_semi")
         n_lm_dropped = before - manifest.count()
+    n_dsir_dropped = 0
+    if args.dsir_target_lang:
+        # DSIR domain-mixing stage: resample toward the target-domain
+        # distribution by the two-LM surprise ratio (deterministic
+        # acceptance draw — resume-safe like every gate here)
+        from claude_readability_hook_spark.operators.lmfilter import (
+            dsir_importance_weights,
+            dsir_resample_expr,
+        )
+
+        texts = docs.select("doc_id", "text")
+        weights = dsir_importance_weights(
+            texts, docs.filter(F.col("lang") == args.dsir_target_lang)
+        )
+        kept_ids = weights.filter(
+            dsir_resample_expr(scale=args.dsir_scale)
+        ).select("doc_id")
+        before = manifest.count()
+        manifest = manifest.join(kept_ids, "doc_id", "left_semi")
+        n_dsir_dropped = before - manifest.count()
     if args.decontaminate:
         # benchmark side broadcasts; contaminated docs leave the
         # manifest entirely (the conservative policy)
@@ -182,6 +217,7 @@ def main() -> None:
                         "val_rows": n_manifest - n_train,
                         "contaminated_dropped": n_contaminated,
                         "lm_dropped": n_lm_dropped,
+                        "dsir_dropped": n_dsir_dropped,
                         "packed_sequences": n_shards,
                         "seq_len": args.pack,
                     }
@@ -222,6 +258,7 @@ def main() -> None:
                 "val_rows": n_manifest - n_train,
                 "contaminated_dropped": n_contaminated,
                 "lm_dropped": n_lm_dropped,
+                "dsir_dropped": n_dsir_dropped,
                 "export_shards": n_shards,
             }
         )

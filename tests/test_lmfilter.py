@@ -145,3 +145,91 @@ def test_trigram_broadcast_knob_equal(spark):
     a = sorted(map(tuple, lm_trigram_surprise_scores(docs, broadcast_lm=True).collect()))
     b = sorted(map(tuple, lm_trigram_surprise_scores(docs, broadcast_lm=False).collect()))
     assert a == b and len(a) == 150
+
+
+def test_dsir_weights_ratio_matches_two_separate_scorers(spark):
+    """dsir_weight is exactly mean_corpus_micro / mean_target_micro:
+    the combined one-scan implementation must agree with two separate
+    lm_surprise_scores passes over the same pre-trained LMs."""
+    from claude_readability_hook_spark.operators.lmfilter import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the dog sat on the rug", "en"),
+            (3, "der hund sitzt auf dem teppich", "de"),
+            (4, "le chat est sur le tapis", "fr"),
+            (5, "the cat sat", "en"),
+            (6, "x", "en"),  # <2 tokens → neutral weight
+        ],
+        "doc_id long, text string, lang string",
+    )
+    target = docs.filter(F.col("lang") == "en")
+    lm_t = train_bigram_lm(target, sample_mod=None)
+    lm_r = train_bigram_lm(docs, sample_mod=None)
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            docs, target, lm_target=lm_t, lm_corpus=lm_r
+        ).collect()
+    }
+    st = {
+        r["doc_id"]: r["lm_score"]
+        for r in lm_surprise_scores(docs, lm=lm_t).collect()
+    }
+    sr = {
+        r["doc_id"]: r["lm_score"]
+        for r in lm_surprise_scores(docs, lm=lm_r).collect()
+    }
+    for d in (1, 2, 3, 4, 5):
+        assert abs(out[d]["lm_target"] - st[d]) < 1e-9
+        assert abs(out[d]["lm_corpus"] - sr[d]) < 1e-9
+        assert abs(out[d]["dsir_weight"] - round(sr[d] / st[d], 6)) < 1e-9
+    # in-domain docs read easier under the target LM than out-of-domain
+    assert out[1]["dsir_weight"] > out[3]["dsir_weight"]
+    assert out[2]["dsir_weight"] > out[4]["dsir_weight"]
+    # neutral for the token-starved doc
+    assert out[6]["n_bigrams"] == 0 and out[6]["dsir_weight"] == 1.0
+
+
+def test_dsir_broadcast_knob_equal(spark):
+    from claude_readability_hook_spark.operators.lmfilter import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en"), (2, "c d c", "de"), (3, "a b c", "en")],
+        "doc_id long, text string, lang string",
+    )
+    target = docs.filter(F.col("lang") == "en")
+    a = sorted(
+        map(tuple, dsir_importance_weights(docs, target, sample_mod=None,
+                                           broadcast_lm=True).collect())
+    )
+    b = sorted(
+        map(tuple, dsir_importance_weights(docs, target, sample_mod=None,
+                                           broadcast_lm=False).collect())
+    )
+    assert a == b
+
+
+def test_dsir_resample_deterministic_and_capped(spark):
+    """The RNG-free acceptance draw: identical runs keep the identical
+    set; weights >= scale are always kept (acceptance capped at 1)."""
+    from claude_readability_hook_spark.operators.lmfilter import (
+        dsir_resample_expr,
+    )
+
+    rows = [(i, float(w)) for i, w in enumerate([0.1, 0.5, 1.0, 2.0, 5.0] * 20)]
+    df = spark.createDataFrame(rows, "doc_id long, dsir_weight double")
+    kept1 = {r["doc_id"] for r in df.filter(dsir_resample_expr(scale=2)).collect()}
+    kept2 = {r["doc_id"] for r in df.filter(dsir_resample_expr(scale=2)).collect()}
+    assert kept1 == kept2
+    # weight >= scale → acceptance 1.0 → always kept
+    heavy = {r["doc_id"] for r in df.filter(F.col("dsir_weight") >= 2.0).collect()}
+    assert heavy <= kept1
+    # light docs are thinned, not eliminated wholesale
+    light = {r["doc_id"] for r in df.filter(F.col("dsir_weight") <= 0.5).collect()}
+    assert 0 < len(kept1 & light) < len(light)
