@@ -785,6 +785,17 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assignments(_docs(spark, sf_dir), seq_len=512)
 
 
+def q_sequence_pack_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-shard packing path (r6): same assignments through the
+    TWO-LEVEL prefix sum (bucket_span=64 — per-bucket sums + bucket
+    offsets, no whole-shard window task). Bit-identical output by
+    construction, so it shares sequence_pack's oracle — the driver
+    check proves the physical rewrite moved nothing."""
+    from claude_readability_hook_spark.operators.packing import pack_assignments
+
+    return pack_assignments(_docs(spark, sf_dir), seq_len=512, bucket_span=64)
+
+
 def q_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing budgeted by TOKENIZER counts instead of whitespace
     words: the BPE-regex token count (textstats.BPE_TOKEN_PATTERN)
@@ -3038,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_trie": q_bpe_encode_trie,  # new r6: heap encoder, real k
         "bpe_vocab": q_bpe_vocab,  # new r5: the trained vocab artifact
         "sequence_pack": q_sequence_pack,  # new r5: token-budget packing
+        "sequence_pack_2level": q_sequence_pack_2level,  # new r6: bucketed cumsum
         "sequence_pack_bounds": q_sequence_pack_bounds,  # new r5: pack metadata
         "sequence_pack_bpe": q_sequence_pack_bpe,  # new r5: tokenizer budget
         "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
@@ -4137,6 +4149,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_trie": _bpe_encode_oracle_sql(),
         "bpe_vocab": _bpe_vocab_oracle_sql(),
         "sequence_pack": _sequence_pack_oracle_sql(),
+        # same oracle on purpose: the 2-level prefix sum is a physical
+        # rewrite with bit-identical output
+        "sequence_pack_2level": _sequence_pack_oracle_sql(),
         "sequence_pack_bounds": _sequence_pack_bounds_oracle_sql(),
         "sequence_pack_bpe": _sequence_pack_bpe_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_topk_oracle_sql(),

@@ -177,3 +177,61 @@ def test_custom_count_expr_budget(spark):
     # begin 14, end 26 → packs 1..2
     assert (doubled[4]["pack_first"], doubled[4]["pack_last"]) == (1, 2)
     assert doubled[4]["start_offset"] == 4
+
+
+def test_two_level_prefix_sum_bit_identical_with_giant_shard(spark):
+    """The r5 verdict's giant-shard answer: bucket_span packing must
+    equal the single-window path EXACTLY, including on a corpus where
+    one shard dwarfs the rest (the case the rewrite exists for), with
+    sparse/shuffled doc_ids and empty docs in the mix."""
+    from claude_readability_hook_spark.operators.packing import (
+        pack_assignments,
+        pack_records,
+    )
+
+    rows = [
+        (i * 37 + 5, "giant", " ".join(f"w{i}x{j}" for j in range(1 + i % 17)))
+        for i in range(600)
+    ]
+    rows += [(100_000 + i, f"s{i % 3}", f"tok a{i} b{i}") for i in range(60)]
+    rows += [(200_000, "giant", ""), (200_001, "s0", "")]  # empty docs
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    plain = sorted(map(tuple, pack_assignments(df, seq_len=64).collect()))
+    for span in (16, 64, 1_000_000):  # incl. span > all ids (1 bucket)
+        bucketed = sorted(
+            map(tuple, pack_assignments(df, seq_len=64, bucket_span=span).collect())
+        )
+        assert bucketed == plain, f"span={span}"
+
+    # the materialized records (tokens + boundaries) agree too
+    def norm(recs):
+        return sorted(
+            (r["shard"], r["pack_id"], r["n"], tuple(r["tokens"]),
+             tuple(map(tuple, r["docs"])))
+            for r in recs
+        )
+
+    assert norm(pack_records(df, seq_len=64, bucket_span=32).collect()) == norm(
+        pack_records(df, seq_len=64).collect()
+    )
+
+
+def test_two_level_plan_windows_are_bucket_bounded(spark):
+    """Plan shape: with bucket_span, no window partitions by shard
+    alone — the doc-level running sum keys on (shard, bucket), so no
+    task ever sorts a whole shard; the shard-only window that remains
+    runs over per-BUCKET rows (the second level)."""
+    from claude_readability_hook_spark.operators.packing import pack_assignments
+
+    df = spark.createDataFrame(
+        [(i, "one_shard", "a b c") for i in range(50)],
+        "doc_id long, source string, text string",
+    )
+    plan = pack_assignments(df, seq_len=8, bucket_span=16)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window .*?windowspecdefinition\(([^)]*)\)", plan)
+    assert windows, plan
+    doc_level = [w for w in windows if "bucket" in w]
+    assert doc_level, f"no bucket-partitioned window in plan:\n{plan}"
