@@ -796,6 +796,62 @@ def q_sequence_pack_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assignments(_docs(spark, sf_dir), seq_len=512, bucket_span=64)
 
 
+def q_sequence_pack_bpe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing budgeted by the LEARNED merge table's true symbol
+    counts (r6 — the loop the r5 verdict asked to close): train k
+    merges, heap-encode the distinct-word table against the merge
+    DataFrame, broadcast counts back, pack on the exact post-training
+    budget. DuckDB re-trains the same merges CTE-by-CTE and replays
+    the boundary arithmetic."""
+    from claude_readability_hook_spark.operators.bpetrain import learn_bpe_merges
+    from claude_readability_hook_spark.operators.packing import (
+        pack_assignments_learned_bpe,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_bpe_merges(docs, k=BPE_K)
+    return pack_assignments_learned_bpe(docs, merges, seq_len=512)
+
+
+def _sequence_pack_bpe_learned_oracle_sql() -> str:
+    k = BPE_K
+    return f"""
+        WITH {_bpe_cte_chain(k)},
+        wordcount AS (
+          SELECT w,
+                 length(sym) - length(replace(sym, chr(9), '')) AS n_sym
+          FROM w{k}
+        ),
+        enc AS (
+          SELECT doc_id, source,
+                 list_transform({_TOKS_SQL}, t -> lower(t)) AS ws
+          FROM documents
+        ),
+        ds AS (
+          SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS nt
+          FROM (SELECT doc_id, unnest(ws) AS w FROM enc)
+          JOIN wordcount USING (w)
+          GROUP BY doc_id
+        ),
+        t AS (
+          SELECT e.doc_id, e.source AS shard, COALESCE(d.nt, 0) AS nt
+          FROM enc e LEFT JOIN ds d USING (doc_id)
+        ),
+        c AS (
+          SELECT doc_id, shard, nt,
+                 sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT doc_id, shard, CAST(nt AS BIGINT) AS n_tokens,
+               CAST((cum - nt) // 512 AS BIGINT) AS pack_first,
+               CAST(CASE WHEN nt > 0 THEN (cum - 1) // 512
+                    ELSE (cum - nt) // 512 END AS BIGINT) AS pack_last,
+               CAST((cum - nt) % 512 AS BIGINT) AS start_offset
+        FROM c
+    """
+
+
 def q_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing budgeted by TOKENIZER counts instead of whitespace
     words: the BPE-regex token count (textstats.BPE_TOKEN_PATTERN)
@@ -3052,6 +3108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_2level": q_sequence_pack_2level,  # new r6: bucketed cumsum
         "sequence_pack_bounds": q_sequence_pack_bounds,  # new r5: pack metadata
         "sequence_pack_bpe": q_sequence_pack_bpe,  # new r5: tokenizer budget
+        "sequence_pack_bpe_learned": q_sequence_pack_bpe_learned,  # new r6
         "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
         "media_video_pts": q_media_video_pts,  # new r6: ctts/elst/trun-cts pts
         "media_phash": q_media_phash,  # new r6: perceptual image hash
@@ -3087,6 +3144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_set_ops": q_source_set_ops,
         "windowed_counts": q_windowed_counts,
         "content_hash": q_content_hash,
+        # sessions.py changed this round (sessionize_auto CMS routing) —
+        # both pairs re-enter the window per the standing rule
+        "sessionize": q_sessionize,
+        "sessionize_salted": q_sessionize_salted,
         # recently-changed stable (r4 fixes, green r3+r4)
         "dedup_clusters": q_dedup_clusters,
         "weighted_sample": q_weighted_sample,
@@ -3094,9 +3155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reddit_parse_score": q_reddit_parse_score,
         "filter_agg_pushdown": q_filter_agg_pushdown,
         "join3_topk": q_join3_topk,
-        "rollup_priority": q_rollup_priority,
-        "running_revenue": q_running_revenue,
-        "exists_semi_join": q_exists_semi_join,
         "per_source_stats": q_per_source_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3122,8 +3180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "cap_per_source": q_cap_per_source,
         "dedup_semantic": q_dedup_semantic,
-        "sessionize": q_sessionize,
-        "sessionize_salted": q_sessionize_salted,
+        "running_revenue": q_running_revenue,
+        "exists_semi_join": q_exists_semi_join,
+        "rollup_priority": q_rollup_priority,
         "so_parse_score": q_so_parse_score,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
@@ -4152,6 +4211,7 @@ def oracle_sql() -> dict[str, str]:
         # same oracle on purpose: the 2-level prefix sum is a physical
         # rewrite with bit-identical output
         "sequence_pack_2level": _sequence_pack_oracle_sql(),
+        "sequence_pack_bpe_learned": _sequence_pack_bpe_learned_oracle_sql(),
         "sequence_pack_bounds": _sequence_pack_bounds_oracle_sql(),
         "sequence_pack_bpe": _sequence_pack_bpe_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_topk_oracle_sql(),

@@ -139,7 +139,12 @@ def pack_assignments(
         F.col(shard_col).alias("shard"),
         n_tokens.cast("long").alias("n_tokens"),
     )
-    c = _with_stream_cum(t, bucket_span)
+    return _boundaries(_with_stream_cum(t, bucket_span), seq_len)
+
+
+def _boundaries(c: DataFrame, seq_len: int) -> DataFrame:
+    """The pack-boundary arithmetic over a cum-annotated stream frame —
+    shared by every budget source (whitespace, regex, learned BPE)."""
     begin = F.col("cum") - F.col("n_tokens")
     return c.select(
         "doc_id",
@@ -153,6 +158,36 @@ def pack_assignments(
         .alias("pack_last"),
         (begin % seq_len).alias("start_offset"),
     )
+
+
+def pack_assignments_learned_bpe(
+    df: DataFrame,
+    merges: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    bucket_span: int | None = None,
+) -> DataFrame:
+    """Packing budgeted by the LEARNED merge table's TRUE symbol
+    counts — the budget the trained tokenizer actually charges (the
+    BPE-regex count in sequence_pack_bpe is the pre-training
+    approximation; this is the post-training exact number). Per-doc
+    counts come from bpetrain.bpe_encode_counts_trie: the heap encoder
+    runs once per DISTINCT word against the merge DataFrame (any k),
+    counts broadcast-join back, and only a narrow (doc_id, n) stream
+    reaches the packing window — so the merge-table size never touches
+    the window stage. Same boundary arithmetic, same two-level
+    bucket_span option."""
+    from .bpetrain import bpe_encode_counts_trie
+
+    counts = bpe_encode_counts_trie(df, merges, text_col)
+    t = df.select("doc_id", F.col(shard_col).alias("shard")).join(
+        counts.select(
+            "doc_id", F.col("n_bpe_symbols").cast("long").alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    return _boundaries(_with_stream_cum(t, bucket_span), seq_len)
 
 
 def pack_token_sequences(

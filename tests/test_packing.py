@@ -235,3 +235,52 @@ def test_two_level_plan_windows_are_bucket_bounded(spark):
     assert windows, plan
     doc_level = [w for w in windows if "bucket" in w]
     assert doc_level, f"no bucket-partitioned window in plan:\n{plan}"
+
+
+def test_pack_by_learned_bpe_counts(spark):
+    """The learned-merge budget: boundaries computed from the trained
+    tokenizer's true per-doc symbol counts — consistent with running
+    the heap encoder + boundary arithmetic by hand, and distinct from
+    the whitespace budget whenever merges fire."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        bpe_encode_counts_trie,
+        learn_bpe_merges,
+    )
+    from claude_readability_hook_spark.operators.packing import (
+        pack_assignments,
+        pack_assignments_learned_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", "low lower lowest low low"),
+            (2, "s", "new newer newest new"),
+            (3, "s", "low new low new low"),
+            (4, "s", ""),
+        ],
+        "doc_id long, source string, text string",
+    )
+    merges = learn_bpe_merges(df, k=4)
+    got = {
+        r["doc_id"]: r
+        for r in pack_assignments_learned_bpe(df, merges, seq_len=8).collect()
+    }
+    counts = {
+        r["doc_id"]: r["n_bpe_symbols"]
+        for r in bpe_encode_counts_trie(df, merges).collect()
+    }
+    cum = 0
+    for d in (1, 2, 3, 4):
+        n = counts[d]
+        assert got[d]["n_tokens"] == n
+        assert got[d]["pack_first"] == cum // 8
+        assert got[d]["start_offset"] == cum % 8
+        last = (cum + n - 1) // 8 if n else cum // 8
+        assert got[d]["pack_last"] == last
+        cum += n
+    # the learned budget differs from the whitespace one (merges fired)
+    ws = {r["doc_id"]: r["n_tokens"] for r in pack_assignments(df, seq_len=8).collect()}
+    assert any(counts[d] != ws[d] for d in (1, 2, 3))
+    # bucketed path identical here too
+    b = sorted(map(tuple, pack_assignments_learned_bpe(df, merges, seq_len=8, bucket_span=2).collect()))
+    assert b == sorted(map(tuple, (got[d] for d in got)))
