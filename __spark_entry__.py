@@ -2667,11 +2667,13 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/imagededup.image_dhash over core/imagecodec.dhash64):
     varied-slope PNG gradients decode losslessly, so every dHash bit —
     g(x,y) = (seed + a·(x·w//9) + b·2y) % 256 compared to its right
-    neighbor — is closed-form in the ref string; flat unit-quant JPEGs
-    exercise the JPEG dispatch arm and hash to exactly 0. DuckDB
-    rebuilds the signed 64-bit hash bit-by-bit (bit 63 via the
-    two's-complement CASE); any drift in the decode, the luminance
-    sampling, or the bit packing breaks the hash."""
+    neighbor — AND every aHash bit (8×8 cells vs the integer mean,
+    both hashes from one decode) is closed-form in the ref string;
+    flat unit-quant JPEGs exercise the JPEG dispatch arm and hash to
+    exactly 0 on both. DuckDB rebuilds the signed 64-bit hashes
+    bit-by-bit (bit 63 via the two's-complement CASE); any drift in
+    the decode, the luminance sampling, the mean, or the bit packing
+    breaks the hash."""
     from claude_readability_hook_spark.operators.imagededup import image_dhash
     from claude_readability_hook_spark.operators.multimodal import (
         synthesize_media_table,
@@ -2718,17 +2720,40 @@ def _media_phash_oracle_sql() -> str:
           FROM range(0, {PHASH_GRAD_REFS}) t(i)
         ),
         ps AS (SELECT media_ref, {asciisum} AS seed FROM prefs),
-        dims AS (
+        dims AS MATERIALIZED (
           SELECT media_ref, seed, 0 AS twin, 16 + seed % 16 AS w,
                  5 + seed % 7 AS a, 11 + seed % 5 AS b
           FROM ps
         ),
         bits AS ({_DHASH_BITS_SQL}),
-        hashes AS ({_DHASH_PACK_SQL})
-        SELECT media_ref, dhash, 'ok' AS decode_ok FROM hashes
+        hashes AS ({_DHASH_PACK_SQL}),
+        -- aHash: 8×8 cell samples vs the integer mean (sum // 64)
+        acells AS MATERIALIZED (
+          SELECT media_ref, y.y * 8 + x.x AS k,
+                 ((seed + a * ((x.x * w) // 8) + b * (2 * y.y)) % 256) AS val
+          FROM dims, range(0, 8) y(y), range(0, 8) x(x)
+        ),
+        ameans AS (
+          SELECT media_ref, sum(val) // 64 AS mu FROM acells GROUP BY media_ref
+        ),
+        abits AS (
+          SELECT c.media_ref, c.k,
+                 CASE WHEN c.val > m.mu THEN 1 ELSE 0 END AS bit
+          FROM acells c JOIN ameans m USING (media_ref)
+        ),
+        ahashes AS (
+          SELECT media_ref,
+                 CAST(SUM(CASE WHEN k = 63
+                               THEN bit * (-9223372036854775807 - 1)
+                               ELSE bit * (1::BIGINT << k) END)
+                      AS BIGINT) AS ahash
+          FROM abits GROUP BY media_ref
+        )
+        SELECT h.media_ref, h.dhash, a.ahash, 'ok' AS decode_ok
+        FROM hashes h JOIN ahashes a USING (media_ref)
         UNION ALL
         SELECT 'pj:' || i::VARCHAR AS media_ref, 0::BIGINT AS dhash,
-               'ok' AS decode_ok
+               0::BIGINT AS ahash, 'ok' AS decode_ok
         FROM range(0, {PHASH_FLAT_REFS}) t(i)
     """
 

@@ -173,6 +173,31 @@ def _lum_plane(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     return bytes(gray)
 
 
+def _decoded_lum(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, luminance plane) via the PNG/JPEG dispatch —
+    the one decode both perceptual hashes share."""
+    from .jpegcodec import decode_jpeg, is_jpeg
+
+    if is_png(payload):
+        w, h, ch, px = decode_png(payload)
+    elif is_jpeg(payload):
+        w, h, ch, px = decode_jpeg(payload)
+    else:
+        raise ValueError("not a PNG or JPEG payload")
+    return w, h, _lum_plane(w, h, ch, px)
+
+
+def perceptual_hashes(payload: bytes) -> tuple[int, int]:
+    """(dhash64, ahash64) from ONE decode — what the scan-side batch
+    operator calls; decoding is the dominant cost, the grid passes are
+    noise."""
+    w, h, lum = _decoded_lum(payload)
+    return (
+        _dhash_from_plane(w, h, lum),
+        _ahash_from_plane(w, h, lum),
+    )
+
+
 def dhash64(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> int:
     """Perceptual difference hash (dHash): decode (PNG chunk walk or
     baseline JPEG huffman+IDCT — the repo's own codecs), take the
@@ -190,17 +215,15 @@ def dhash64(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> int:
     comparison hashing; production stacks pair dHash with a DCT pHash
     for flat-heavy corpora. Raises like the underlying decoders on
     non-image / unsupported payloads (the fallback-ladder contract)."""
-    from .jpegcodec import decode_jpeg, is_jpeg
+    w, h, lum = _decoded_lum(payload)
+    return _dhash_from_plane(w, h, lum, grid_w, grid_h)
 
-    if is_png(payload):
-        w, h, ch, px = decode_png(payload)
-    elif is_jpeg(payload):
-        w, h, ch, px = decode_jpeg(payload)
-    else:
-        raise ValueError("not a PNG or JPEG payload")
+
+def _dhash_from_plane(
+    w: int, h: int, lum: bytes, grid_w: int = 9, grid_h: int = 8
+) -> int:
     if w < grid_w or h < grid_h:
         raise ValueError("image smaller than the hash grid")
-    lum = _lum_plane(w, h, ch, px)
     bits_per_row = grid_w - 1
     acc = 0
     for y in range(grid_h):
@@ -212,6 +235,41 @@ def dhash64(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> int:
                 acc |= 1 << (y * bits_per_row + x)
             prev = nxt
     n_bits = bits_per_row * grid_h
+    if acc >= 1 << (n_bits - 1):
+        acc -= 1 << n_bits
+    return acc
+
+
+def ahash64(payload: bytes, grid: int = 8) -> int:
+    """Perceptual average hash (aHash): decode, sample the luminance
+    plane to a grid × grid cell array (the dhash64 nearest-neighbor
+    rule), and set bit y·grid+x iff the cell EXCEEDS the integer mean
+    (sum // cells, floor — exact, so the DuckDB oracle reproduces it).
+    Complements dhash64: dHash keys on local gradients (weak where a
+    re-encode jitters exact ties in flat regions), aHash keys on the
+    global light/dark layout (stable on flat-heavy meme-style images,
+    weak on uniform gradients where every cell hugs the mean) — the
+    standard production pairing. Same signed-64-bit packing and the
+    same Hamming-LSH pair search (operators/imagededup.py,
+    hash_col='ahash')."""
+    w, h, lum = _decoded_lum(payload)
+    return _ahash_from_plane(w, h, lum, grid)
+
+
+def _ahash_from_plane(w: int, h: int, lum: bytes, grid: int = 8) -> int:
+    if w < grid or h < grid:
+        raise ValueError("image smaller than the hash grid")
+    cells = [
+        lum[(y * h // grid) * w + (x * w // grid)]
+        for y in range(grid)
+        for x in range(grid)
+    ]
+    mean = sum(cells) // len(cells)
+    acc = 0
+    for i, v in enumerate(cells):
+        if v > mean:
+            acc |= 1 << i
+    n_bits = grid * grid
     if acc >= 1 << (n_bits - 1):
         acc -= 1 << n_bits
     return acc

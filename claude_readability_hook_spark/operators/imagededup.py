@@ -52,45 +52,59 @@ IMAGE_HASH = StructType(
     [
         StructField("media_ref", StringType(), False),
         StructField("dhash", LongType(), True),
+        StructField("ahash", LongType(), True),
         StructField("decode_ok", StringType(), False),  # ok | stubbed | error
     ]
 )
 
 
 def image_dhash(media: DataFrame) -> DataFrame:
-    """(media_ref, dhash, decode_ok) for kind='image' payloads.
+    """(media_ref, dhash, ahash, decode_ok) for kind='image' payloads.
 
-    dhash is core/imagecodec.dhash64 (9×8 luminance grid, 64 gradient
-    bits, signed long). Non-image / undecodable payloads degrade
-    per-row to decode_ok='stubbed' (NotImplementedError ladder) or
+    Both perceptual hashes from ONE decode (imagecodec.perceptual_
+    hashes): dhash64 — 9×8 luminance grid, 64 gradient bits — keys on
+    local structure; ahash64 — 8×8 cells vs the integer mean — keys
+    on global layout and holds where dHash's zero-margin ties flip
+    (flat meme-style images). Run the pair search on either column
+    (hash_col=), or on both and union — the standard belt-and-braces
+    pairing. Non-image / undecodable payloads degrade per-row to
+    decode_ok='stubbed' (NotImplementedError ladder) or
     'error: <type>' — poison isolation, same as the other media
     operators. mapInPandas on the scan side: the image bytes are read
-    once and never shuffle; everything downstream moves 16 bytes/row."""
+    once and never shuffle; everything downstream moves ~24 bytes/row."""
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..core.imagecodec import dhash64
+        from ..core.imagecodec import perceptual_hashes
 
         for batch in batches:
             records = []
             for ref, payload in zip(batch["media_ref"], batch["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 try:
+                    dh, ah = perceptual_hashes(raw)
                     records.append(
                         {
                             "media_ref": ref,
-                            "dhash": dhash64(raw),
+                            "dhash": dh,
+                            "ahash": ah,
                             "decode_ok": "ok",
                         }
                     )
                 except (NotImplementedError, ValueError):
                     records.append(
-                        {"media_ref": ref, "dhash": None, "decode_ok": "stubbed"}
+                        {
+                            "media_ref": ref,
+                            "dhash": None,
+                            "ahash": None,
+                            "decode_ok": "stubbed",
+                        }
                     )
                 except Exception as exc:  # noqa: BLE001 — poison isolation
                     records.append(
                         {
                             "media_ref": ref,
                             "dhash": None,
+                            "ahash": None,
                             "decode_ok": f"error: {type(exc).__name__}",
                         }
                     )

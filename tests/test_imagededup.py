@@ -82,11 +82,12 @@ def test_image_dhash_spark_poison_isolation(spark):
         },
     ]
     out = {
-        r["media_ref"]: (r["dhash"], r["decode_ok"])
+        r["media_ref"]: (r["dhash"], r["ahash"], r["decode_ok"])
         for r in image_dhash(spark.createDataFrame(rows, schema=MEDIA)).collect()
     }
-    assert out["good"][1] == "ok" and out["good"][0] is not None
-    assert out["junk"] == (None, "stubbed")
+    assert out["good"][2] == "ok"
+    assert out["good"][0] is not None and out["good"][1] is not None
+    assert out["junk"] == (None, None, "stubbed")
     assert "notimg" not in out  # modality filter
 
 
@@ -189,3 +190,50 @@ def test_planted_twin_fixture_distance(spark):
     }
     for i in range(6):
         assert _dist(hashes[f"ia:{i}"], hashes[f"ai:{i}"]) <= 1
+
+
+def test_ahash_survives_reencode_on_flat_blocky_images():
+    """The case dHash's tie bits are unstable on (documented boundary):
+    a flat-blocky meme-style image re-encoded as JPEG. aHash cells sit
+    far from the global mean (strong 40/200 contrast), so the re-encode
+    noise never crosses it — distance ~0 where dHash jitters."""
+    from claude_readability_hook_spark.core.imagecodec import ahash64
+
+    blocky = [
+        [200 if (x // 6 + y // 4) % 2 else 40 for x in range(24)]
+        for y in range(16)
+    ]
+    h_png = ahash64(encode_png(blocky))
+    h_jpg = ahash64(encode_jpeg_gray(blocky))
+    assert _dist(h_png, h_jpg) <= 3
+    inverted = [[240 - v for v in row] for row in blocky]
+    assert _dist(h_png, ahash64(encode_png(inverted))) > 40
+
+
+def test_pair_search_on_ahash_column(spark):
+    """The banding machinery is hash-generic: hash_col='ahash' runs the
+    identical pair search on the average hash."""
+    from claude_readability_hook_spark.operators.imagededup import (
+        image_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 7, 100), ("b", 7 ^ 1, 101), ("c", 7, -100)],
+        "media_ref string, dhash long, ahash long",
+    )
+    got = {
+        (r["ref_a"], r["ref_b"]): r["distance"]
+        for r in image_dup_pairs(df, max_distance=3, hash_col="ahash").collect()
+    }
+    assert got == {("a", "b"): bin(100 ^ 101).count("1")}
+
+
+def test_perceptual_hashes_one_decode_matches_singles():
+    from claude_readability_hook_spark.core.imagecodec import (
+        ahash64,
+        dhash64,
+        perceptual_hashes,
+    )
+
+    png = encode_png(_grid(0))
+    assert perceptual_hashes(png) == (dhash64(png), ahash64(png))
