@@ -130,11 +130,24 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "media_fmp4_demux",
         "bpe_merges",
         "bpe_encode",
+        # round 6
+        "bpe_encode_trie",
+        "sequence_pack_2level",
+        "sequence_pack_bpe_learned",
+        "media_video_pts",
+        "media_phash",
+        "image_dedup_pairs",
+        "dsir_weights",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds each):
     # one rep — the round count, not host noise, dominates their time,
     # and 3 reps would double the whole bench wall-clock
-    single_rep = {"bpe_merges", "bpe_encode"}
+    single_rep = {
+        "bpe_merges",
+        "bpe_encode",
+        "bpe_encode_trie",
+        "sequence_pack_bpe_learned",
+    }
 
     times: dict[str, float] = {}
 
