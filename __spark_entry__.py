@@ -367,6 +367,76 @@ def _lm_perplexity_oracle_sql() -> str:
     """
 
 
+def q_image_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image dedup against the STORED hash index (r6):
+    the 'ia:' base gradients build a band_key-partitioned manifest
+    snapshot; the 'ai:' twin batch probes it — planted matches at
+    distance ≤ 1 plus whatever accidental collisions the arithmetic
+    predicts, all recomputed closed-form by DuckDB over the same
+    cross-population join (new × stored only, exactly the gate's
+    semantics)."""
+    from claude_readability_hook_spark.operators.imagededup import (
+        build_image_hash_index,
+        image_dhash,
+        image_index_dedup,
+    )
+    from claude_readability_hook_spark.operators.multimodal import (
+        synthesize_media_table,
+    )
+
+    stored = synthesize_media_table(
+        spark, [f"ia:{i}" for i in range(IMGDUP_PAIR_REFS)], real_png_dhash=True
+    )
+    path = _index_cache_dir(sf_dir, "imghash", f"ia-{IMGDUP_PAIR_REFS}")
+    _publish_index(
+        path, lambda tmp: build_image_hash_index(image_dhash(stored), tmp)
+    )
+    new = synthesize_media_table(
+        spark,
+        [f"ai:{i}" for i in range(IMGDUP_PAIR_REFS)],
+        real_png_dhash=True,
+        dhash_twin=True,
+    )
+    return image_index_dedup(spark, path, image_dhash(new), max_distance=3)
+
+
+def _image_index_dedup_oracle_sql() -> str:
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    return f"""
+        WITH prefs AS (
+          SELECT 'ia:' || i::VARCHAR AS media_ref, 0 AS twin
+          FROM range(0, {IMGDUP_PAIR_REFS}) t(i)
+          UNION ALL
+          SELECT 'ai:' || i::VARCHAR AS media_ref, 1 AS twin
+          FROM range(0, {IMGDUP_PAIR_REFS}) t(i)
+        ),
+        ps AS (SELECT media_ref, twin, {asciisum} AS seed FROM prefs),
+        dims AS (
+          SELECT media_ref, seed, twin, 16 + seed % 16 AS w,
+                 5 + seed % 7 AS a, 11 + seed % 5 AS b
+          FROM ps
+        ),
+        bits AS ({_DHASH_BITS_SQL}),
+        packed AS MATERIALIZED (
+          SELECT media_ref, twin,
+                 CAST(SUM(CASE WHEN k = 63
+                               THEN bit * (-9223372036854775807 - 1)
+                               ELSE bit * (1::BIGINT << k) END)
+                      AS BIGINT) AS dhash
+          FROM bits
+          GROUP BY media_ref, twin
+        )
+        SELECT n.media_ref AS new_ref, s.media_ref AS stored_ref,
+               CAST(bit_count(xor(n.dhash, s.dhash)) AS BIGINT) AS distance
+        FROM packed n JOIN packed s
+          ON n.twin = 1 AND s.twin = 0
+        WHERE bit_count(xor(n.dhash, s.dhash)) <= 3
+    """
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (r6): every doc scored under a
     TARGET bigram LM (trained on the lang='en' hash-sample — the
@@ -3138,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_pts": q_media_video_pts,  # new r6: ctts/elst/trun-cts pts
         "media_phash": q_media_phash,  # new r6: perceptual image hash
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
+        "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
         # ann_index.py changed this round (manifest retry merge,
         # retention knobs, compact kind carry, broadcast_queries knob)
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -3179,7 +3250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stable fillers rotating through the window
         "reddit_parse_score": q_reddit_parse_score,
         "filter_agg_pushdown": q_filter_agg_pushdown,
-        "join3_topk": q_join3_topk,
         "per_source_stats": q_per_source_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3208,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue": q_running_revenue,
         "exists_semi_join": q_exists_semi_join,
         "rollup_priority": q_rollup_priority,
+        "join3_topk": q_join3_topk,
         "so_parse_score": q_so_parse_score,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
@@ -4245,6 +4316,7 @@ def oracle_sql() -> dict[str, str]:
         "media_video_pts": _media_video_pts_oracle_sql(),
         "media_phash": _media_phash_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
+        "image_index_dedup": _image_index_dedup_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -712,7 +712,9 @@ def compact_ivf_index(
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no published index snapshot under {root}")
-    part_col = "bucket" if m["kind"] == "lsh" else "centroid_id"
+    part_col = {"lsh": "bucket", "imghash": "band_key"}.get(
+        m["kind"], "centroid_id"
+    )
     df = read_index(spark, root, m)
     n = df.count()
     files = max(1, -(-n // target_rows_per_file))
@@ -724,7 +726,8 @@ def compact_ivf_index(
         .parquet(posixpath.join(root, ddir))
     )
     published = dict(kind=m["kind"], dirs=[ddir])
-    for payload_key in ("centroids", "codebooks"):  # ivf/q8: centroids; pq: both
+    # ivf/q8: centroids; pq: both; imghash: its band layout
+    for payload_key in ("centroids", "codebooks", "n_bands"):
         if payload_key in m:
             published[payload_key] = m[payload_key]
     published["version"] = _publish_manifest(root, published)

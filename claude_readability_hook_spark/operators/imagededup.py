@@ -36,6 +36,7 @@ brief (VERDICT r5 'What's missing #1').
 
 from __future__ import annotations
 
+import posixpath
 from typing import Iterator
 
 import pandas as pd
@@ -237,4 +238,152 @@ def image_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     )
     return dedup_clusters(renamed, max_iterations).select(
         F.col("doc_id").alias("media_ref"), F.col("cluster_id")
+    )
+
+
+# --- incremental image-hash index (manifest-snapshot lifecycle) -----------
+
+BAND_BITS = 8  # 64-bit hash / 8 bands — matches hamming_band_buckets
+
+
+def _band_key_cols(hash_col: str, n_bands: int = 8) -> list:
+    """band_key = band_idx·2^band_bits + band_val — ONE partition
+    column (0..n_bands·256-1), so the generic snapshot compactor can
+    treat this index kind exactly like the LSH bucket layout."""
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    return [
+        (
+            F.lit(b * (1 << band_bits))
+            + F.shiftrightunsigned(F.col(hash_col), band_bits * b).bitwiseAND(
+                F.lit(mask)
+            )
+        ).cast("int").alias(f"bk{b}")
+        for b in range(n_bands)
+    ]
+
+
+def _band_rows(
+    hashes: DataFrame,
+    n_bands: int = 8,
+    ref_col: str = "media_ref",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(band_key, ref, h): the banded layout — n_bands narrow rows per
+    image, partitionable and joinable on one int key."""
+    rows = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(ref_col).alias("ref"),
+        F.col(hash_col).alias("h"),
+        *_band_key_cols(hash_col, n_bands),
+    )
+    stack_args = ", ".join(f"bk{b}" for b in range(n_bands))
+    return rows.selectExpr(
+        "ref", "h", f"stack({n_bands}, {stack_args}) AS band_key"
+    ).select("band_key", "ref", "h")
+
+
+def build_image_hash_index(
+    hashes: DataFrame,
+    root: str,
+    n_bands: int = 8,
+    hash_col: str = "dhash",
+    retain_snapshots: int = 1,
+) -> None:
+    """Materialize the perceptual-hash index at `root`: banded rows
+    partitioned by band_key under a fresh snapshot, committed through
+    the same manifest protocol as every ANN index (exclusive-create
+    publish, snapshot GC) — the store an INCREMENTAL crawl dedups new
+    images against without rescanning history. ~n_bands·24 bytes per
+    image; the payloads never enter the index."""
+    from .ann_index import _gc_previous_snapshots, _new_data_dir, _publish_manifest
+
+    ddir = _new_data_dir()
+    _band_rows(hashes, n_bands, hash_col=hash_col).write.mode(
+        "overwrite"
+    ).partitionBy("band_key").parquet(posixpath.join(root, ddir))
+    published = dict(kind="imghash", dirs=[ddir], n_bands=n_bands)
+    published["version"] = _publish_manifest(root, published)
+    _gc_previous_snapshots(root, published, retain=retain_snapshots)
+
+
+def append_to_image_hash_index(
+    hashes: DataFrame,
+    root: str,
+    hash_col: str = "dhash",
+) -> None:
+    """Incremental maintenance: band the new batch with the SAME
+    layout (n_bands rides the manifest) and commit it as a new data
+    dir via a MERGING publish — a racing committer that loses the
+    exclusive create rebuilds over the winner's dirs (the
+    append_to_ivf_index lost-update discipline)."""
+    from .ann_index import _new_data_dir, _publish_manifest, current_manifest
+
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no published index snapshot under {root}")
+    n_bands = int(m.get("n_bands", 8))
+    ddir = _new_data_dir()
+    _band_rows(hashes, n_bands, hash_col=hash_col).write.mode(
+        "overwrite"
+    ).partitionBy("band_key").parquet(posixpath.join(root, ddir))
+    _publish_manifest(
+        root,
+        lambda cur: dict(
+            kind="imghash",
+            dirs=(cur or m)["dirs"] + [ddir],
+            n_bands=n_bands,
+        ),
+    )
+
+
+def image_index_dedup(
+    spark,
+    root: str,
+    new_hashes: DataFrame,
+    max_distance: int = 3,
+    hash_col: str = "dhash",
+    broadcast_queries: bool = True,
+    version: int | None = None,
+) -> DataFrame:
+    """(new_ref, stored_ref, distance): near-duplicates of the NEW
+    batch against the STORED index — the incremental-crawl gate (drop
+    or cluster the matches, then append_to_image_hash_index the
+    survivors).
+
+    Plan: the new batch bands in-row (n_bands small rows each); its
+    DISTINCT band keys — a documented tiny driver collect, ≤ n_bands ×
+    batch size values — become a STATIC partition filter pushed into
+    every data dir of the snapshot scan (the ivf_knn_join workaround:
+    DPP does not descend a Union), so the index read touches only the
+    probed band directories. The banded equi-join then carries both
+    hashes in-row; the exact xor+bit_count distance and the distinct
+    collapse never re-touch the store. broadcast_queries=True (default)
+    broadcasts the new side — right whenever the batch is
+    crawl-batch-sized; False flips to the shuffle-hash regime for
+    bulk-vs-bulk backfills."""
+    from .ann_index import current_manifest, read_index
+
+    m = current_manifest(root, version)
+    if m is None:
+        raise FileNotFoundError(f"no published index snapshot under {root}")
+    n_bands = int(m.get("n_bands", 8))
+    probe = _band_rows(new_hashes, n_bands, hash_col=hash_col).select(
+        "band_key", F.col("ref").alias("new_ref"), F.col("h").alias("new_h")
+    )
+    keys = [r["band_key"] for r in probe.select("band_key").distinct().collect()]
+    stored = read_index(spark, root, m).filter(F.col("band_key").isin(keys))
+    if broadcast_queries:
+        probe = F.broadcast(probe)
+    return (
+        stored.join(probe, "band_key")
+        .filter(F.col("ref") != F.col("new_ref"))
+        .select(
+            "new_ref",
+            F.col("ref").alias("stored_ref"),
+            F.bit_count(F.col("h").bitwiseXOR(F.col("new_h")))
+            .cast("long")
+            .alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
     )

@@ -9,7 +9,8 @@ multi-executor cluster).
         --input  /path/to/media-parquet      # MEDIA schema rows
         --output /path/to/out \
         [--synth N]            # deterministic fixture corpus instead of --input
-        [--max-distance 3] [--max-bucket 50] [--partitions 16]
+        [--max-distance 3] [--max-bucket 50] [--partitions 16] \
+        [--index-root /path/to/imghash-index]   # incremental crawl mode
 
 Stages (every one scan-side — payload bytes are read once and never
 shuffle; everything that moves afterward is narrow metadata):
@@ -47,6 +48,14 @@ def main() -> None:
     parser.add_argument("--max-distance", type=int, default=3)
     parser.add_argument("--max-bucket", type=int, default=50)
     parser.add_argument("--partitions", type=int, default=16)
+    parser.add_argument(
+        "--index-root",
+        default=None,
+        help="incremental mode: dedup this batch against the stored "
+        "perceptual-hash index at this root (manifest snapshots), then "
+        "append the surviving hashes as the next snapshot — the "
+        "crawl-batch flow; first run bootstraps the index",
+    )
     args = parser.parse_args()
     if not args.input and not args.synth:
         parser.error("need --input or --synth N")
@@ -127,6 +136,40 @@ def main() -> None:
         "overwrite"
     ).parquet(f"{args.output}/quarantine_buckets")
 
+    n_index_dups = None
+    if args.index_root:
+        from claude_readability_hook_spark.operators.ann_index import (
+            current_manifest,
+        )
+        from claude_readability_hook_spark.operators.imagededup import (
+            append_to_image_hash_index,
+            build_image_hash_index,
+            image_index_dedup,
+        )
+
+        if current_manifest(args.index_root) is None:
+            # bootstrap: this batch becomes snapshot v1 (in-batch dups
+            # are already in image_pairs above)
+            build_image_hash_index(hashes, args.index_root)
+            n_index_dups = 0
+        else:
+            idx_pairs = image_index_dedup(
+                spark, args.index_root, hashes, max_distance=args.max_distance
+            )
+            idx_pairs.write.mode("overwrite").parquet(
+                f"{args.output}/index_dup_pairs"
+            )
+            idx_pairs = spark.read.parquet(f"{args.output}/index_dup_pairs")
+            n_index_dups = idx_pairs.select("new_ref").distinct().count()
+            # append only the NOVEL hashes — dups of stored images must
+            # not re-enter the index
+            survivors = hashes.join(
+                idx_pairs.select(F.col("new_ref").alias("media_ref")).distinct(),
+                "media_ref",
+                "left_anti",
+            )
+            append_to_image_hash_index(survivors, args.index_root)
+
     n_hashed = hashes.filter(F.col("decode_ok") == "ok").count()
     n_pairs = pairs.count()
     n_clustered = clusters.count()
@@ -147,6 +190,7 @@ def main() -> None:
                 "cluster_keepers": n_keepers,
                 "dup_losers": n_clustered - n_keepers,
                 "oversize_buckets": n_quarantined,
+                "index_dup_refs": n_index_dups,
             }
         )
     )

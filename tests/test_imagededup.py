@@ -237,3 +237,66 @@ def test_perceptual_hashes_one_decode_matches_singles():
 
     png = encode_png(_grid(0))
     assert perceptual_hashes(png) == (dhash64(png), ahash64(png))
+
+
+def test_image_hash_index_lifecycle(spark, tmp_path):
+    """Build → probe → append → probe → compact → probe: the
+    incremental-crawl gate. Matches survive every lifecycle step,
+    the probe scan carries a static band_key partition filter, and
+    compaction collapses the appended dirs into one while carrying
+    n_bands through the manifest."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        compact_ivf_index,
+        current_manifest,
+    )
+    from claude_readability_hook_spark.operators.imagededup import (
+        append_to_image_hash_index,
+        build_image_hash_index,
+        image_index_dedup,
+    )
+
+    root = str(tmp_path / "imgidx")
+    stored = _hash_df(
+        spark, [("s1", 1000), ("s2", 1 << 50), ("s3", -12345)]
+    )
+    build_image_hash_index(stored, root)
+
+    new = _hash_df(spark, [("n1", 1000 ^ 0b11), ("n2", 777777)])
+    got = {
+        (r["new_ref"], r["stored_ref"]): r["distance"]
+        for r in image_index_dedup(spark, root, new).collect()
+    }
+    assert got == {("n1", "s1"): 2}
+
+    # plan: the probe pushes a static band_key IN (...) partition filter
+    plan = image_index_dedup(spark, root, new)._jdf.queryExecution().executedPlan().toString()
+    assert "band_key" in plan
+
+    # append a second batch; probes see both dirs
+    append_to_image_hash_index(_hash_df(spark, [("s4", 777777 ^ 1)]), root)
+    m = current_manifest(root)
+    assert len(m["dirs"]) == 2 and m["n_bands"] == 8
+    got2 = {
+        (r["new_ref"], r["stored_ref"]): r["distance"]
+        for r in image_index_dedup(spark, root, new).collect()
+    }
+    assert got2 == {("n1", "s1"): 2, ("n2", "s4"): 1}
+
+    # generic compaction collapses to one dir, results identical
+    compact_ivf_index(spark, root)
+    m2 = current_manifest(root)
+    assert len(m2["dirs"]) == 1 and m2["n_bands"] == 8
+    got3 = {
+        (r["new_ref"], r["stored_ref"]): r["distance"]
+        for r in image_index_dedup(spark, root, new).collect()
+    }
+    assert got3 == got2
+
+    # shuffle regime agrees with the broadcast default
+    got4 = {
+        (r["new_ref"], r["stored_ref"]): r["distance"]
+        for r in image_index_dedup(
+            spark, root, new, broadcast_queries=False
+        ).collect()
+    }
+    assert got4 == got2

@@ -65,3 +65,33 @@ def test_media_job_end_to_end(tmp_path):
         "quarantine_buckets",
     ):
         assert (out / d).exists(), d
+
+    # incremental mode: first run bootstraps the stored hash index,
+    # second run (same batch) finds every image already stored and
+    # appends nothing
+    def run_indexed(outdir):
+        p = subprocess.run(
+            [
+                "spark-submit",
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(zip_path),
+                os.path.join(REPO, "jobs", "media_job.py"),
+                "--synth", "6",
+                "--output", str(outdir),
+                "--partitions", "4",
+                "--index-root", str(tmp_path / "imgidx"),
+            ],
+            capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+        )
+        assert p.returncode == 0, p.stderr[-4000:]
+        return json.loads(
+            [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    s1 = run_indexed(tmp_path / "out_idx1")
+    assert s1["index_dup_refs"] == 0  # bootstrap snapshot
+    s2 = run_indexed(tmp_path / "out_idx2")
+    assert s2["index_dup_refs"] == 12  # every image already stored
+    assert (tmp_path / "out_idx2" / "index_dup_pairs").exists()
