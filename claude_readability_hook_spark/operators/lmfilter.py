@@ -94,11 +94,26 @@ def train_bigram_lm(
     df: DataFrame,
     sample_mod: int | None = LM_SAMPLE_MOD,
     text_col: str = "text",
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(bigram_counts, context_counts, vocab) over the deterministic
     hash-sample — bigram_counts = (w1, w2, c12), context_counts =
     (w1, c1 = Σ c12), vocab = 1 row (v = distinct sample tokens,
-    ALL positions). sample_mod=None trains on the full corpus."""
+    ALL positions). sample_mod=None trains on the full corpus.
+
+    The bigram table persists by default (r6 plan audit): it is
+    vocabulary-bounded, and BOTH the context derivation and every
+    downstream scorer reference it — without the cache each reference
+    re-runs the whole sample scan + pair expansion + agg (the
+    dsir_weights plan showed the sample scanned ~7× across its six
+    count-table references; at 10^12 docs that is ~1.75 corpus-
+    equivalents of redundant scan). Honest toy-scale tradeoff,
+    measured at sf0.1/local[32]: lazy recompute is FASTER there
+    (1.8 s vs 2.7 s for dsir_weights) because the six broadcast
+    builds recompute their tiny pipelines in parallel driver threads
+    while the cache serializes them on its materialization lock —
+    persist=False is the right knob when the sample fits a few tasks;
+    the default optimizes the regime the operator exists for."""
     sample = df
     if sample_mod is not None:
         sample = df.filter(
@@ -111,10 +126,14 @@ def train_bigram_lm(
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
     )
+    if persist:
+        bg = bg.persist()
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = toks.select(F.explode(F.col("ts")).alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
+    if persist:
+        vocab = vocab.persist()
     return bg, ctx, vocab
 
 
@@ -357,12 +376,13 @@ def train_trigram_lm(
     df: DataFrame,
     sample_mod: int | None = LM_SAMPLE_MOD,
     text_col: str = "text",
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(trigram_counts, context_counts, vocab) — the order-3 analog of
     train_bigram_lm: trigram_counts = (tri, c3), context_counts =
     (ctx, c2 = Σ c3 over the context's trigrams), vocab = distinct
     sample tokens. Same plan shape: in-row expansion, one
-    vocabulary-bounded hash agg."""
+    vocabulary-bounded hash agg; same persist-by-default rationale."""
     sample = df
     if sample_mod is not None:
         sample = df.filter(
@@ -375,10 +395,14 @@ def train_trigram_lm(
         .groupBy("ctx", "tri")
         .agg(F.count("*").alias("c3"))
     )
+    if persist:
+        tri = tri.persist()
     ctx = tri.groupBy("ctx").agg(F.sum("c3").alias("c2"))
     vocab = toks.select(F.explode(F.col("ts")).alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
+    if persist:
+        vocab = vocab.persist()
     return tri.select("tri", "c3"), ctx, vocab
 
 
