@@ -922,6 +922,94 @@ def _sequence_pack_bpe_learned_oracle_sql() -> str:
     """
 
 
+def q_bpe_pack_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED learned-tokenizer stream (r6): train k merges,
+    heap-encode distinct words to symbol ARRAYS, and pack the actual
+    symbol sequences (end-of-word markers included) at a 512 budget.
+    Output is (shard, pack_id, n, tokens_md5) — md5 of the
+    comma-joined pack, per the no-raw-arrays oracle rule; DuckDB
+    re-trains the merges, splits each word's wrapped symbol string
+    back into its list, and rebuilds every pack position-by-position."""
+    from claude_readability_hook_spark.operators.bpetrain import learn_bpe_merges
+    from claude_readability_hook_spark.operators.packing import (
+        pack_bpe_symbol_records,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_bpe_merges(docs, k=BPE_K)
+    recs = pack_bpe_symbol_records(docs, merges, seq_len=512)
+    return recs.select(
+        "shard",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        "n",
+        F.md5(F.concat_ws(",", "tokens")).alias("tokens_md5"),
+    )
+
+
+def _bpe_pack_symbols_oracle_sql() -> str:
+    k = BPE_K
+    return f"""
+        WITH {_bpe_cte_chain(k)},
+        wordsyms AS MATERIALIZED (
+          SELECT w,
+                 list_transform(
+                   list_filter(string_split(sym, chr(9)), x -> x <> ''),
+                   x -> ltrim(x)) AS syms
+          FROM w{k}
+        ),
+        enc AS (
+          SELECT doc_id, source,
+                 list_transform({_TOKS_SQL}, t -> lower(t)) AS ws
+          FROM documents
+        ),
+        dw0 AS (
+          SELECT doc_id, source AS shard,
+                 unnest(list_transform(
+                   range(1, greatest(len(ws), 0) + 1),
+                   i -> {{'widx': i, 'w': ws[i]}})) AS p
+          FROM enc
+        ),
+        dw AS (
+          SELECT doc_id, shard, p.widx AS widx, p.w AS w FROM dw0
+        ),
+        wrows AS MATERIALIZED (
+          SELECT d.doc_id, d.shard, d.widx, s.syms, len(s.syms) AS n_sym
+          FROM dw d JOIN wordsyms s USING (w)
+        ),
+        in_doc AS (
+          SELECT doc_id, shard, widx, syms,
+                 sum(n_sym) OVER (PARTITION BY doc_id ORDER BY widx
+                                  ROWS UNBOUNDED PRECEDING) - n_sym AS wbegin
+          FROM wrows
+        ),
+        dtot AS (
+          SELECT doc_id, shard, sum(n_sym) AS nt FROM wrows GROUP BY 1, 2
+        ),
+        dbegin AS (
+          SELECT doc_id,
+                 sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - nt AS dbegin
+          FROM dtot
+        ),
+        pos0 AS (
+          SELECT i.shard, d.dbegin + i.wbegin AS base,
+                 unnest(list_transform(
+                   range(1, len(i.syms) + 1),
+                   si -> {{'si': si, 'token': i.syms[si]}})) AS p
+          FROM in_doc i JOIN dbegin d USING (doc_id)
+        ),
+        pos AS (
+          SELECT shard, base + p.si - 1 AS gpos, p.token AS token FROM pos0
+        )
+        SELECT shard,
+               CAST(gpos // 512 AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n,
+               md5(string_agg(token, ',' ORDER BY gpos)) AS tokens_md5
+        FROM pos
+        GROUP BY shard, gpos // 512
+    """
+
+
 def q_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing budgeted by TOKENIZER counts instead of whitespace
     words: the BPE-regex token count (textstats.BPE_TOKEN_PATTERN)
@@ -3204,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_bounds": q_sequence_pack_bounds,  # new r5: pack metadata
         "sequence_pack_bpe": q_sequence_pack_bpe,  # new r5: tokenizer budget
         "sequence_pack_bpe_learned": q_sequence_pack_bpe_learned,  # new r6
+        "bpe_pack_symbols": q_bpe_pack_symbols,  # new r6: materialized stream
         "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
         "media_video_pts": q_media_video_pts,  # new r6: ctts/elst/trun-cts pts
         "media_phash": q_media_phash,  # new r6: perceptual image hash
@@ -3249,7 +3338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         # stable fillers rotating through the window
         "reddit_parse_score": q_reddit_parse_score,
-        "filter_agg_pushdown": q_filter_agg_pushdown,
         "per_source_stats": q_per_source_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3279,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_semi_join": q_exists_semi_join,
         "rollup_priority": q_rollup_priority,
         "join3_topk": q_join3_topk,
+        "filter_agg_pushdown": q_filter_agg_pushdown,
         "so_parse_score": q_so_parse_score,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
@@ -4308,6 +4397,7 @@ def oracle_sql() -> dict[str, str]:
         # rewrite with bit-identical output
         "sequence_pack_2level": _sequence_pack_oracle_sql(),
         "sequence_pack_bpe_learned": _sequence_pack_bpe_learned_oracle_sql(),
+        "bpe_pack_symbols": _bpe_pack_symbols_oracle_sql(),
         "sequence_pack_bounds": _sequence_pack_bounds_oracle_sql(),
         "sequence_pack_bpe": _sequence_pack_bpe_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_topk_oracle_sql(),

@@ -307,6 +307,76 @@ def trie_encode_word_counts(
     return distinct_words.mapInPandas(enc, "w string, n_sym long")
 
 
+def trie_encode_word_symbol_arrays(
+    distinct_words: DataFrame, merges: DataFrame, word_col: str = "w"
+) -> DataFrame:
+    """(w, syms: array<string>) — the heap encoder's FULL symbol
+    output per distinct word (not just the count): what the
+    symbol-stream materialization (packing.pack_bpe_symbol_records)
+    broadcast-joins back to doc words. Same mapInPandas shape and the
+    same any-k merge-DataFrame contract as trie_encode_word_counts."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = distinct_words.sparkSession
+    bc = spark.sparkContext.broadcast(merge_ranks(merges))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf[word_col],
+                    "syms": [
+                        encode_word_symbols(w, ranks) for w in pdf[word_col]
+                    ],
+                }
+            )
+
+    return distinct_words.mapInPandas(enc, "w string, syms array<string>")
+
+
+def save_bpe_artifact(
+    merges: DataFrame, root: str, retain_snapshots: int = 1
+) -> int:
+    """Publish the trained merge table as a versioned tokenizer
+    ARTIFACT (the tokenizer.json analog): merge rows as parquet under
+    a manifest snapshot, committed through the same exclusive-create
+    protocol as the ANN indexes — retraining publishes the next
+    version, prior versions stay readable until expiry (time travel
+    over tokenizer revisions, the reproducibility story a training
+    pipeline needs). Returns the published version."""
+    import posixpath
+
+    from .ann_index import (
+        _gc_previous_snapshots,
+        _new_data_dir,
+        _publish_manifest,
+    )
+
+    ddir = _new_data_dir()
+    merges.coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(root, ddir)
+    )
+    published = dict(kind="bpe", dirs=[ddir])
+    published["version"] = _publish_manifest(root, published)
+    _gc_previous_snapshots(root, published, retain=retain_snapshots)
+    return published["version"]
+
+
+def load_bpe_artifact(spark, root: str, version: int | None = None) -> DataFrame:
+    """Load a published merge table (current snapshot, or `version`
+    for time travel). Raises FileNotFoundError if nothing is
+    published — callers treat that as 'train now'."""
+    from .ann_index import current_manifest, read_index
+
+    m = current_manifest(root, version)
+    if m is None:
+        raise FileNotFoundError(f"no published tokenizer artifact under {root}")
+    return read_index(spark, root, m)
+
+
 def bpe_encode_counts_trie(
     df: DataFrame,
     merges: DataFrame,

@@ -260,7 +260,14 @@ def pack_doc_boundaries(
     inside packed sequences."""
     a = pack_assignments(
         df, seq_len, shard_col, text_col, bucket_span=bucket_span
-    ).filter(F.col("n_tokens") > 0)
+    )
+    return _doc_boundaries_from_assignments(a, seq_len)
+
+
+def _doc_boundaries_from_assignments(a: DataFrame, seq_len: int) -> DataFrame:
+    """The per-pack boundary rollup over ANY assignments frame —
+    shared by the whitespace and learned-BPE budget sources."""
+    a = a.filter(F.col("n_tokens") > 0)
     begin = F.col("pack_first") * seq_len + F.col("start_offset")
     e = a.select(
         "shard",
@@ -305,4 +312,115 @@ def pack_records(
     metadata on the narrow (shard, pack_id) key."""
     seqs = pack_token_sequences(df, seq_len, shard_col, text_col, bucket_span)
     bounds = pack_doc_boundaries(df, seq_len, shard_col, text_col, bucket_span)
+    return seqs.join(bounds, ["shard", "pack_id"])
+
+
+def pack_bpe_symbol_records(
+    df: DataFrame,
+    merges: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    bucket_span: int | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Materialize packed LEARNED-BPE SYMBOL sequences — the actual
+    training-shard payload: (shard, pack_id, n, tokens) where tokens
+    are the trained tokenizer's symbols (end-of-word markers included)
+    in exact stream order, every pack seq_len long but each shard's
+    last. The boundary arithmetic is pack_assignments_learned_bpe's,
+    so counts, boundaries and the materialized stream all agree.
+
+    Plan: distinct words heap-encode ONCE against the merge DataFrame
+    (any k — trie_encode_word_symbol_arrays), the symbol arrays
+    broadcast-join back to the doc words, and every position is a sum
+    of three exact integers — doc begin (the shard-level stream cum,
+    two-level bucketed under bucket_span), word begin (a window over
+    the words of ONE doc — doc-bounded by construction), symbol index
+    (posexplode). The only wide rows are the final per-pack collects,
+    which are the export's own output volume."""
+    from .bpetrain import _doc_words, trie_encode_word_symbol_arrays
+
+    words = _doc_words(df, text_col).join(
+        df.select("doc_id", F.col(shard_col).alias("shard")), "doc_id"
+    )
+    word_syms = trie_encode_word_symbol_arrays(
+        words.select(F.explode("ws").alias("w")).distinct(), merges
+    )
+    if broadcast_vocab:
+        word_syms = F.broadcast(word_syms)
+    wrows = (
+        words.select(
+            "doc_id", "shard", F.posexplode("ws").alias("widx", "w")
+        )
+        .join(word_syms, "w")
+        .select(
+            "doc_id",
+            "shard",
+            "widx",
+            "syms",
+            F.size("syms").cast("long").alias("n_sym"),
+        )
+    )
+    # word begin WITHIN its doc: window bounded by one doc's word count
+    in_doc = wrows.withColumn(
+        "wbegin",
+        F.sum("n_sym").over(
+            Window.partitionBy("doc_id")
+            .orderBy("widx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("n_sym"),
+    )
+    # doc begin within its shard stream: the learned-count cum
+    doc_counts = wrows.groupBy("doc_id", "shard").agg(
+        F.sum("n_sym").alias("n_tokens")
+    )
+    doc_begin = _with_stream_cum(doc_counts, bucket_span).select(
+        "doc_id", (F.col("cum") - F.col("n_tokens")).alias("dbegin")
+    )
+    pos = (
+        in_doc.join(doc_begin, "doc_id")
+        .select(
+            "shard",
+            (F.col("dbegin") + F.col("wbegin")).alias("base"),
+            F.posexplode("syms").alias("sidx", "token"),
+        )
+        .select(
+            "shard",
+            F.expr(f"(base + sidx) div {seq_len}").alias("pack_id"),
+            ((F.col("base") + F.col("sidx")) % seq_len).alias("ppos"),
+            "token",
+        )
+    )
+    return pos.groupBy("shard", "pack_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("ppos"), F.col("token")))),
+            lambda s: s["token"],
+        ).alias("tokens"),
+    )
+
+
+def pack_bpe_records(
+    df: DataFrame,
+    merges: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    bucket_span: int | None = None,
+) -> DataFrame:
+    """The full learned-tokenizer packed record: (shard, pack_id, n,
+    tokens, docs) — materialized SYMBOL sequences joined with their
+    doc-boundary metadata, both derived from the same learned counts
+    so stream and boundaries agree by construction."""
+    seqs = pack_bpe_symbol_records(
+        df, merges, seq_len, shard_col, text_col, bucket_span
+    )
+    bounds = _doc_boundaries_from_assignments(
+        pack_assignments_learned_bpe(
+            df, merges, seq_len, shard_col, text_col, bucket_span
+        ),
+        seq_len,
+    )
     return seqs.join(bounds, ["shard", "pack_id"])

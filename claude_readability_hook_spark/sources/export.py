@@ -109,3 +109,33 @@ def export_packed_shards(
         .json(path)
     )
     return n_packs
+
+
+def export_bpe_packed_shards(
+    docs: DataFrame,
+    merges: DataFrame,
+    path: str,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    compression: str = "gzip",
+) -> int:
+    """Packed-sequence export in the LEARNED tokenizer's symbols
+    (operators/packing.pack_bpe_records): the training-ready payload —
+    each JSONL record carries seq_len trained-BPE symbols plus the
+    doc-boundary metadata for cross-document attention masking. Same
+    per-shard-file layout and sizing discipline as
+    export_packed_shards."""
+    from ..operators.packing import pack_bpe_records
+
+    recs = pack_bpe_records(docs, merges, seq_len, shard_col, text_col)
+    n_packs = recs.count()
+    n_shards = recs.select("shard").distinct().count()
+    (
+        recs.repartition(max(n_shards, 1), "shard")
+        .sortWithinPartitions("shard", "pack_id")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .json(path)
+    )
+    return n_packs

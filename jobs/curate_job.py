@@ -89,6 +89,17 @@ def main() -> None:
         "(concat + split with doc-boundary metadata) instead of "
         "one-doc-per-record shards",
     )
+    parser.add_argument(
+        "--tokenizer-root",
+        metavar="PATH",
+        default=None,
+        help="with --pack: pack the LEARNED tokenizer's symbol stream "
+        "instead of whitespace tokens, using the merge-table artifact "
+        "published at PATH (manifest snapshots); if nothing is "
+        "published there yet, train k merges on the input and publish "
+        "the artifact first (train-once, reuse-everywhere)",
+    )
+    parser.add_argument("--bpe-merges", type=int, default=8, metavar="K")
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -197,6 +208,7 @@ def main() -> None:
             # doc-boundary metadata (operators/packing.py), sharded by
             # source — the training-ready layout
             from claude_readability_hook_spark.sources.export import (
+                export_bpe_packed_shards,
                 export_packed_shards,
             )
 
@@ -205,9 +217,31 @@ def main() -> None:
                 .select("doc_id", "source")
                 .join(doc_texts, "doc_id")
             )
-            n_shards = export_packed_shards(
-                train_texts, f"{args.output}/packed", seq_len=args.pack
-            )
+            if args.tokenizer_root:
+                # learned-tokenizer packing: load the published merge
+                # artifact, or train-and-publish on first run
+                from claude_readability_hook_spark.operators.bpetrain import (
+                    learn_bpe_merges,
+                    load_bpe_artifact,
+                    save_bpe_artifact,
+                )
+
+                try:
+                    merges = load_bpe_artifact(spark, args.tokenizer_root)
+                except FileNotFoundError:
+                    merges = learn_bpe_merges(
+                        docs.select("doc_id", "text"), k=args.bpe_merges
+                    )
+                    save_bpe_artifact(merges, args.tokenizer_root)
+                    merges = load_bpe_artifact(spark, args.tokenizer_root)
+                n_shards = export_bpe_packed_shards(
+                    train_texts, merges, f"{args.output}/packed",
+                    seq_len=args.pack,
+                )
+            else:
+                n_shards = export_packed_shards(
+                    train_texts, f"{args.output}/packed", seq_len=args.pack
+                )
             print(
                 json.dumps(
                     {

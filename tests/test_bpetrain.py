@@ -248,3 +248,40 @@ def test_bpe_vocab_layout(spark):
     assert [r["token_id"] for r in rows] == list(range(len(rows)))
     assert len(merges) == 3
     assert all(m["token_id"] >= len(base) for m in merges)
+
+
+def test_bpe_artifact_roundtrip_and_versioning(spark, tmp_path):
+    """The tokenizer artifact: publish → load is lossless; retraining
+    publishes the next snapshot and the prior version stays readable
+    (time travel over tokenizer revisions)."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        learn_bpe_merges,
+        load_bpe_artifact,
+        save_bpe_artifact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low new")],
+        "doc_id long, text string",
+    )
+    m1 = learn_bpe_merges(df, k=3)
+    root = str(tmp_path / "tok")
+    v1 = save_bpe_artifact(m1, root)
+    back = load_bpe_artifact(spark, root)
+    key = ["merge_rank", "lhs", "rhs", "merged", "pair_count"]
+    assert sorted(map(tuple, back.select(*key).collect())) == sorted(
+        map(tuple, m1.select(*key).collect())
+    )
+
+    df2 = df.union(
+        spark.createDataFrame([(3, "zz zz zz zz zz")], "doc_id long, text string")
+    )
+    v2 = save_bpe_artifact(learn_bpe_merges(df2, k=3), root, retain_snapshots=2)
+    assert v2 == v1 + 1
+    # current resolves to the retrained table; v1 is still readable
+    cur = load_bpe_artifact(spark, root)
+    old = load_bpe_artifact(spark, root, version=v1)
+    assert sorted(map(tuple, old.select(*key).collect())) == sorted(
+        map(tuple, m1.select(*key).collect())
+    )
+    assert cur.count() == 3

@@ -122,3 +122,64 @@ def test_curate_job_scrub_stages(tmp_path):
                 assert rec["engine"] == "curate"
                 rows += 1
     assert rows == summary["train_rows"]
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_curate_job_learned_tokenizer_pack(tmp_path):
+    """--pack + --tokenizer-root through the real launch surface:
+    first run trains and PUBLISHES the merge artifact, exports packed
+    learned-BPE symbol shards (every non-final pack exactly seq_len
+    symbols, symbols include the end-of-word marker)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    out_dir = str(tmp_path / "out")
+    tok_root = str(tmp_path / "tok")
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", pkg_zip,
+            os.path.join(root, "jobs", "curate_job.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_dir,
+            "--pack", "64",
+            "--tokenizer-root", tok_root,
+            "--bpe-merges", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["packed_sequences"] > 0 and summary["seq_len"] == 64
+    # artifact published
+    assert any(
+        n.startswith("manifest-v") for n in os.listdir(tok_root)
+    )
+    # packed shards: learned symbols, full packs but shard-final ones
+    import collections
+
+    per_shard = collections.defaultdict(list)
+    for path in glob.glob(f"{out_dir}/packed/part-*.json.gz"):
+        with gzip.open(path, "rt") as fh:
+            for line in fh:
+                rec = json.loads(line)
+                per_shard[rec["shard"]].append(rec)
+    assert per_shard
+    for shard, recs in per_shard.items():
+        last = max(r["pack_id"] for r in recs)
+        for r in recs:
+            assert len(r["tokens"]) == r["n"]
+            if r["pack_id"] != last:
+                assert r["n"] == 64
+    # end-of-word marker convention: the symbols are LEARNED-BPE output
+    from claude_readability_hook_spark.operators.bpetrain import END_OF_WORD
+
+    any_tokens = next(iter(per_shard.values()))[0]["tokens"]
+    assert any(t.endswith(END_OF_WORD) for t in any_tokens)

@@ -284,3 +284,63 @@ def test_pack_by_learned_bpe_counts(spark):
     # bucketed path identical here too
     b = sorted(map(tuple, pack_assignments_learned_bpe(df, merges, seq_len=8, bucket_span=2).collect()))
     assert b == sorted(map(tuple, (got[d] for d in got)))
+
+
+def test_pack_bpe_symbol_stream_matches_reference(spark):
+    """The materialized symbol stream: flattening the packs in order
+    reproduces exactly the per-doc, per-word heap-encoder output, each
+    pack is full but the shard's last, and the learned-count
+    boundaries describe the same stream."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        encode_word_symbols,
+        learn_bpe_merges,
+        merge_ranks,
+    )
+    from claude_readability_hook_spark.operators.packing import (
+        pack_assignments_learned_bpe,
+        pack_bpe_symbol_records,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", "low lower lowest low"),
+            (2, "s", "new newest low"),
+            (3, "s", ""),
+            (4, "t", "lower newer"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    merges = learn_bpe_merges(df, k=4)
+    ranks = merge_ranks(merges)
+
+    # reference stream per shard: docs in doc_id order, words in order
+    texts = {1: "low lower lowest low", 2: "new newest low", 3: "", 4: "lower newer"}
+    shards = {"s": [1, 2, 3], "t": [4]}
+    ref_stream = {}
+    for sh, ids in shards.items():
+        syms = []
+        for d in ids:
+            for w in texts[d].lower().split():
+                syms += encode_word_symbols(w, ranks)
+        ref_stream[sh] = syms
+
+    recs = pack_bpe_symbol_records(df, merges, seq_len=8).collect()
+    got = {}
+    for r in sorted(recs, key=lambda r: (r["shard"], r["pack_id"])):
+        got.setdefault(r["shard"], []).extend(r["tokens"])
+        last = max(x["pack_id"] for x in recs if x["shard"] == r["shard"])
+        if r["pack_id"] != last:
+            assert r["n"] == 8
+    assert got == ref_stream
+
+    # boundaries agree with the same stream
+    a = pack_assignments_learned_bpe(df, merges, seq_len=8)
+    totals = {r["shard"]: 0 for r in a.collect()}
+    for r in a.collect():
+        totals[r["shard"]] += r["n_tokens"]
+    assert totals == {sh: len(s) for sh, s in ref_stream.items()}
+
+    # two-level path identical
+    recs2 = pack_bpe_symbol_records(df, merges, seq_len=8, bucket_span=2).collect()
+    norm = lambda rs: sorted((r["shard"], r["pack_id"], tuple(r["tokens"])) for r in rs)
+    assert norm(recs2) == norm(recs)
