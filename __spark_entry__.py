@@ -540,6 +540,49 @@ def _dsir_weights_oracle_sql() -> str:
     """
 
 
+def q_dsir_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture over the DSIR weights (r6): per
+    source, importance mass → mean weight and mixture share — the
+    domain sampling ratios a reweighted training run uses. Exact
+    micro-unit sums; the only floats are two exactly-rounded IEEE
+    divisions."""
+    from claude_readability_hook_spark.operators.lmfilter import (
+        dsir_domain_mixture,
+    )
+
+    docs = _docs_with_source(spark, sf_dir)
+    return dsir_domain_mixture(
+        docs, docs.filter(F.col("lang") == "en"), sample_mod=4
+    )
+
+
+def _docs_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+def _dsir_domain_mixture_oracle_sql() -> str:
+    return f"""
+        WITH dsirw AS MATERIALIZED ({_dsir_weights_oracle_sql()}),
+        per AS (
+          SELECT d.source AS domain,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(round(w.dsir_weight * 1000000) AS BIGINT))
+                      AS BIGINT) AS mass_micro
+          FROM dsirw w JOIN documents d USING (doc_id)
+          GROUP BY d.source
+        ),
+        tot AS (SELECT sum(mass_micro) AS total_micro FROM per)
+        SELECT domain, n_docs,
+               round((((2 * mass_micro + n_docs) // (2 * n_docs))::DOUBLE)
+                     / 1000000.0, 6) AS mean_weight,
+               round(mass_micro::DOUBLE / total_micro::DOUBLE, 6)
+                 AS mixture_share
+        FROM per, tot
+    """
+
+
 CMS_HOT_THRESHOLD = 300
 
 
@@ -3281,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_flagship": q_extract_flagship,
         "lm_perplexity": q_lm_perplexity,  # new r5: bigram-LM quality scores
         "dsir_weights": q_dsir_weights,  # new r6: DSIR importance weights
+        "dsir_domain_mixture": q_dsir_domain_mixture,  # new r6: DoReMi rollup
         "lm_perplexity_tri": q_lm_perplexity_tri,  # new r5: order-3 LM scores
         "cms_hot_keys": q_cms_hot_keys,  # new r5: count-min hot-key sketch
         "bpe_merges": q_bpe_merges,  # new r5: BPE merge-table training
@@ -3337,7 +3381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "weighted_sample": q_weighted_sample,
         # stable fillers rotating through the window
-        "reddit_parse_score": q_reddit_parse_score,
         "per_source_stats": q_per_source_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3368,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_priority": q_rollup_priority,
         "join3_topk": q_join3_topk,
         "filter_agg_pushdown": q_filter_agg_pushdown,
+        "reddit_parse_score": q_reddit_parse_score,
         "so_parse_score": q_so_parse_score,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
@@ -4386,6 +4430,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _corpus_report_oracle_sql(),
         "lm_perplexity": _lm_perplexity_oracle_sql(),
         "dsir_weights": _dsir_weights_oracle_sql(),
+        "dsir_domain_mixture": _dsir_domain_mixture_oracle_sql(),
         "lm_perplexity_tri": _lm_perplexity_tri_oracle_sql(),
         "cms_hot_keys": _cms_hot_keys_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),

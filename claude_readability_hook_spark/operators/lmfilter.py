@@ -328,6 +328,63 @@ def dsir_importance_weights(
     )
 
 
+def dsir_domain_mixture(
+    df: DataFrame,
+    target: DataFrame,
+    domain_col: str = "source",
+    sample_mod: int | None = LM_SAMPLE_MOD,
+    broadcast_lm: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """DoReMi-style domain mixture from the DSIR weights: per domain,
+    (n_docs, mean_weight, mixture_share) where mixture_share is the
+    domain's share of total importance mass — the sampling ratio a
+    domain-reweighted training run draws with (domains that read like
+    the target gain mass, off-domain ones shrink; uniform weights
+    reduce to doc-count shares).
+
+    Exactness discipline: per-doc weights are 6dp doubles; they
+    re-enter aggregation as exact micro-unit longs (round ×10⁶ — the
+    dsir_resample_expr recovery trick), so the sums are
+    order-independent int64 and the mean/share divisions are single
+    exactly-rounded IEEE ops — DuckDB-hash-safe. One narrow rollup on
+    top of the one-scan scorer; the domain cardinality is tiny, so the
+    total-mass join broadcasts a single row."""
+    w = dsir_importance_weights(
+        df, target, None, None, sample_mod, broadcast_lm, text_col
+    )
+    doms = df.select("doc_id", F.col(domain_col).alias("domain"))
+    micro = F.expr("CAST(round(dsir_weight * 1000000) AS BIGINT)")
+    per = (
+        w.join(doms, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(micro).alias("mass_micro"),
+        )
+    )
+    total = per.agg(F.sum("mass_micro").alias("total_micro"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            F.round(
+                F.expr("(2 * mass_micro + n_docs) div (2 * n_docs)").cast(
+                    "double"
+                )
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_weight"),
+            F.round(
+                F.col("mass_micro").cast("double")
+                / F.col("total_micro").cast("double"),
+                6,
+            ).alias("mixture_share"),
+        )
+    )
+
+
 def dsir_resample_expr(weight_col: str = "dsir_weight", scale: int = 1) -> F.Column:
     """Deterministic importance-RESAMPLING keep predicate: accept doc
     i with probability min(1, weight_i / scale), decided by the

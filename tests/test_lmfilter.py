@@ -233,3 +233,34 @@ def test_dsir_resample_deterministic_and_capped(spark):
     # light docs are thinned, not eliminated wholesale
     light = {r["doc_id"] for r in df.filter(F.col("dsir_weight") <= 0.5).collect()}
     assert 0 < len(kept1 & light) < len(light)
+
+
+def test_dsir_domain_mixture_shares(spark):
+    """Shares sum to 1 and favor the in-domain source; uniform weights
+    reduce to doc-count shares."""
+    from claude_readability_hook_spark.operators.lmfilter import (
+        dsir_domain_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en", "web"),
+            (2, "the dog sat on the rug", "en", "web"),
+            (3, "the cat and the dog sat", "en", "web"),
+            (4, "der hund sitzt auf dem teppich", "de", "forum"),
+            (5, "der hund und der teppich", "de", "forum"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        r["domain"]: r
+        for r in dsir_domain_mixture(
+            docs, docs.filter(F.col("lang") == "en"), sample_mod=None
+        ).collect()
+    }
+    assert set(out) == {"web", "forum"}
+    assert abs(out["web"]["mixture_share"] + out["forum"]["mixture_share"] - 1.0) < 1e-6
+    # the English source out-masses its doc-count share
+    assert out["web"]["mixture_share"] > 3 / 5
+    assert out["web"]["mean_weight"] > out["forum"]["mean_weight"]
+    assert out["web"]["n_docs"] == 3 and out["forum"]["n_docs"] == 2
