@@ -2207,6 +2207,70 @@ def _ivf_pq_knn_join_oracle_sql() -> str:
     """
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality gate (r6): recall@k of the production IVF
+    k-NN-join plan against the exact brute-force truth on the query
+    sample — both rankings tie-broken on (6dp cosine, vec_id), so the
+    recall numbers are deterministic and DuckDB recomputes them from
+    the same centroid chain."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        ann_recall_eval,
+        build_ivf_index,
+    )
+
+    path = _index_cache_dir(
+        sf_dir, "ivf",
+        f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _publish_index(
+        path,
+        lambda tmp: build_ivf_index(
+            emb, tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
+            sample_mod=IVF_SAMPLE_MOD,
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_recall_eval(
+        spark, path, queries, emb, kk=ANN_K, n_probe=IVF_N_PROBE
+    )
+
+
+def _ann_recall_eval_oracle_sql() -> str:
+    return f"""
+        WITH approx AS MATERIALIZED ({_ivf_knn_join_oracle_sql()}),
+        qq2 AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                WHERE vec_id < {KNN_QUERIES}),
+        exact AS MATERIALIZED (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY round({_COSINE_SQL}, 6) DESC,
+                              e.vec_id) AS rn
+            FROM qq2 q, embeddings e
+            WHERE e.vec_id <> q.query_id) t
+          WHERE rn <= {ANN_K}
+        ),
+        hits AS (
+          SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM exact x
+          JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+          GROUP BY x.query_id
+        ),
+        truth AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+          FROM exact GROUP BY query_id
+        )
+        SELECT t.query_id, t.n_truth,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(COALESCE(h.n_hits, 0)::DOUBLE / t.n_truth::DOUBLE, 6)
+                 AS recall
+        FROM truth t LEFT JOIN hits h USING (query_id)
+    """
+
+
 def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN JOIN against the materialized IVF index: top-k neighbors
     for EVERY query row in one plan (in-row probe selection → DPP
@@ -3348,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,  # new r5: product-quantized IVF (ADC)
         "ivf_ann_topk_q8": q_ivf_ann_topk_q8,
         "ann_knn_join": q_ann_knn_join,
+        "ann_recall_eval": q_ann_recall_eval,  # new r6: retrieval quality gate
         "ann_knn_join_pq": q_ann_knn_join_pq,  # new r5: PQ batch retrieval
         "ann_knn_join_q8": q_ann_knn_join_q8,
         "lsh_knn_join": q_lsh_knn_join,
@@ -3379,7 +3444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_salted": q_sessionize_salted,
         # recently-changed stable (r4 fixes, green r3+r4)
         "dedup_clusters": q_dedup_clusters,
-        "weighted_sample": q_weighted_sample,
         # stable fillers rotating through the window
         "per_source_stats": q_per_source_stats,
         "dedup_exact": q_dedup_exact,
@@ -3412,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join3_topk": q_join3_topk,
         "filter_agg_pushdown": q_filter_agg_pushdown,
         "reddit_parse_score": q_reddit_parse_score,
+        "weighted_sample": q_weighted_sample,
         "so_parse_score": q_so_parse_score,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
@@ -4418,6 +4483,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk_q8": _ivf_q8_topk_oracle_sql(),
         "ann_knn_join_q8": _ivf_knn_join_q8_oracle_sql(),
         "ann_knn_join": _ivf_knn_join_oracle_sql(),
+        "ann_recall_eval": _ann_recall_eval_oracle_sql(),
         "lsh_knn_join": _lsh_knn_join_oracle_sql(),
         "media_features": _media_features_oracle_sql(),
         "media_audio_stats": _media_audio_oracle_sql(),

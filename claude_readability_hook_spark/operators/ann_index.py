@@ -917,3 +917,83 @@ def lsh_index_topk(
 # kind-generic since round 5 (ivf / ivf_q8 / lsh all compact through the
 # same manifest commit); the historical name stays for callers
 compact_index = compact_ivf_index
+
+
+def ann_recall_eval(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    kk: int = 10,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Retrieval-quality evaluation: (query_id, n_truth, n_hits,
+    recall) — recall@k of the IVF index's k-NN join against the EXACT
+    brute-force truth, per query. The standard accept/reject gate for
+    an ANN configuration (k_ivf / n_probe trade recall for probe cost;
+    this measures what a setting actually buys on this corpus).
+
+    Scale contract: the truth side is a cross join — intentionally.
+    Exact truth is O(|queries| × |corpus|) for ANY engine, so the eval
+    runs on a bounded QUERY SAMPLE (the hash-sample family), never the
+    full query log; the corpus side streams through one scan with the
+    sampled queries broadcast. The approx side is the production
+    ivf_knn_join plan itself — probe pruning included — so the eval
+    measures the plan it certifies. Both rankings order by
+    (6dp-rounded cosine DESC, vec_id): ties break identically in
+    every engine, so recall is deterministic."""
+    from pyspark.sql import Window as W
+
+    from .similarity import cosine_expr
+
+    approx = ivf_knn_join(
+        spark, root, queries, kk, n_probe,
+        query_id_col=query_id_col, vec_col=vec_col,
+        broadcast_queries=broadcast_queries,
+    ).select("query_id", "vec_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (
+        corpus.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    exact = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    ).filter(F.col("rn") <= kk)
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("long").alias("n_hits"))
+    truth_counts = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    return (
+        truth_counts.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

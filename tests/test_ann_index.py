@@ -308,3 +308,27 @@ def test_knn_join_shuffle_hash_path_matches_broadcast(spark, tmp_path):
             assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ann_recall_eval_full_probe_is_perfect(spark, tmp_path):
+    """recall@k sanity: probing EVERY inverted list makes the index
+    search exhaustive, so recall must be exactly 1.0 for every query;
+    with one probe it can only drop."""
+    from claude_readability_hook_spark.operators.ann_index import (
+        ann_recall_eval,
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ivf")
+    build_ivf_index(emb, root, k=4, iterations=2, dims=64, sample_mod=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = ann_recall_eval(spark, root, queries, emb, kk=5, n_probe=4)
+    assert all(r["recall"] == 1.0 for r in full.collect())
+    one = {
+        r["query_id"]: r["recall"]
+        for r in ann_recall_eval(spark, root, queries, emb, kk=5, n_probe=1).collect()
+    }
+    assert all(0.0 <= v <= 1.0 for v in one.values())
