@@ -137,7 +137,11 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "media_video_pts",
         "media_phash",
         "image_dedup_pairs",
+        "image_index_dedup",
         "dsir_weights",
+        "dsir_domain_mixture",
+        "bpe_pack_symbols",
+        "ann_recall_eval",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds each):
     # one rep — the round count, not host noise, dominates their time,
@@ -147,6 +151,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "bpe_encode",
         "bpe_encode_trie",
         "sequence_pack_bpe_learned",
+        "bpe_pack_symbols",
     }
 
     times: dict[str, float] = {}
