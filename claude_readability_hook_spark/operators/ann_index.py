@@ -978,22 +978,20 @@ def ann_recall_eval(
             )
         ),
     ).filter(F.col("rn") <= kk)
-    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").groupBy(
-        "query_id"
-    ).agg(F.count("*").cast("long").alias("n_hits"))
-    truth_counts = exact.groupBy("query_id").agg(
-        F.count("*").cast("long").alias("n_truth")
+    # ONE pass over the truth: mark hits with a left join and count
+    # both totals in the same aggregation — a separate truth-count
+    # branch would re-run the brute-force scoring a second time
+    marked = exact.join(
+        approx.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left"
     )
-    return (
-        truth_counts.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "n_truth",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-                / F.col("n_truth").cast("double"),
-                6,
-            ).alias("recall"),
-        )
+    return marked.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_truth"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+    ).select(
+        "query_id",
+        "n_truth",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_truth").cast("double"), 6
+        ).alias("recall"),
     )

@@ -339,10 +339,17 @@ def pack_bpe_symbol_records(
     the words of ONE doc — doc-bounded by construction), symbol index
     (posexplode). The only wide rows are the final per-pack collects,
     which are the export's own output volume."""
-    from .bpetrain import _doc_words, trie_encode_word_symbol_arrays
+    from .bpetrain import trie_encode_word_symbol_arrays
 
-    words = _doc_words(df, text_col).join(
-        df.select("doc_id", F.col(shard_col).alias("shard")), "doc_id"
+    # tokenize WITH the shard column in one projection — joining the
+    # word table back to df for the shard would re-scan the corpus
+    # (r6 plan audit caught the SortMergeJoin self-join)
+    toks = F.transform(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")),
+        F.lower,
+    )
+    words = df.select(
+        "doc_id", F.col(shard_col).alias("shard"), toks.alias("ws")
     )
     word_syms = trie_encode_word_symbol_arrays(
         words.select(F.explode("ws").alias("w")).distinct(), merges
