@@ -980,10 +980,13 @@ def ann_recall_eval(
     ).filter(F.col("rn") <= kk)
     # ONE pass over the truth: mark hits with a left join and count
     # both totals in the same aggregation — a separate truth-count
-    # branch would re-run the brute-force scoring a second time
-    marked = exact.join(
-        approx.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left"
-    )
+    # branch would re-run the brute-force scoring a second time. The
+    # approx side is ≤ k rows per sampled query, so it broadcasts
+    # whenever the query sample does.
+    marks = approx.withColumn("_hit", F.lit(1))
+    if broadcast_queries:
+        marks = F.broadcast(marks)
+    marked = exact.join(marks, ["query_id", "vec_id"], "left")
     return marked.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_truth"),
         F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),

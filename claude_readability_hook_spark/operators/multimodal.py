@@ -306,10 +306,12 @@ def demux_video_samples(media: DataFrame, sync_only: bool = False) -> DataFrame:
     sync_only=True keeps keyframes only (the standard thumbnail /
     shot-sampling policy — decodable without reference frames).
     Same scan-side mapInPandas shape as the other media operators:
-    payloads never shuffle, the output is narrow metadata. Non-MP4 /
-    fragmented payloads degrade per-row to decode_ok='stubbed' (poison
-    isolation; the duration_ms-based sample_video_frames below remains
-    the metadata-only fallback)."""
+    payloads never shuffle, the output is narrow metadata. Plain AND
+    fragmented (moof/trun) MP4s demux for real since r5/r6; non-MP4
+    payloads and NotImplementedError layouts (complex edit lists,
+    flag-less non-first trafs) degrade per-row to decode_ok='stubbed'
+    (poison isolation; the duration_ms-based sample_video_frames below
+    remains the metadata-only fallback)."""
 
     def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..core.mp4codec import demux_mp4, is_mp4
@@ -468,10 +470,10 @@ def extract_video_frames(
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Metadata-only frame-sampling fallback for video payloads whose
-    container demux_video_samples cannot walk (non-ISO-BMFF,
-    fragmented): frame offsets derived from duration_ms metadata —
-    the schema/explode shape a demuxer would feed, minus real byte
-    offsets."""
+    container demux_video_samples cannot walk (non-ISO-BMFF, or the
+    documented NotImplementedError layouts): frame offsets derived
+    from duration_ms metadata — the schema/explode shape a demuxer
+    would feed, minus real byte offsets."""
     frames = F.when(
         F.col("duration_ms").isNotNull(),
         F.transform(
