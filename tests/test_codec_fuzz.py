@@ -52,6 +52,24 @@ def _valid_fmp4() -> bytes:
     return encode_fragmented_mp4([[50, 64], [72, 40]], seed=9)
 
 
+def _valid_mp4_pts() -> bytes:
+    # ctts + elst: the r6 composition-time parse paths under mutation
+    return encode_minimal_mp4(
+        [50, 80, 64, 40], seed=9, ctts_offsets=[40, 120, 0, 80],
+        elst_media_time=40, elst_empty_ms=60,
+    )
+
+
+def _valid_fmp4_pts() -> bytes:
+    from claude_readability_hook_spark.core.mp4codec import encode_fragmented_mp4
+
+    return encode_fragmented_mp4(
+        [[50, 64], [72, 40]], seed=9,
+        fragment_cts=[[40, 120], [0, 80]],
+        elst_media_time=40, elst_empty_ms=20,
+    )
+
+
 def _valid_jpeg_prog() -> bytes:
     return encode_jpeg_gray_progressive(
         [[(x * 5 + y * 3) % 256 for x in range(16)] for y in range(16)]
@@ -79,7 +97,7 @@ def test_random_bytes_never_hang_decoders(payload):
 
 @settings(max_examples=60, deadline=None)
 @given(
-    st.sampled_from(["jpeg", "jpegprog", "wav", "png", "pdf", "pdf85", "mp4", "fmp4"]),
+    st.sampled_from(["jpeg", "jpegprog", "wav", "png", "pdf", "pdf85", "mp4", "fmp4", "mp4pts", "fmp4pts"]),
     st.integers(min_value=0, max_value=10_000),
     st.integers(min_value=0, max_value=255),
 )
@@ -93,6 +111,8 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
         "pdf85": _valid_pdf85,
         "mp4": _valid_mp4,
         "fmp4": _valid_fmp4,
+        "mp4pts": _valid_mp4_pts,
+        "fmp4pts": _valid_fmp4_pts,
     }[kind]()
     mutated = bytearray(base)
     mutated[pos % len(mutated)] = val
@@ -105,6 +125,8 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
         "pdf85": decode_pdf,
         "mp4": demux_mp4,
         "fmp4": demux_mp4,
+        "mp4pts": demux_mp4,
+        "fmp4pts": demux_mp4,
     }[kind]
     try:
         dec(bytes(mutated))
@@ -113,7 +135,7 @@ def test_single_byte_mutations_fail_cleanly(kind, pos, val):
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.sampled_from(["jpeg", "jpegprog", "wav", "png", "pdf", "pdf85", "mp4", "fmp4"]), st.data())
+@given(st.sampled_from(["jpeg", "jpegprog", "wav", "png", "pdf", "pdf85", "mp4", "fmp4", "mp4pts", "fmp4pts"]), st.data())
 def test_truncations_fail_cleanly(kind, data):
     base = {
         "jpeg": _valid_jpeg,
@@ -124,6 +146,8 @@ def test_truncations_fail_cleanly(kind, data):
         "pdf85": _valid_pdf85,
         "mp4": _valid_mp4,
         "fmp4": _valid_fmp4,
+        "mp4pts": _valid_mp4_pts,
+        "fmp4pts": _valid_fmp4_pts,
     }[kind]()
     cut = data.draw(st.integers(min_value=0, max_value=len(base) - 1))
     dec = {
@@ -135,6 +159,8 @@ def test_truncations_fail_cleanly(kind, data):
         "pdf85": decode_pdf,
         "mp4": demux_mp4,
         "fmp4": demux_mp4,
+        "mp4pts": demux_mp4,
+        "fmp4pts": demux_mp4,
     }[kind]
     try:
         dec(base[:cut])
