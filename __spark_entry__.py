@@ -437,6 +437,118 @@ def _image_index_dedup_oracle_sql() -> str:
     """
 
 
+def q_canonical_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-ref canonicalization across the interleaved span corpus
+    (r6): perceptual clusters rewrite duplicate image refs to their
+    cluster keeper IN the span arrays — span order and text untouched,
+    only ref strings move (the storage-dedup payoff). Fixture: each
+    doc interleaves one text span with its 'ia:N' base image and the
+    'ai:N' twin; DuckDB recomputes hashes → pairs → recursive-CTE
+    connected components → the same COALESCE rewrite, exploded back to
+    rows."""
+    from claude_readability_hook_spark.operators.imagededup import (
+        canonicalize_media_refs,
+        image_dhash,
+        image_dup_clusters,
+        image_dup_pairs,
+    )
+    from claude_readability_hook_spark.operators.multimodal import (
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(
+        spark, [f"ia:{i}" for i in range(IMGDUP_PAIR_REFS)], real_png_dhash=True
+    ).unionByName(
+        synthesize_media_table(
+            spark,
+            [f"ai:{i}" for i in range(IMGDUP_PAIR_REFS)],
+            real_png_dhash=True,
+            dhash_twin=True,
+        )
+    )
+    clusters = image_dup_clusters(
+        image_dup_pairs(image_dhash(media), max_distance=3, max_bucket_size=None)
+    )
+    docs = spark.createDataFrame(
+        [
+            (
+                f"cd:{i}",
+                [
+                    ("text", f"doc {i}", "", 0),
+                    ("media", "", f"ia:{i}", 1),
+                    ("media", "", f"ai:{i}", 2),
+                ],
+            )
+            for i in range(IMGDUP_PAIR_REFS)
+        ],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>",
+    )
+    out = canonicalize_media_refs(docs, clusters)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("offset"),
+    )
+
+
+def _canonical_media_refs_oracle_sql() -> str:
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    return f"""
+        WITH RECURSIVE prefs AS (
+          SELECT 'ia:' || i::VARCHAR AS media_ref, 0 AS twin
+          FROM range(0, {IMGDUP_PAIR_REFS}) t(i)
+          UNION ALL
+          SELECT 'ai:' || i::VARCHAR AS media_ref, 1 AS twin
+          FROM range(0, {IMGDUP_PAIR_REFS}) t(i)
+        ),
+        ps AS (SELECT media_ref, twin, {asciisum} AS seed FROM prefs),
+        dims AS (
+          SELECT media_ref, seed, twin, 16 + seed % 16 AS w,
+                 5 + seed % 7 AS a, 11 + seed % 5 AS b
+          FROM ps
+        ),
+        bits AS ({_DHASH_BITS_SQL}),
+        packed AS MATERIALIZED ({_DHASH_PACK_SQL}),
+        pairs AS (
+          SELECT h1.media_ref AS ra, h2.media_ref AS rb
+          FROM packed h1 JOIN packed h2 ON h1.media_ref < h2.media_ref
+          WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 3
+        ),
+        edges AS (SELECT ra AS src, rb AS dst FROM pairs
+                  UNION SELECT rb, ra FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        mapping AS (
+          SELECT src AS ref, least(src, min(dst)) AS canon
+          FROM reach GROUP BY src
+        ),
+        docs AS (
+          SELECT 'cd:' || i::VARCHAR AS doc_id, i FROM range(0, {IMGDUP_PAIR_REFS}) t(i)
+        )
+        SELECT doc_id, 0::BIGINT AS pos, 'text' AS kind,
+               'doc ' || i::VARCHAR AS text, '' AS media_ref, 0::BIGINT AS "offset"
+        FROM docs
+        UNION ALL
+        SELECT doc_id, 1::BIGINT, 'media', '',
+               COALESCE(m.canon, 'ia:' || i::VARCHAR), 1::BIGINT
+        FROM docs LEFT JOIN mapping m ON m.ref = 'ia:' || i::VARCHAR
+        UNION ALL
+        SELECT doc_id, 2::BIGINT, 'media', '',
+               COALESCE(m.canon, 'ai:' || i::VARCHAR), 2::BIGINT
+        FROM docs LEFT JOIN mapping m ON m.ref = 'ai:' || i::VARCHAR
+    """
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (r6): every doc scored under a
     TARGET bigram LM (trained on the lang='en' hash-sample — the
@@ -3406,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": q_media_phash,  # new r6: perceptual image hash
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
+        "canonical_media_refs": q_canonical_media_refs,  # new r6: span rewrite
         # ann_index.py changed this round (manifest retry merge,
         # retention knobs, compact kind carry, broadcast_queries knob)
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -4518,6 +4631,7 @@ def oracle_sql() -> dict[str, str]:
         "media_phash": _media_phash_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
         "image_index_dedup": _image_index_dedup_oracle_sql(),
+        "canonical_media_refs": _canonical_media_refs_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),
         "ann_lsh_topk_multiprobe": f"""
             WITH buckets AS (

@@ -142,6 +142,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "dsir_domain_mixture",
         "bpe_pack_symbols",
         "ann_recall_eval",
+        "canonical_media_refs",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds each):
     # one rep — the round count, not host noise, dominates their time,

@@ -387,3 +387,94 @@ def image_index_dedup(
         .filter(F.col("distance") <= max_distance)
         .distinct()
     )
+
+
+def canonicalize_media_refs(
+    df: DataFrame, clusters: DataFrame, broadcast_map: bool = True
+) -> DataFrame:
+    """Rewrite the interleaved span corpus so every near-duplicate
+    image points at its cluster's CANONICAL media_ref — the storage
+    dedup that makes perceptual clustering pay off in the data model
+    itself: after this pass the media store keeps ONE payload per
+    visual cluster and every document still renders, because the spans
+    (kind, text, media_ref, offset) keep their order and only the ref
+    strings move. `clusters` is image_dup_clusters' (media_ref,
+    cluster_id); refs outside any cluster pass through untouched.
+
+    Two regimes, identical output (differential-tested):
+      broadcast_map=True (default): the (dup ref → canonical) pairs —
+        bounded by the DUPLICATE count, not the corpus — collect to a
+        broadcast dict and a scan-side mapInPandas rewrites each doc's
+        span array in place. Documents NEVER shuffle; this is the
+        trie-encoder broadcast pattern, and the collect is the
+        documented driver agg of this operator.
+      broadcast_map=False: the shuffle regime for when the dup set
+        outgrows the driver — (doc_id, spans) explodes, left-joins the
+        mapping on media_ref, and regroups by position; the span
+        CONTENT pays one shuffle, so prefer the default whenever the
+        mapping fits."""
+    mapping = clusters.filter(F.col("media_ref") != F.col("cluster_id")).select(
+        "media_ref", "cluster_id"
+    )
+    if broadcast_map:
+        lut = {
+            r["media_ref"]: r["cluster_id"] for r in mapping.collect()
+        }
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(lut)
+        schema = df.schema
+
+        def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            m = bc.value
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["spans"] = [
+                    [
+                        dict(s, media_ref=m.get(s["media_ref"], s["media_ref"]))
+                        for s in spans
+                    ]
+                    if spans is not None
+                    else None
+                    for spans in pdf["spans"]
+                ]
+                yield pdf
+
+        return df.mapInPandas(rewrite, schema=schema)
+
+    span_type = df.schema["spans"].dataType
+    exploded = df.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+    rejoined = (
+        exploded.join(mapping, exploded["s.media_ref"] == mapping["media_ref"], "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.struct(
+                F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"),
+                F.coalesce(F.col("cluster_id"), F.col("s.media_ref")).alias(
+                    "media_ref"
+                ),
+                F.col("s.offset").alias("offset"),
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("_rw")
+        )
+    )
+    # empty/null span rows vanish through the explode — restore them
+    # from the original column so both regimes are bit-equal
+    return (
+        df.withColumnRenamed("spans", "_orig")
+        .join(rejoined, "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.when(F.col("_orig").isNull(), F.lit(None).cast(span_type)).otherwise(
+                F.coalesce(F.col("_rw"), F.array().cast(span_type))
+            ),
+        )
+        .drop("_orig", "_rw")
+    )

@@ -300,3 +300,57 @@ def test_image_hash_index_lifecycle(spark, tmp_path):
         ).collect()
     }
     assert got4 == got2
+
+
+def test_canonicalize_media_refs_both_regimes(spark):
+    """Span rewrite: dup refs move to the cluster keeper, keepers and
+    unclustered refs pass through, span order/text/offsets untouched,
+    non-span columns preserved — broadcast and shuffle regimes
+    bit-equal."""
+    from claude_readability_hook_spark.operators.imagededup import (
+        canonicalize_media_refs,
+    )
+
+    clusters = spark.createDataFrame(
+        [("imgA", "imgA"), ("imgB", "imgA"), ("imgC", "imgA")],
+        "media_ref string, cluster_id string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                "k1",
+                [
+                    ("text", "hello", "", 0),
+                    ("media", "", "imgB", 1),
+                    ("media", "", "imgZ", 2),
+                ],
+            ),
+            ("d2", "k2", [("media", "", "imgC", 0), ("media", "", "imgA", 1)]),
+            ("d3", "k3", []),
+        ],
+        "doc_id string, extra string, spans array<struct<kind string, "
+        "text string, media_ref string, offset int>>",
+    )
+
+    def norm(df):
+        return sorted(
+            (
+                r["doc_id"],
+                r["extra"],
+                tuple(map(tuple, r["spans"])) if r["spans"] is not None else None,
+            )
+            for r in df.collect()
+        )
+
+    a = norm(canonicalize_media_refs(docs, clusters, broadcast_map=True))
+    b = norm(canonicalize_media_refs(docs, clusters, broadcast_map=False))
+    assert a == b
+    byid = {d: s for d, _x, s in a}
+    assert byid["d1"] == (
+        ("text", "hello", "", 0),
+        ("media", "", "imgA", 1),   # dup -> keeper
+        ("media", "", "imgZ", 2),   # unclustered passthrough
+    )
+    assert byid["d2"] == (("media", "", "imgA", 0), ("media", "", "imgA", 1))
+    assert byid["d3"] == ()
