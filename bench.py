@@ -144,15 +144,17 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "ann_recall_eval",
         "canonical_media_refs",
     ]
-    # driver-coordinated iterative jobs (8 BPE merge rounds each):
-    # one rep — the round count, not host noise, dominates their time,
-    # and 3 reps would double the whole bench wall-clock
+    # driver-coordinated iterative jobs (8 BPE merge rounds, or the
+    # connected-components pointer-jump loop): one rep — the round
+    # count, not host noise, dominates their time, and 3 reps would
+    # double the whole bench wall-clock
     single_rep = {
         "bpe_merges",
         "bpe_encode",
         "bpe_encode_trie",
         "sequence_pack_bpe_learned",
         "bpe_pack_symbols",
+        "canonical_media_refs",
     }
 
     times: dict[str, float] = {}
