@@ -367,6 +367,109 @@ def _lm_perplexity_oracle_sql() -> str:
     """
 
 
+def q_image_dedup_pairs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dual-hash detector (r6): pairs within distance ≤ 3 on
+    EITHER perceptual hash over the twin fixture, both distances
+    reported (NULL where that hash alone would not flag the pair).
+    DuckDB rebuilds BOTH signed hash families — the aHash cells carry
+    the same twin bump and integer mean — and full-outer-merges the
+    two pair sets."""
+    from claude_readability_hook_spark.operators.imagededup import (
+        image_dhash,
+        image_dup_pairs_both,
+    )
+    from claude_readability_hook_spark.operators.multimodal import (
+        synthesize_media_table,
+    )
+
+    base = synthesize_media_table(
+        spark, [f"ia:{i}" for i in range(IMGDUP_PAIR_REFS)], real_png_dhash=True
+    )
+    twin = synthesize_media_table(
+        spark,
+        [f"ai:{i}" for i in range(IMGDUP_PAIR_REFS)],
+        real_png_dhash=True,
+        dhash_twin=True,
+    )
+    hashes = image_dhash(base.unionByName(twin))
+    both = image_dup_pairs_both(hashes, max_distance=3, max_bucket_size=None)
+    # -1 sentinel for "this hash alone would not flag the pair": the
+    # driver compare sorts row tuples, which NULLs cannot participate in
+    return both.select(
+        "ref_a",
+        "ref_b",
+        F.coalesce("dhash_distance", F.lit(-1)).cast("long").alias(
+            "dhash_distance"
+        ),
+        F.coalesce("ahash_distance", F.lit(-1)).cast("long").alias(
+            "ahash_distance"
+        ),
+    )
+
+
+def _image_dedup_pairs_both_oracle_sql() -> str:
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    return f"""
+        WITH prefs AS (
+          SELECT 'ia:' || i::VARCHAR AS media_ref, 0 AS twin
+          FROM range(0, {IMGDUP_PAIR_REFS}) t(i)
+          UNION ALL
+          SELECT 'ai:' || i::VARCHAR AS media_ref, 1 AS twin
+          FROM range(0, {IMGDUP_PAIR_REFS}) t(i)
+        ),
+        ps AS (SELECT media_ref, twin, {asciisum} AS seed FROM prefs),
+        dims AS MATERIALIZED (
+          SELECT media_ref, seed, twin, 16 + seed % 16 AS w,
+                 5 + seed % 7 AS a, 11 + seed % 5 AS b
+          FROM ps
+        ),
+        bits AS ({_DHASH_BITS_SQL}),
+        dpacked AS MATERIALIZED ({_DHASH_PACK_SQL}),
+        acells AS MATERIALIZED (
+          SELECT media_ref, y.y * 8 + x.x AS k,
+                 ((seed + a * ((x.x * w) // 8) + b * (2 * y.y)
+                   + CASE WHEN twin = 1 AND x.x = 0 AND y.y = 0
+                          THEN 24 ELSE 0 END) % 256) AS val
+          FROM dims, range(0, 8) y(y), range(0, 8) x(x)
+        ),
+        ameans AS (
+          SELECT media_ref, sum(val) // 64 AS mu FROM acells GROUP BY media_ref
+        ),
+        abits AS (
+          SELECT c.media_ref, c.k,
+                 CASE WHEN c.val > m.mu THEN 1 ELSE 0 END AS bit
+          FROM acells c JOIN ameans m USING (media_ref)
+        ),
+        apacked AS MATERIALIZED (
+          SELECT media_ref,
+                 CAST(SUM(CASE WHEN k = 63
+                               THEN bit * (-9223372036854775807 - 1)
+                               ELSE bit * (1::BIGINT << k) END)
+                      AS BIGINT) AS ahash
+          FROM abits GROUP BY media_ref
+        ),
+        pairs_d AS (
+          SELECT h1.media_ref AS ref_a, h2.media_ref AS ref_b,
+                 CAST(bit_count(xor(h1.dhash, h2.dhash)) AS BIGINT) AS dhash_distance
+          FROM dpacked h1 JOIN dpacked h2 ON h1.media_ref < h2.media_ref
+          WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 3
+        ),
+        pairs_a AS (
+          SELECT h1.media_ref AS ref_a, h2.media_ref AS ref_b,
+                 CAST(bit_count(xor(h1.ahash, h2.ahash)) AS BIGINT) AS ahash_distance
+          FROM apacked h1 JOIN apacked h2 ON h1.media_ref < h2.media_ref
+          WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3
+        )
+        SELECT ref_a, ref_b,
+               CAST(COALESCE(d.dhash_distance, -1) AS BIGINT) AS dhash_distance,
+               CAST(COALESCE(a.ahash_distance, -1) AS BIGINT) AS ahash_distance
+        FROM pairs_d d FULL JOIN pairs_a a USING (ref_a, ref_b)
+    """
+
+
 def q_image_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental image dedup against the STORED hash index (r6):
     the 'ia:' base gradients build a band_key-partitioned manifest
@@ -3517,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_pts": q_media_video_pts,  # new r6: ctts/elst/trun-cts pts
         "media_phash": q_media_phash,  # new r6: perceptual image hash
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
+        "image_dedup_pairs_both": q_image_dedup_pairs_both,  # new r6: dual hash
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
         "canonical_media_refs": q_canonical_media_refs,  # new r6: span rewrite
         # ann_index.py changed this round (manifest retry merge,
@@ -3550,7 +3654,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_deciles": q_value_deciles,
         "source_set_ops": q_source_set_ops,
         "windowed_counts": q_windowed_counts,
-        "content_hash": q_content_hash,
         # sessions.py changed this round (sessionize_auto CMS routing) —
         # both pairs re-enter the window per the standing rule
         "sessionize": q_sessionize,
@@ -3590,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_agg_pushdown": q_filter_agg_pushdown,
         "reddit_parse_score": q_reddit_parse_score,
         "weighted_sample": q_weighted_sample,
+        "content_hash": q_content_hash,
         "so_parse_score": q_so_parse_score,
         "quality_score_a1": q_quality_score_a1,
         "readability_score_a2": q_readability_score_a2,
@@ -4630,6 +4734,7 @@ def oracle_sql() -> dict[str, str]:
         "media_video_pts": _media_video_pts_oracle_sql(),
         "media_phash": _media_phash_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
+        "image_dedup_pairs_both": _image_dedup_pairs_both_oracle_sql(),
         "image_index_dedup": _image_index_dedup_oracle_sql(),
         "canonical_media_refs": _canonical_media_refs_oracle_sql(),
         "ann_lsh_probes": _lsh_probes_sql(),

@@ -143,6 +143,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "bpe_pack_symbols",
         "ann_recall_eval",
         "canonical_media_refs",
+        "image_dedup_pairs_both",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds, or the
     # connected-components pointer-jump loop): one rep — the round

@@ -478,3 +478,29 @@ def canonicalize_media_refs(
         )
         .drop("_orig", "_rw")
     )
+
+
+def image_dup_pairs_both(
+    hashes: DataFrame,
+    max_distance: int = 3,
+    n_bands: int = 8,
+    max_bucket_size: int | None = 50,
+) -> DataFrame:
+    """The belt-and-braces detector the image_dhash docstring promises:
+    pairs within `max_distance` on EITHER perceptual hash, with both
+    distances reported — (ref_a, ref_b, dhash_distance,
+    ahash_distance), a distance NULL when that hash alone would not
+    have flagged the pair. dHash catches gradient/structure dups that
+    aHash's global mean washes out; aHash catches flat-heavy dups
+    whose dHash tie bits jitter — the union is the standard production
+    policy. Two independent banded searches over the SAME narrow hash
+    table (no extra decode), merged on the pair key."""
+    d = image_dup_pairs(
+        hashes, max_distance, n_bands, max_bucket_size, hash_col="dhash"
+    ).withColumnRenamed("distance", "dhash_distance")
+    a = image_dup_pairs(
+        hashes, max_distance, n_bands, max_bucket_size, hash_col="ahash"
+    ).withColumnRenamed("distance", "ahash_distance")
+    return d.join(a, ["ref_a", "ref_b"], "full").select(
+        "ref_a", "ref_b", "dhash_distance", "ahash_distance"
+    )

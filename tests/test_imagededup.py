@@ -354,3 +354,29 @@ def test_canonicalize_media_refs_both_regimes(spark):
     )
     assert byid["d2"] == (("media", "", "imgA", 0), ("media", "", "imgA", 1))
     assert byid["d3"] == ()
+
+
+def test_dual_hash_pairs_union_semantics(spark):
+    """image_dup_pairs_both: a pair flagged by only one hash carries a
+    NULL for the other; pairs flagged by both carry both distances."""
+    from claude_readability_hook_spark.operators.imagededup import (
+        image_dup_pairs_both,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 100, 5000),
+            ("b", 101, 5001),          # close on BOTH
+            ("c", 100 ^ 0b11, 1 << 40),  # close on dhash only
+            ("d", 1 << 30, 5000 ^ 0b1),  # close on ahash only (to a)
+        ],
+        "media_ref string, dhash long, ahash long",
+    )
+    got = {
+        (r["ref_a"], r["ref_b"]): (r["dhash_distance"], r["ahash_distance"])
+        for r in image_dup_pairs_both(df, max_distance=3).collect()
+    }
+    assert got[("a", "b")] == (1, 1)
+    assert got[("a", "c")] == (2, None)
+    assert got[("a", "d")] == (None, 1)
+    assert ("c", "d") not in got
