@@ -288,13 +288,20 @@ def build_image_hash_index(
     n_bands: int = 8,
     hash_col: str = "dhash",
     retain_snapshots: int = 1,
+    mark_batch: tuple[str, int] | None = None,
 ) -> None:
     """Materialize the perceptual-hash index at `root`: banded rows
     partitioned by band_key under a fresh snapshot, committed through
     the same manifest protocol as every ANN index (exclusive-create
     publish, snapshot GC) — the store an INCREMENTAL crawl dedups new
     images against without rescanning history. ~n_bands·24 bytes per
-    image; the payloads never enter the index."""
+    image; the payloads never enter the index.
+
+    `mark_batch=(stream_id, batch_id)` records the committing
+    micro-batch in the manifest's `applied` map IN the same atomic
+    publish, so a foreachBatch replay (at-least-once) can detect the
+    batch already landed and skip the re-append (streaming/
+    image_stream.py's exactly-once-per-batch index discipline)."""
     from .ann_index import _gc_previous_snapshots, _new_data_dir, _publish_manifest
 
     ddir = _new_data_dir()
@@ -302,38 +309,68 @@ def build_image_hash_index(
         "overwrite"
     ).partitionBy("band_key").parquet(posixpath.join(root, ddir))
     published = dict(kind="imghash", dirs=[ddir], n_bands=n_bands)
+    if mark_batch is not None:
+        published["applied"] = {mark_batch[0]: mark_batch[1]}
     published["version"] = _publish_manifest(root, published)
     _gc_previous_snapshots(root, published, retain=retain_snapshots)
+
+
+def applied_batch(root: str, stream_id: str) -> int:
+    """Last micro-batch id a `mark_batch` commit recorded for
+    `stream_id` in the current manifest (-1 if none) — the replay
+    guard the streaming gate consults before appending."""
+    from .ann_index import current_manifest
+
+    m = current_manifest(root)
+    if m is None:
+        return -1
+    return int(m.get("applied", {}).get(stream_id, -1))
 
 
 def append_to_image_hash_index(
     hashes: DataFrame,
     root: str,
     hash_col: str = "dhash",
+    mark_batch: tuple[str, int] | None = None,
 ) -> None:
     """Incremental maintenance: band the new batch with the SAME
     layout (n_bands rides the manifest) and commit it as a new data
     dir via a MERGING publish — a racing committer that loses the
     exclusive create rebuilds over the winner's dirs (the
-    append_to_ivf_index lost-update discipline)."""
+    append_to_ivf_index lost-update discipline). `mark_batch` rides
+    the same publish (see build_image_hash_index) and is a NO-OP
+    guard: if the current manifest already records this batch as
+    applied, the append is skipped entirely (foreachBatch replay)."""
     from .ann_index import _new_data_dir, _publish_manifest, current_manifest
 
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no published index snapshot under {root}")
+    if mark_batch is not None:
+        sid, bid = mark_batch
+        if int(m.get("applied", {}).get(sid, -1)) >= bid:
+            return  # replayed batch: its data dir is already committed
     n_bands = int(m.get("n_bands", 8))
     ddir = _new_data_dir()
     _band_rows(hashes, n_bands, hash_col=hash_col).write.mode(
         "overwrite"
     ).partitionBy("band_key").parquet(posixpath.join(root, ddir))
-    _publish_manifest(
-        root,
-        lambda cur: dict(
+
+    def _body(cur):
+        base = cur or m
+        body = dict(
             kind="imghash",
-            dirs=(cur or m)["dirs"] + [ddir],
+            dirs=base["dirs"] + [ddir],
             n_bands=n_bands,
-        ),
-    )
+        )
+        applied = dict(base.get("applied", {}))
+        if mark_batch is not None:
+            applied[mark_batch[0]] = mark_batch[1]
+        if applied:
+            body["applied"] = applied
+        return body
+
+    _publish_manifest(root, _body)
 
 
 def image_index_dedup(
@@ -344,6 +381,7 @@ def image_index_dedup(
     hash_col: str = "dhash",
     broadcast_queries: bool = True,
     version: int | None = None,
+    include_same_ref: bool = False,
 ) -> DataFrame:
     """(new_ref, stored_ref, distance): near-duplicates of the NEW
     batch against the STORED index — the incremental-crawl gate (drop
@@ -360,7 +398,15 @@ def image_index_dedup(
     collapse never re-touch the store. broadcast_queries=True (default)
     broadcasts the new side — right whenever the batch is
     crawl-batch-sized; False flips to the shuffle-hash regime for
-    bulk-vs-bulk backfills."""
+    bulk-vs-bulk backfills.
+
+    include_same_ref: by default a probe whose ref EQUALS a stored ref
+    is filtered out — the streaming gate depends on this so a
+    foreachBatch REPLAY re-probing a store that already holds this
+    batch's hashes reproduces the original novel/dup split. A batch
+    re-ingestion job (media_job --index-root) flips it to True so a
+    re-crawl of an already-stored ref reads as a distance-0 stored
+    dup instead of silently re-entering the index."""
     from .ann_index import current_manifest, read_index
 
     m = current_manifest(root, version)
@@ -374,9 +420,11 @@ def image_index_dedup(
     stored = read_index(spark, root, m).filter(F.col("band_key").isin(keys))
     if broadcast_queries:
         probe = F.broadcast(probe)
+    joined = stored.join(probe, "band_key")
+    if not include_same_ref:
+        joined = joined.filter(F.col("ref") != F.col("new_ref"))
     return (
-        stored.join(probe, "band_key")
-        .filter(F.col("ref") != F.col("new_ref"))
+        joined
         .select(
             "new_ref",
             F.col("ref").alias("stored_ref"),
@@ -390,7 +438,10 @@ def image_index_dedup(
 
 
 def canonicalize_media_refs(
-    df: DataFrame, clusters: DataFrame, broadcast_map: bool = True
+    df: DataFrame,
+    clusters: DataFrame,
+    broadcast_map: bool | None = None,
+    broadcast_map_max: int = 2_000_000,
 ) -> DataFrame:
     """Rewrite the interleaved span corpus so every near-duplicate
     image points at its cluster's CANONICAL media_ref — the storage
@@ -402,8 +453,7 @@ def canonicalize_media_refs(
     cluster_id); refs outside any cluster pass through untouched.
 
     Two regimes, identical output (differential-tested):
-      broadcast_map=True (default): the (dup ref → canonical) pairs —
-        bounded by the DUPLICATE count, not the corpus — collect to a
+      broadcast_map=True: the (dup ref → canonical) pairs collect to a
         broadcast dict and a scan-side mapInPandas rewrites each doc's
         span array in place. Documents NEVER shuffle; this is the
         trie-encoder broadcast pattern, and the collect is the
@@ -411,11 +461,19 @@ def canonicalize_media_refs(
       broadcast_map=False: the shuffle regime for when the dup set
         outgrows the driver — (doc_id, spans) explodes, left-joins the
         mapping on media_ref, and regroups by position; the span
-        CONTENT pays one shuffle, so prefer the default whenever the
-        mapping fits."""
+        CONTENT pays one shuffle.
+      broadcast_map=None (default): AUTO — count the mapping (one
+        narrow agg over the already-narrow cluster table) and take the
+        broadcast path only when it holds ≤ broadcast_map_max entries.
+        At 100 TB the duplicate-ref set is exactly what gets huge
+        (crawls are majority-dup), so the unguarded driver collect is
+        never the default; the explicit booleans remain as overrides
+        for callers that already know their mapping size."""
     mapping = clusters.filter(F.col("media_ref") != F.col("cluster_id")).select(
         "media_ref", "cluster_id"
     )
+    if broadcast_map is None:
+        broadcast_map = mapping.count() <= broadcast_map_max
     if broadcast_map:
         lut = {
             r["media_ref"]: r["cluster_id"] for r in mapping.collect()

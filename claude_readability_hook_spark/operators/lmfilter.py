@@ -113,7 +113,10 @@ def train_bigram_lm(
     builds recompute their tiny pipelines in parallel driver threads
     while the cache serializes them on its materialization lock —
     persist=False is the right knob when the sample fits a few tasks;
-    the default optimizes the regime the operator exists for."""
+    the default optimizes the regime the operator exists for.
+
+    OWNERSHIP: the caller owns the returned tuple and must
+    release_lm(lm) after its last downstream action (see release_lm)."""
     sample = df
     if sample_mod is not None:
         sample = df.filter(
@@ -135,6 +138,19 @@ def train_bigram_lm(
     if persist:
         vocab = vocab.persist()
     return bg, ctx, vocab
+
+
+def release_lm(lm: tuple[DataFrame, ...]) -> None:
+    """Unpersist every cached frame behind a train_bigram_lm /
+    train_trigram_lm tuple. The trainers persist their count tables by
+    default and the CALLER owns the tuple: a long driver session that
+    builds many LMs (the 95-query contract run, repeated dsir calls)
+    accumulates cached partitions until LRU eviction unless it calls
+    this once the last downstream action has run. Frames that were
+    never persisted (persist=False) unpersist as a no-op."""
+    for f in lm:
+        for cached in getattr(f, "_crh_persisted", (f,)):
+            cached.unpersist()
 
 
 def lm_surprise_scores(
@@ -450,7 +466,8 @@ def train_trigram_lm(
     train_bigram_lm: trigram_counts = (tri, c3), context_counts =
     (ctx, c2 = Σ c3 over the context's trigrams), vocab = distinct
     sample tokens. Same plan shape: in-row expansion, one
-    vocabulary-bounded hash agg; same persist-by-default rationale."""
+    vocabulary-bounded hash agg; same persist-by-default rationale and
+    same OWNERSHIP contract: the caller release_lm(lm)'s the tuple."""
     sample = df
     if sample_mod is not None:
         sample = df.filter(
@@ -471,7 +488,11 @@ def train_trigram_lm(
     )
     if persist:
         vocab = vocab.persist()
-    return tri.select("tri", "c3"), ctx, vocab
+    out_tri = tri.select("tri", "c3")
+    # the returned frame is a PROJECTION of the cached one — stash the
+    # cached parent so release_lm can actually unpersist it
+    out_tri._crh_persisted = (tri,)
+    return out_tri, ctx, vocab
 
 
 def lm_trigram_surprise_scores(

@@ -75,6 +75,29 @@ def export_jsonl_shards(
     return n_shards
 
 
+def _write_shard_files(recs: DataFrame, path: str, compression: str) -> None:
+    """One output FILE per shard key, guaranteed: partitionBy('shard')
+    separates shard values into shard=<val>/ directories regardless of
+    hash placement, and the preceding repartition(cardinality, 'shard')
+    bounds the task count so each shard's records sit in one task —
+    exactly one file per directory (a hash collision merely co-locates
+    two shards in one task, which still writes one file into EACH
+    shard's directory). A bare repartition(n, 'shard') alone does NOT
+    give one-file-per-shard: hash partitioning n keys into n partitions
+    routinely collides distinct shards into shared files. Pack order
+    inside each file is preserved by the pre-write sort;
+    spark.read.json(path) restores `shard` as a partition column."""
+    n_shards = recs.select("shard").distinct().count()
+    (
+        recs.repartition(max(n_shards, 1), "shard")
+        .sortWithinPartitions("shard", "pack_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", compression)
+        .json(path)
+    )
+
+
 def export_packed_shards(
     docs: DataFrame,
     path: str,
@@ -95,19 +118,7 @@ def export_packed_shards(
 
     recs = pack_records(docs, seq_len, shard_col, text_col)
     n_packs = recs.count()
-    # one partition per DISTINCT shard key: a bare repartition("shard")
-    # hash-partitions into spark.sql.shuffle.partitions, colliding
-    # shards into shared files and writing many empty parts — count the
-    # shard cardinality (tiny: shards are sources) and size the shuffle
-    # to it so the per-file claim actually holds
-    n_shards = recs.select("shard").distinct().count()
-    (
-        recs.repartition(max(n_shards, 1), "shard")
-        .sortWithinPartitions("shard", "pack_id")
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .json(path)
-    )
+    _write_shard_files(recs, path, compression)
     return n_packs
 
 
@@ -130,12 +141,5 @@ def export_bpe_packed_shards(
 
     recs = pack_bpe_records(docs, merges, seq_len, shard_col, text_col)
     n_packs = recs.count()
-    n_shards = recs.select("shard").distinct().count()
-    (
-        recs.repartition(max(n_shards, 1), "shard")
-        .sortWithinPartitions("shard", "pack_id")
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .json(path)
-    )
+    _write_shard_files(recs, path, compression)
     return n_packs

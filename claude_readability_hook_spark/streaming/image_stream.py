@@ -6,11 +6,23 @@ micro-batch hashes its image payloads scan-side (one decode per
 image, payloads never shuffle), probes the STORED band_key-partitioned
 index for near-duplicates of anything already kept, splits the batch
 into novel / duplicate, writes both sinks, and appends ONLY the novel
-hashes as the next index snapshot. Checkpointing gives exactly-once-
-per-batch appends on restart — the streaming twin of
+hashes as the next index snapshot — the streaming twin of
 `media_job --index-root`, and the same foreachBatch reuse pattern as
 every other stream here (stream.py extraction, scrub_stream.py,
 index_stream.py).
+
+foreachBatch is AT-LEAST-once, so every batch effect is idempotent
+under replay: sink rows land in a per-batch directory
+(`novel_dir/batch_id=N/`) written with overwrite — a replay after a
+mid-batch failure rewrites the same directory instead of
+double-appending — and the index append records (stream_id, batch_id)
+in the manifest's `applied` map IN the same atomic publish
+(imagededup.append_to_image_hash_index mark_batch=), so a replay
+whose append already committed skips it. The replayed split itself is
+deterministic: image_index_dedup filters self-matches (ref !=
+new_ref) and in-batch survivors are pairwise farther than
+max_distance apart, so re-probing a store that already holds this
+batch's novel hashes reproduces the original novel/dup partition.
 
 In-batch duplicates: the batch also self-pairs (image_dup_pairs) and
 keeps each in-batch cluster's min ref, so two copies arriving in the
@@ -21,6 +33,8 @@ builds it (after self-dedup).
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -28,6 +42,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.ann_index import current_manifest
 from ..operators.imagededup import (
     append_to_image_hash_index,
+    applied_batch,
     build_image_hash_index,
     image_dhash,
     image_dup_pairs,
@@ -46,11 +61,14 @@ def dedup_image_stream(
 ) -> StreamingQuery:
     """Start the gate: `stream` carries MEDIA-schema rows; novel image
     rows (first copy of each perceptual cluster, batch- AND
-    store-wise) land under novel_dir, near-duplicates under dup_dir
-    with (match_ref, distance) columns, and the index at `index_root`
-    grows by exactly the novel hashes each batch."""
+    store-wise) land under novel_dir/batch_id=N, near-duplicates under
+    dup_dir/batch_id=N with (match_ref, distance) columns, and the
+    index at `index_root` grows by exactly the novel hashes each batch
+    (a replayed batch skips the append via the manifest's applied
+    marker and overwrites its own sink directories)."""
+    stream_id = posixpath.basename(posixpath.normpath(checkpoint_dir)) or "stream"
 
-    def _gate(batch: DataFrame, _batch_id: int) -> None:
+    def _gate(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         hashes = image_dhash(batch).filter(F.col("decode_ok") == "ok")
         hashes.persist()
@@ -72,7 +90,9 @@ def dedup_image_stream(
             survivors = hashes.join(batch_losers, "media_ref", "left_anti")
             if current_manifest(index_root) is None:
                 dup = batch_losers
-                build_image_hash_index(survivors, index_root)
+                build_image_hash_index(
+                    survivors, index_root, mark_batch=(stream_id, batch_id)
+                )
             else:
                 stored_hits = (
                     image_index_dedup(
@@ -90,14 +110,22 @@ def dedup_image_stream(
                     survivors = survivors.join(
                         stored_hits, "media_ref", "left_anti"
                     )
-                    append_to_image_hash_index(survivors, index_root)
+                    append_to_image_hash_index(
+                        survivors, index_root, mark_batch=(stream_id, batch_id)
+                    )
                 finally:
                     stored_hits.unpersist()
             novel_rows = batch.join(
                 survivors.select("media_ref"), "media_ref", "left_semi"
             ).drop("payload")
-            novel_rows.write.mode("append").parquet(novel_dir)
-            dup.write.mode("append").parquet(dup_dir)
+            # per-batch dirs + overwrite: a replay rewrites its own
+            # output instead of appending a second copy
+            novel_rows.write.mode("overwrite").parquet(
+                posixpath.join(novel_dir, f"batch_id={batch_id}")
+            )
+            dup.write.mode("overwrite").parquet(
+                posixpath.join(dup_dir, f"batch_id={batch_id}")
+            )
         finally:
             hashes.unpersist()
 

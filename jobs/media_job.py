@@ -147,23 +147,40 @@ def main() -> None:
             image_index_dedup,
         )
 
+        # in-batch self-dedup first, matching the streaming gate
+        # (image_stream._gate): a near-dup pair arriving in the SAME
+        # batch must contribute ONE hash to the index — the stored-
+        # index probe alone cannot see in-batch twins, and appending
+        # both would grow the index with rows image_pairs already
+        # flagged as losers
+        batch_losers = clusters.filter(
+            F.col("media_ref") != F.col("cluster_id")
+        ).select("media_ref")
+        keepers = hashes.join(batch_losers, "media_ref", "left_anti")
         if current_manifest(args.index_root) is None:
-            # bootstrap: this batch becomes snapshot v1 (in-batch dups
-            # are already in image_pairs above)
-            build_image_hash_index(hashes, args.index_root)
+            # bootstrap: this batch's cluster keepers become snapshot
+            # v1 (the losers are recorded in image_pairs above)
+            build_image_hash_index(keepers, args.index_root)
             n_index_dups = 0
         else:
+            # probe ALL hashes (losers included) so the dup metric sees
+            # every stored near-copy; include_same_ref so a re-crawl of
+            # an already-stored ref reads as a distance-0 stored dup
             idx_pairs = image_index_dedup(
-                spark, args.index_root, hashes, max_distance=args.max_distance
+                spark,
+                args.index_root,
+                hashes,
+                max_distance=args.max_distance,
+                include_same_ref=True,
             )
             idx_pairs.write.mode("overwrite").parquet(
                 f"{args.output}/index_dup_pairs"
             )
             idx_pairs = spark.read.parquet(f"{args.output}/index_dup_pairs")
             n_index_dups = idx_pairs.select("new_ref").distinct().count()
-            # append only the NOVEL hashes — dups of stored images must
-            # not re-enter the index
-            survivors = hashes.join(
+            # append only the NOVEL hashes — neither dups of stored
+            # images nor in-batch cluster losers may enter the index
+            survivors = keepers.join(
                 idx_pairs.select(F.col("new_ref").alias("media_ref")).distinct(),
                 "media_ref",
                 "left_anti",

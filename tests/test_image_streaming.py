@@ -104,3 +104,36 @@ def test_stream_gate_two_batches(spark, tmp_path):
     }
     assert idx_refs2 == {"a", "b", "c"}  # grew by exactly the novel hash
     assert len(m2["dirs"]) == 2  # bootstrap snapshot + one append
+
+    # idempotency plumbing: each batch recorded its applied marker in
+    # the SAME publish as its data dir, and sinks are per-batch dirs
+    from claude_readability_hook_spark.operators.imagededup import (
+        applied_batch,
+    )
+
+    assert applied_batch(str(tmp_path / "idx"), "ckpt") == 1
+    assert (tmp_path / "novel" / "batch_id=0").exists()
+    assert (tmp_path / "novel" / "batch_id=1").exists()
+
+    # a foreachBatch REPLAY of batch 1 (at-least-once) must not grow
+    # the index: mark_batch sees applied >= batch_id and no-ops
+    from claude_readability_hook_spark.operators.imagededup import (
+        append_to_image_hash_index,
+        image_dhash,
+    )
+
+    replay = image_dhash(
+        spark.createDataFrame([_img_row("c", _ramp(12, base=40))], schema=MEDIA)
+    ).filter(F.col("decode_ok") == "ok")
+    append_to_image_hash_index(
+        replay, str(tmp_path / "idx"), mark_batch=("ckpt", 1)
+    )
+    m3 = current_manifest(str(tmp_path / "idx"))
+    assert len(m3["dirs"]) == 2  # unchanged: replay skipped
+    # a genuinely NEW batch still appends and advances the marker
+    append_to_image_hash_index(
+        replay, str(tmp_path / "idx"), mark_batch=("ckpt", 2)
+    )
+    m4 = current_manifest(str(tmp_path / "idx"))
+    assert len(m4["dirs"]) == 3
+    assert applied_batch(str(tmp_path / "idx"), "ckpt") == 2

@@ -355,6 +355,19 @@ def test_canonicalize_media_refs_both_regimes(spark):
     assert byid["d2"] == (("media", "", "imgA", 0), ("media", "", "imgA", 1))
     assert byid["d3"] == ()
 
+    # AUTO regime (default): picks broadcast under the threshold,
+    # flips to the shuffle plan when the mapping outgrows it — the
+    # driver collect is never unguarded.
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = canonicalize_media_refs(docs, clusters)  # 2 dup refs <= default max
+    assert "MapInPandas" in plan(small)
+    big = canonicalize_media_refs(docs, clusters, broadcast_map_max=1)
+    assert "MapInPandas" not in plan(big)
+    assert norm(small) == a
+    assert norm(big) == a
+
 
 def test_dual_hash_pairs_union_semantics(spark):
     """image_dup_pairs_both: a pair flagged by only one hash carries a

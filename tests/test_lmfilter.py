@@ -264,3 +264,29 @@ def test_dsir_domain_mixture_shares(spark):
     assert out["web"]["mixture_share"] > 3 / 5
     assert out["web"]["mean_weight"] > out["forum"]["mean_weight"]
     assert out["web"]["n_docs"] == 3 and out["forum"]["n_docs"] == 2
+
+
+def test_release_lm_unpersists_both_orders(spark):
+    """The ownership contract: release_lm drops every cached partition
+    behind the trainer tuple — including the trigram table, whose
+    returned frame is a PROJECTION of the persisted parent."""
+    from pyspark import StorageLevel
+    from claude_readability_hook_spark.operators.lmfilter import (
+        release_lm,
+        train_trigram_lm,
+    )
+
+    df = _tiny(spark)
+    lm2 = train_bigram_lm(df, sample_mod=None)
+    lm3 = train_trigram_lm(df, sample_mod=None)
+    lm_surprise_scores(df, lm=lm2).collect()  # materializes the caches
+    assert lm2[0].storageLevel != StorageLevel.NONE
+    assert lm3[0]._crh_persisted[0].storageLevel != StorageLevel.NONE
+    release_lm(lm2)
+    release_lm(lm3)
+    assert lm2[0].storageLevel == StorageLevel.NONE
+    assert lm2[2].storageLevel == StorageLevel.NONE
+    assert lm3[0]._crh_persisted[0].storageLevel == StorageLevel.NONE
+    assert lm3[2].storageLevel == StorageLevel.NONE
+    # never-persisted tuples release as a no-op
+    release_lm(train_bigram_lm(df, sample_mod=None, persist=False))

@@ -142,6 +142,15 @@ def test_export_packed_shards_roundtrip(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == n
     assert set(back.columns) >= {"shard", "pack_id", "n", "tokens", "docs"}
+    # the one-file-per-shard invariant is REAL: partitionBy separates
+    # shard values into dirs, repartition bounds each dir to one task
+    import glob
+
+    shard_dirs = glob.glob(f"{out}/shard=*")
+    assert shard_dirs
+    for d in shard_dirs:
+        files = [f for f in glob.glob(f"{d}/part-*") if not f.endswith(".crc")]
+        assert len(files) == 1, d
     # every non-final pack per shard is exactly seq_len
     rows = back.select("shard", "pack_id", "n").collect()
     last = {}
