@@ -3299,6 +3299,101 @@ def _image_dedup_pairs_oracle_sql() -> str:
     """
 
 
+PDCT_REFS = 24
+
+
+def q_media_pdct_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated oracle for the DCT perceptual hash (r7:
+    operators/imagededup.image_pdct over core/imagecodec.pdct64 —
+    fixed-point integer DCT-II, the tractable half of the r6 'DCT
+    pHash' ceiling). Fixture: 'pd:N' gradient PNGs sized for the 32×32
+    hash grid (w = 33+seed%16, h = 32), pixel = (seed + a·x + b·y) %
+    256 — every sampled grid cell is closed-form in the ref string, so
+    DuckDB re-runs the SAME integer matrix multiply (the PDCT_COS
+    constants are injected into the SQL as literals), takes the median
+    of the 63 AC coefficients by rank, and packs the bits. Any drift
+    in the decode, the sampling, the DCT arithmetic, the median rule,
+    or the packing breaks the hash."""
+    from claude_readability_hook_spark.operators.imagededup import image_pdct
+    from claude_readability_hook_spark.operators.multimodal import (
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(
+        spark, [f"pd:{i}" for i in range(PDCT_REFS)], real_png_pdct=True
+    )
+    return image_pdct(media)
+
+
+def _media_pdct_oracle_sql() -> str:
+    from claude_readability_hook_spark.core.imagecodec import PDCT_COS
+
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    cos_values = ", ".join(
+        f"({k}, {n}, {c})"
+        for k, row in enumerate(PDCT_COS)
+        for n, c in enumerate(row)
+    )
+    return f"""
+        WITH prefs AS (
+          SELECT 'pd:' || i::VARCHAR AS media_ref
+          FROM range(0, {PDCT_REFS}) t(i)
+        ),
+        ps AS (SELECT media_ref, {asciisum} AS seed FROM prefs),
+        dims AS MATERIALIZED (
+          SELECT media_ref, seed, 33 + seed % 16 AS w,
+                 5 + seed % 7 AS a, 11 + seed % 5 AS b
+          FROM ps
+        ),
+        -- the 32×32 sampled luminance grid, closed-form (h = 32 ⇒ the
+        -- grid row IS the pixel row)
+        grid AS MATERIALIZED (
+          SELECT media_ref, y.y AS gy, x.x AS gx,
+                 ((seed + a * ((x.x * w) // 32) + b * y.y) % 256) AS g
+          FROM dims, range(0, 32) y(y), range(0, 32) x(x)
+        ),
+        -- the fixed-point DCT-II basis, injected verbatim from
+        -- imagecodec.PDCT_COS (only rows k < 8 exist or are needed)
+        ctab(k, n, c) AS (VALUES {cos_values}),
+        t1 AS MATERIALIZED (
+          SELECT g.media_ref, c.k AS k, g.gx AS x,
+                 SUM(CAST(c.c AS BIGINT) * g.g) AS v
+          FROM grid g JOIN ctab c ON c.n = g.gy
+          GROUP BY g.media_ref, c.k, g.gx
+        ),
+        coef AS MATERIALIZED (
+          SELECT t.media_ref, t.k AS k, c.k AS l,
+                 SUM(CAST(c.c AS BIGINT) * t.v) AS v
+          FROM t1 t JOIN ctab c ON c.n = t.x
+          GROUP BY t.media_ref, t.k, c.k
+        ),
+        ac AS MATERIALIZED (
+          SELECT media_ref, k * 8 + l - 1 AS i, v
+          FROM coef WHERE NOT (k = 0 AND l = 0)
+        ),
+        -- 63 AC coefficients: the median is the 32nd smallest, exact
+        med AS (
+          SELECT media_ref, v AS m FROM (
+            SELECT media_ref, v,
+                   row_number() OVER (PARTITION BY media_ref ORDER BY v) AS rn
+            FROM ac
+          ) WHERE rn = 32
+        ),
+        bits AS (
+          SELECT a.media_ref, a.i,
+                 CASE WHEN a.v > m.m THEN 1 ELSE 0 END AS bit
+          FROM ac a JOIN med m USING (media_ref)
+        )
+        SELECT media_ref,
+               CAST(SUM(bit * (1::BIGINT << i)) AS BIGINT) AS pdct,
+               'ok' AS decode_ok
+        FROM bits GROUP BY media_ref
+    """
+
+
 WARC_ORACLE_DOCS = 24  # 12 per segment: one plain, one member-gzip
 
 
@@ -3619,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_fmp4_demux": q_media_fmp4_demux,  # new r5: moof/trun demux
         "media_video_pts": q_media_video_pts,  # new r6: ctts/elst/trun-cts pts
         "media_phash": q_media_phash,  # new r6: perceptual image hash
+        "media_pdct_hash": q_media_pdct_hash,  # new r7: integer-DCT pHash
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
         "image_dedup_pairs_both": q_image_dedup_pairs_both,  # new r6: dual hash
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
@@ -4733,6 +4829,7 @@ def oracle_sql() -> dict[str, str]:
         "media_fmp4_demux": _media_fmp4_oracle_sql(),
         "media_video_pts": _media_video_pts_oracle_sql(),
         "media_phash": _media_phash_oracle_sql(),
+        "media_pdct_hash": _media_pdct_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
         "image_dedup_pairs_both": _image_dedup_pairs_both_oracle_sql(),
         "image_index_dedup": _image_index_dedup_oracle_sql(),

@@ -19,6 +19,7 @@ implementation.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -273,6 +274,73 @@ def _ahash_from_plane(w: int, h: int, lum: bytes, grid: int = 8) -> int:
     if acc >= 1 << (n_bits - 1):
         acc -= 1 << n_bits
     return acc
+
+
+PDCT_N = 32  # input grid: 32×32 luminance samples (classic pHash)
+PDCT_SCALE = 16384  # 2^14 fixed-point cosine scale
+
+# Fixed-point DCT-II basis, C[k][n] = round(cos(π·(2n+1)·k / 2N) · 2^14),
+# generated ONCE here and shared verbatim with the DuckDB oracle (the
+# integers are injected into the SQL as literals), so both engines run
+# the SAME exact integer matrix multiply — no cross-engine libm in the
+# hash path. Only rows k < 8 are ever used (the low-frequency block).
+PDCT_COS = [
+    [
+        round(math.cos(math.pi * (2 * n + 1) * k / (2 * PDCT_N)) * PDCT_SCALE)
+        for n in range(PDCT_N)
+    ]
+    for k in range(8)
+]
+
+
+def pdct64(payload: bytes) -> int:
+    """DCT-based perceptual hash (pHash), fixed-point integer DCT-II —
+    the third member of the perceptual family and the one that holds
+    where dHash's zero-margin ties flip (lossy re-encode noise in flat
+    regions is HIGH-frequency; the 8×8 low-frequency block barely
+    moves, and the median threshold gives every bit real margin).
+
+    Pipeline (all exact integer arithmetic, so the DuckDB oracle
+    reproduces it bit-for-bit): decode → luminance → nearest-neighbor
+    sample to a 32×32 grid → separable integer DCT-II (rows then
+    columns with the PDCT_COS table) → keep the 8×8 low-frequency
+    block, drop DC → bit i = 1 iff coefficient i exceeds the MEDIAN of
+    the 63 AC coefficients (63 is odd ⇒ the median is the 32nd
+    smallest, unambiguous). 63 data bits packed little-endian in a
+    signed 64-bit int (bit 63 always 0); same Hamming-LSH band search
+    as dhash64/ahash64 (operators/imagededup.py, hash_col='pdct').
+    Raises like the underlying decoders on unsupported payloads."""
+    w, h, lum = _decoded_lum(payload)
+    return _pdct_from_plane(w, h, lum)
+
+
+def _pdct_from_plane(w: int, h: int, lum: bytes) -> int:
+    n = PDCT_N
+    if w < n or h < n:
+        raise ValueError("image smaller than the hash grid")
+    grid = [
+        [lum[(y * h // n) * w + (x * w // n)] for x in range(n)]
+        for y in range(n)
+    ]
+    # separable DCT: only the first 8 frequency rows/cols are kept, so
+    # stage 1 computes 8×32 sums and stage 2 the 8×8 block — ~16k
+    # integer multiply-adds per image, noise next to the decode
+    t1 = [
+        [sum(PDCT_COS[k][y] * grid[y][x] for y in range(n)) for x in range(n)]
+        for k in range(8)
+    ]
+    coef = [
+        sum(PDCT_COS[l][x] * t1[k][x] for x in range(n))
+        for k in range(8)
+        for l in range(8)
+    ]
+    ac = coef[1:]  # drop DC — it only encodes global brightness
+    med = sorted(ac)[31]
+    acc = 0
+    for i, c in enumerate(ac):
+        if c > med:
+            acc |= 1 << i
+    return acc  # bit 63 unused ⇒ always a non-negative signed 64-bit
 
 
 def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:

@@ -118,6 +118,60 @@ def image_dhash(media: DataFrame) -> DataFrame:
     )
 
 
+IMAGE_PDCT = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("pdct", LongType(), True),
+        StructField("decode_ok", StringType(), False),
+    ]
+)
+
+
+def image_pdct(media: DataFrame) -> DataFrame:
+    """(media_ref, pdct, decode_ok): the DCT perceptual hash
+    (core/imagecodec.pdct64 — fixed-point integer DCT-II over a 32×32
+    luminance grid, median-thresholded low-frequency block) for
+    kind='image' payloads. This is the hash to reach for on flat-heavy
+    corpora where dHash's zero-margin tie bits jitter under lossy
+    re-encode: quantization noise is high-frequency, the 8×8 DCT block
+    is not. Needs images ≥ 32×32 (smaller payloads degrade to
+    'stubbed' like any unsupported input). Same scan-side mapInPandas
+    shape as image_dhash — payloads never shuffle — and the output
+    plugs straight into the banded pair search
+    (image_dup_pairs(hashes, hash_col='pdct'))."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.imagecodec import pdct64
+
+        for batch in batches:
+            records = []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    records.append(
+                        {"media_ref": ref, "pdct": pdct64(raw), "decode_ok": "ok"}
+                    )
+                except (NotImplementedError, ValueError):
+                    records.append(
+                        {"media_ref": ref, "pdct": None, "decode_ok": "stubbed"}
+                    )
+                except Exception as exc:  # noqa: BLE001 — poison isolation
+                    records.append(
+                        {
+                            "media_ref": ref,
+                            "pdct": None,
+                            "decode_ok": f"error: {type(exc).__name__}",
+                        }
+                    )
+            yield pd.DataFrame.from_records(records)
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_ref", "payload")
+        .mapInPandas(hash_batch, schema=IMAGE_PDCT)
+    )
+
+
 def hamming_band_buckets(
     hashes: DataFrame,
     n_bands: int = 8,

@@ -526,6 +526,7 @@ def synthesize_media_table(
     real_png_dhash: bool = False,
     dhash_twin: bool = False,
     real_jpeg_flat: bool = False,
+    real_png_pdct: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
@@ -683,6 +684,31 @@ def synthesize_media_table(
                     "height": None,
                     "duration_ms": int(round(1000 * n / rate)),
                     "mime": "audio/wav",
+                }
+            )
+            continue
+        if real_png_pdct:
+            from ..core.imagecodec import encode_png
+
+            # pDCT-sized gradient (the 32×32 hash grid needs w,h ≥ 32):
+            # pixel = (seed + a·x + b·y) % 256, h = 32 exactly so the
+            # grid samples row y at sy = y — the media_pdct_hash oracle
+            # recomputes the integer DCT of this closed-form grid
+            w, h = 33 + seed % 16, 32
+            a, b = 5 + seed % 7, 11 + seed % 5
+            grid = [
+                [(seed + a * x + b * y) % 256 for x in range(w)] for y in range(h)
+            ]
+            payload = encode_png(grid)
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "modality": "image",
+                    "payload": payload,
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                    "mime": "image/png",
                 }
             )
             continue

@@ -393,3 +393,82 @@ def test_dual_hash_pairs_union_semantics(spark):
     assert got[("a", "c")] == (2, None)
     assert got[("a", "d")] == (None, 1)
     assert ("c", "d") not in got
+
+
+def test_pdct_flat_heavy_robustness():
+    """The r6 dHash-tie lesson, closed: on a flat-heavy image a
+    checkerboard ±1 'lossy re-encode' perturbation flips many dHash
+    bits (zero-margin ties) but ≤2 pDCT bits — quantization noise is
+    high-frequency, the median-thresholded 8×8 DCT block is not."""
+    from claude_readability_hook_spark.core.imagecodec import (
+        dhash64,
+        encode_png,
+        pdct64,
+    )
+
+    w, h = 48, 40
+    grid = [[200] * w for _ in range(h)]
+    for y in range(10, 22):
+        for x in range(14, 26):
+            grid[y][x] = 60
+    twin = [
+        [min(255, v + ((x + y) % 2)) for x, v in enumerate(row)]
+        for y, row in enumerate(grid)
+    ]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    d_flips = ham(dhash64(encode_png(grid)), dhash64(encode_png(twin)))
+    p_flips = ham(pdct64(encode_png(grid)), pdct64(encode_png(twin)))
+    assert d_flips > 10  # the motivating failure: tie bits jitter
+    assert p_flips <= 2  # pDCT holds
+    # and distinct images stay far apart (no degenerate collapse)
+    other = encode_png([[(7 * x + 13 * y) % 256 for x in range(w)] for y in range(h)])
+    assert ham(pdct64(encode_png(grid)), pdct64(other)) > 10
+
+
+def test_image_pdct_operator_and_pairs(spark):
+    """image_pdct over synthesized payloads: valid ≥32×32 images hash
+    'ok', undersized ones degrade to 'stubbed', and the existing banded
+    pair search runs unchanged on hash_col='pdct' (twin images land at
+    distance ≤ 2)."""
+    from claude_readability_hook_spark.core.imagecodec import encode_png
+    from claude_readability_hook_spark.operators.imagededup import (
+        image_dup_pairs,
+        image_pdct,
+    )
+    from claude_readability_hook_spark.operators.multimodal import MEDIA
+
+    def row(ref, grid):
+        return {
+            "media_ref": ref, "modality": "image", "payload": encode_png(grid),
+            "width": len(grid[0]), "height": len(grid), "duration_ms": None,
+            "mime": "image/png",
+        }
+
+    flat = [[200] * 40 for _ in range(36)]
+    for y in range(8, 18):
+        for x in range(10, 20):
+            flat[y][x] = 60
+    noisy = [
+        [min(255, v + ((x + y) % 2)) for x, v in enumerate(r)]
+        for y, r in enumerate(flat)
+    ]
+    grad = [[(120 + 3 * x + 5 * y) % 256 for x in range(40)] for y in range(36)]
+    tiny = [[9] * 8 for _ in range(8)]  # below the 32×32 grid
+    media = spark.createDataFrame(
+        [row("f", flat), row("f2", noisy), row("g", grad), row("t", tiny)],
+        schema=MEDIA,
+    )
+    hashes = image_pdct(media)
+    got = {r["media_ref"]: r for r in hashes.collect()}
+    assert got["f"]["decode_ok"] == "ok" and got["f"]["pdct"] is not None
+    assert got["t"]["decode_ok"] == "stubbed" and got["t"]["pdct"] is None
+    ok = hashes.filter("decode_ok = 'ok'")
+    pairs = {
+        (r["ref_a"], r["ref_b"]): r["distance"]
+        for r in image_dup_pairs(ok, max_distance=3, hash_col="pdct").collect()
+    }
+    assert ("f", "f2") in pairs and pairs[("f", "f2")] <= 2
+    assert ("f", "g") not in pairs and ("f2", "g") not in pairs
