@@ -3394,6 +3394,112 @@ def _media_pdct_oracle_sql() -> str:
     """
 
 
+VIDDUP_REFS = 12
+
+
+def q_video_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated oracle for temporal video dedup (r7:
+    operators/videodedup — per-frame dHash signatures, banded
+    candidate search, aligned exact verify). Fixture: 'va:N' base
+    videos and 'av:N' twins (anagram prefixes share the ascii-sum
+    seed) — MP4 containers whose samples are LOSSLESS gradient PNGs,
+    frame pixels (seed + 17·f + a·x + b·y) % 256, so every per-frame
+    dHash bit is closed-form in the ref string; the twin's +24 bump on
+    frame 0 pixel (0,0) flips at most one bit of ONE frame ⇒ every
+    planted pair matches on all aligned frames. DuckDB rebuilds every
+    frame hash bit-by-bit and applies the FINAL criterion (aligned
+    frames within distance 3, match_frac ≥ 0.5 over max(n_a, n_b))
+    to ALL pairs — legitimate because any pair with ≥1 matched frame
+    shares a band (8-band LSH complete to distance 7) and the query
+    disables the bucket cap: banding changes the plan, never the
+    result. Any drift in the demux, the per-frame decode, the dHash,
+    the alignment, or the frac arithmetic breaks the hash."""
+    from claude_readability_hook_spark.operators.multimodal import (
+        synthesize_media_table,
+    )
+    from claude_readability_hook_spark.operators.videodedup import (
+        video_dup_pairs,
+        video_frame_hashes,
+    )
+
+    base = synthesize_media_table(
+        spark, [f"va:{i}" for i in range(VIDDUP_REFS)], real_png_mp4=True
+    )
+    twin = synthesize_media_table(
+        spark,
+        [f"av:{i}" for i in range(VIDDUP_REFS)],
+        real_png_mp4=True,
+        video_twin=True,
+    )
+    fh = video_frame_hashes(base.unionByName(twin))
+    return video_dup_pairs(fh, max_bucket_size=None)
+
+
+def _video_dedup_pairs_oracle_sql() -> str:
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    return f"""
+        WITH prefs AS (
+          SELECT 'va:' || i::VARCHAR AS media_ref, 0 AS twin
+          FROM range(0, {VIDDUP_REFS}) t(i)
+          UNION ALL
+          SELECT 'av:' || i::VARCHAR AS media_ref, 1 AS twin
+          FROM range(0, {VIDDUP_REFS}) t(i)
+        ),
+        ps AS (SELECT media_ref, twin, {asciisum} AS seed FROM prefs),
+        dims AS MATERIALIZED (
+          SELECT media_ref, seed, twin, 3 + seed % 3 AS nf,
+                 16 + seed % 16 AS w, 5 + seed % 7 AS a, 11 + seed % 5 AS b
+          FROM ps
+        ),
+        -- per-frame dHash bits: frame f pixel = (seed + 17f + a·x + b·y)
+        -- % 256, 9×8 grid samples sx = x·w//9, sy = 2y (h = 16); the
+        -- range() upper bound is the max frame count (lateral column
+        -- args are not allowed), filtered to the per-ref nf
+        bits AS (
+          SELECT media_ref, f.f AS f, y.y * 8 + x.x AS k,
+                 CASE WHEN ((seed + 17 * f.f + a * ((x.x * w) // 9)
+                             + b * (2 * y.y)
+                             + CASE WHEN twin = 1 AND f.f = 0
+                                         AND x.x = 0 AND y.y = 0
+                                    THEN 24 ELSE 0 END) % 256)
+                    < ((seed + 17 * f.f + a * (((x.x + 1) * w) // 9)
+                        + b * (2 * y.y)) % 256)
+                      THEN 1 ELSE 0 END AS bit
+          FROM dims, range(0, 5) f(f), range(0, 8) y(y), range(0, 8) x(x)
+          WHERE f.f < nf
+        ),
+        fhashes AS MATERIALIZED (
+          SELECT media_ref, f,
+                 CAST(SUM(CASE WHEN k = 63
+                               THEN bit * (-9223372036854775807 - 1)
+                               ELSE bit * (1::BIGINT << k) END)
+                      AS BIGINT) AS h
+          FROM bits GROUP BY media_ref, f
+        ),
+        pairs AS (
+          SELECT a.media_ref AS ref_a, b.media_ref AS ref_b,
+                 CAST(SUM(CASE WHEN bit_count(xor(a.h, b.h)) <= 3
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS matched_frames
+          FROM fhashes a JOIN fhashes b
+            ON a.media_ref < b.media_ref AND a.f = b.f
+          GROUP BY a.media_ref, b.media_ref
+        )
+        SELECT p.ref_a, p.ref_b, p.matched_frames,
+               CAST(greatest(x.nf, y.nf) AS BIGINT) AS n_frames,
+               round(p.matched_frames::DOUBLE
+                     / greatest(x.nf, y.nf)::DOUBLE, 6) AS match_frac
+        FROM pairs p
+        JOIN dims x ON x.media_ref = p.ref_a
+        JOIN dims y ON y.media_ref = p.ref_b
+        WHERE round(p.matched_frames::DOUBLE
+                    / greatest(x.nf, y.nf)::DOUBLE, 6) >= 0.5
+    """
+
+
 WARC_ORACLE_DOCS = 24  # 12 per segment: one plain, one member-gzip
 
 
@@ -3715,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_pts": q_media_video_pts,  # new r6: ctts/elst/trun-cts pts
         "media_phash": q_media_phash,  # new r6: perceptual image hash
         "media_pdct_hash": q_media_pdct_hash,  # new r7: integer-DCT pHash
+        "video_dedup_pairs": q_video_dedup_pairs,  # new r7: temporal video dedup
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
         "image_dedup_pairs_both": q_image_dedup_pairs_both,  # new r6: dual hash
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
@@ -4830,6 +4937,7 @@ def oracle_sql() -> dict[str, str]:
         "media_video_pts": _media_video_pts_oracle_sql(),
         "media_phash": _media_phash_oracle_sql(),
         "media_pdct_hash": _media_pdct_oracle_sql(),
+        "video_dedup_pairs": _video_dedup_pairs_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
         "image_dedup_pairs_both": _image_dedup_pairs_both_oracle_sql(),
         "image_index_dedup": _image_index_dedup_oracle_sql(),

@@ -527,6 +527,8 @@ def synthesize_media_table(
     dhash_twin: bool = False,
     real_jpeg_flat: bool = False,
     real_png_pdct: bool = False,
+    real_png_mp4: bool = False,
+    video_twin: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
@@ -684,6 +686,42 @@ def synthesize_media_table(
                     "height": None,
                     "duration_ms": int(round(1000 * n / rate)),
                     "mime": "audio/wav",
+                }
+            )
+            continue
+        if real_png_mp4:
+            # PNG-frame MP4 for the temporal video-dedup oracle: every
+            # sample is a LOSSLESS gradient PNG — frame pixels are
+            # closed-form in (seed, frame), so per-frame dHashes are
+            # arithmetic for DuckDB (the media_phash gradient fixture,
+            # lifted into a container). video_twin bumps frame 0's
+            # pixel (0,0) by +24 — at most dHash bit 0 of ONE frame
+            # flips, a planted temporal near-duplicate (the 'va:'/'av:'
+            # anagram-prefix pairing shares the ascii-sum seed).
+            from ..core.imagecodec import encode_png
+            from ..core.mp4codec import encode_minimal_mp4
+
+            n = 3 + seed % 3
+            w, h = 16 + seed % 16, 16
+            a, b = 5 + seed % 7, 11 + seed % 5
+            frames = []
+            for f in range(n):
+                grid = [
+                    [(seed + 17 * f + a * x + b * y) % 256 for x in range(w)]
+                    for y in range(h)
+                ]
+                if video_twin and f == 0:
+                    grid[0][0] = (grid[0][0] + 24) % 256
+                frames.append(encode_png(grid))
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "modality": "video",
+                    "payload": encode_minimal_mp4(sample_payloads=frames),
+                    "width": w,
+                    "height": h,
+                    "duration_ms": 40 * n,
+                    "mime": "video/mp4",
                 }
             )
             continue
