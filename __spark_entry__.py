@@ -3500,6 +3500,103 @@ def _video_dedup_pairs_oracle_sql() -> str:
     """
 
 
+LANGID_DOCS_PER_LANG = 12
+
+
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (r7: operators/langid.py — the
+    Cavnar–Trenkle profile classifier over 9 languages incl. a
+    hiragana CJK proxy). Fixture corpus is closed-form in (lang index,
+    doc index) — word k of doc j in language L is
+    vocab_L[(seed + k·stride) % 12], seed = 13 + 1000·L + 7·j — so
+    DuckDB rebuilds every document, trains the same integer micro-unit
+    trigram profiles on the j%3==0 sample, and replays every argmax
+    score bit-for-bit. Any drift in the gram extraction, the half-up
+    micro division, or the tie-break breaks the hash."""
+    from claude_readability_hook_spark.operators.langid import (
+        classify_lang_ngram,
+        synthesize_langid_corpus,
+        train_char_ngram_profiles,
+    )
+
+    corpus = synthesize_langid_corpus(spark, LANGID_DOCS_PER_LANG)
+    profiles = train_char_ngram_profiles(corpus.filter(F.col("is_train")))
+    test = corpus.filter(~F.col("is_train"))
+    return classify_lang_ngram(test, profiles).join(
+        test.select("doc_id", "lang_true"), "doc_id"
+    ).select("doc_id", "lang_true", "lang_pred", "score_micro")
+
+
+def _lang_id_ngram_oracle_sql() -> str:
+    from claude_readability_hook_spark.operators.langid import (
+        LANGID_LANGS,
+        LANGID_VOCABS,
+    )
+
+    langs = "[" + ", ".join(f"'{lang}'" for lang in LANGID_LANGS) + "]"
+    vocabs = "[" + ", ".join(
+        "[" + ", ".join(f"'{w}'" for w in LANGID_VOCABS[lang]) + "]"
+        for lang in LANGID_LANGS
+    ) + "]"
+    seed = "(13 + 1000 * L + 7 * j)"
+    grams = (
+        "unnest(list_transform(range(1, length(text) - 1), "
+        "i -> substr(text, i, 3))) AS gram"
+    )
+    return f"""
+        WITH docs AS MATERIALIZED (
+          SELECT
+            list_extract({langs}, L + 1) || ':' || j::VARCHAR AS doc_id,
+            list_extract({langs}, L + 1) AS lang_true,
+            j,
+            array_to_string(
+              list_transform(range(0, 12 + {seed} % 9),
+                k -> list_extract(list_extract({vocabs}, L + 1),
+                       ({seed} + k * (3 + {seed} % 5)) % 12 + 1)),
+              ' ') AS text
+          FROM range(0, {len(LANGID_LANGS)}) t1(L),
+               range(0, {LANGID_DOCS_PER_LANG}) t2(j)
+        ),
+        train_grams AS (
+          SELECT lang_true AS lang, {grams}
+          FROM docs WHERE j % 3 = 0
+        ),
+        prof AS MATERIALIZED (
+          SELECT lang, gram, count(*)::BIGINT AS cnt
+          FROM train_grams GROUP BY lang, gram
+        ),
+        w AS MATERIALIZED (
+          SELECT p.lang, p.gram,
+                 (2 * p.cnt * 1000000 + t.total) // (2 * t.total) AS w_micro
+          FROM prof p
+          JOIN (SELECT lang, sum(cnt)::BIGINT AS total
+                FROM prof GROUP BY lang) t USING (lang)
+        ),
+        doc_grams AS (
+          SELECT doc_id, gram, count(*)::BIGINT AS m
+          FROM (SELECT doc_id, {grams} FROM docs WHERE j % 3 <> 0)
+          GROUP BY doc_id, gram
+        ),
+        scores AS (
+          SELECT g.doc_id, w.lang,
+                 sum(g.m * w.w_micro)::BIGINT AS score_micro
+          FROM doc_grams g JOIN w ON g.gram = w.gram
+          GROUP BY g.doc_id, w.lang
+        ),
+        best AS (
+          SELECT doc_id, lang, score_micro,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_micro DESC, lang ASC) AS rn
+          FROM scores
+        )
+        SELECT d.doc_id, d.lang_true,
+               coalesce(b.lang, 'und') AS lang_pred,
+               coalesce(b.score_micro, 0)::BIGINT AS score_micro
+        FROM (SELECT doc_id, lang_true FROM docs WHERE j % 3 <> 0) d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """
+
+
 WARC_ORACLE_DOCS = 24  # 12 per segment: one plain, one member-gzip
 
 
@@ -3822,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": q_media_phash,  # new r6: perceptual image hash
         "media_pdct_hash": q_media_pdct_hash,  # new r7: integer-DCT pHash
         "video_dedup_pairs": q_video_dedup_pairs,  # new r7: temporal video dedup
+        "lang_id_ngram": q_lang_id_ngram,  # new r7: char-trigram lang ID
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
         "image_dedup_pairs_both": q_image_dedup_pairs_both,  # new r6: dual hash
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
@@ -4938,6 +5036,7 @@ def oracle_sql() -> dict[str, str]:
         "media_phash": _media_phash_oracle_sql(),
         "media_pdct_hash": _media_pdct_oracle_sql(),
         "video_dedup_pairs": _video_dedup_pairs_oracle_sql(),
+        "lang_id_ngram": _lang_id_ngram_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
         "image_dedup_pairs_both": _image_dedup_pairs_both_oracle_sql(),
         "image_index_dedup": _image_index_dedup_oracle_sql(),
