@@ -979,12 +979,15 @@ def _bpe_sym_sql(word: str) -> str:
     )
 
 
-def _bpe_cte_chain(k: int) -> str:
-    """w0..wk / m1..mk CTE chain mirroring learn_bpe_merges round by
-    round (argmax pair with count-desc, pair-asc tie-break; wrapped
-    replace application)."""
+def _bpe_cte_chain(k: int, w0_sql: str | None = None, key: str = "w") -> str:
+    """w0..wk / m1..mk CTE chain mirroring the shared merge loop round
+    by round (argmax pair with count-desc, pair-asc tie-break; wrapped
+    replace application). The default w0 is the char-level distinct
+    lowercased word table over `documents`; byte-level oracles pass
+    their own w0 (key, sym, n) CTE body and key column name."""
     parts = [
-        f"""w0 AS MATERIALIZED (
+        w0_sql
+        or f"""w0 AS MATERIALIZED (
           SELECT w, {_bpe_sym_sql('w')} AS sym, CAST(count(*) AS BIGINT) AS n
           FROM (SELECT unnest(list_transform({_TOKS_SQL}, t -> lower(t))) AS w
                 FROM documents)
@@ -1012,7 +1015,7 @@ def _bpe_cte_chain(k: int) -> str:
         )
         parts.append(
             f"""w{r} AS MATERIALIZED (
-          SELECT w,
+          SELECT {key},
                  replace(sym,
                    ' ' || string_split((SELECT pair FROM m{r}), ' ')[1] || chr(9)
                      || ' ' || string_split((SELECT pair FROM m{r}), ' ')[2] || chr(9),
@@ -3527,7 +3530,11 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_true", "lang_pred", "score_micro")
 
 
-def _lang_id_ngram_oracle_sql() -> str:
+def _langid_docs_cte_sql() -> str:
+    """The synthesized multilingual corpus as a DuckDB CTE named
+    `docs` (doc_id, lang_true, j, text) — the SQL twin of
+    synthesize_langid_corpus, shared by the lang-ID and byte-BPE
+    oracles."""
     from claude_readability_hook_spark.operators.langid import (
         LANGID_LANGS,
         LANGID_VOCABS,
@@ -3539,12 +3546,7 @@ def _lang_id_ngram_oracle_sql() -> str:
         for lang in LANGID_LANGS
     ) + "]"
     seed = "(13 + 1000 * L + 7 * j)"
-    grams = (
-        "unnest(list_transform(range(1, length(text) - 1), "
-        "i -> substr(text, i, 3))) AS gram"
-    )
-    return f"""
-        WITH docs AS MATERIALIZED (
+    return f"""docs AS MATERIALIZED (
           SELECT
             list_extract({langs}, L + 1) || ':' || j::VARCHAR AS doc_id,
             list_extract({langs}, L + 1) AS lang_true,
@@ -3556,7 +3558,16 @@ def _lang_id_ngram_oracle_sql() -> str:
               ' ') AS text
           FROM range(0, {len(LANGID_LANGS)}) t1(L),
                range(0, {LANGID_DOCS_PER_LANG}) t2(j)
-        ),
+        )"""
+
+
+def _lang_id_ngram_oracle_sql() -> str:
+    grams = (
+        "unnest(list_transform(range(1, length(text) - 1), "
+        "i -> substr(text, i, 3))) AS gram"
+    )
+    return f"""
+        WITH {_langid_docs_cte_sql()},
         train_grams AS (
           SELECT lang_true AS lang, {grams}
           FROM docs WHERE j % 3 = 0
@@ -3594,6 +3605,178 @@ def _lang_id_ngram_oracle_sql() -> str:
                coalesce(b.score_micro, 0)::BIGINT AS score_micro
         FROM (SELECT doc_id, lang_true FROM docs WHERE j % 3 <> 0) d
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """
+
+
+BPE_BYTES_K = 8
+
+_PRETOKS_SQL = (
+    f"list_transform({_TOKS_SQL}, "
+    "(t, i) -> CASE WHEN i = 1 THEN t ELSE ' ' || t END)"
+)
+
+
+def q_bpe_bytes_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level (GPT-2-style) BPE training over the multilingual
+    fixture corpus (r7: bpetrain.learn_byte_bpe_merges — space-marked
+    pretokens, UTF-8 bytes as hex-pair symbols, the shared merge
+    loop). The corpus carries real multibyte text (hiragana,
+    diacritics), so the learned merges reassemble UTF-8 sequences —
+    the property that makes byte-level the production choice. DuckDB
+    rebuilds the corpus, the pretoken byte table, and every merge
+    round; any drift in the byte mapping, the space-marker convention,
+    or the tie-break breaks the hash."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        learn_byte_bpe_merges,
+    )
+    from claude_readability_hook_spark.operators.langid import (
+        synthesize_langid_corpus,
+    )
+
+    return learn_byte_bpe_merges(
+        synthesize_langid_corpus(spark, LANGID_DOCS_PER_LANG), k=BPE_BYTES_K
+    )
+
+
+def q_bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level token budget per document with the learned merge
+    table — the distinct-PRETOKEN encode + broadcast-join discipline
+    (bpetrain.byte_bpe_encode_counts)."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        byte_bpe_encode_counts,
+        learn_byte_bpe_merges,
+    )
+    from claude_readability_hook_spark.operators.langid import (
+        synthesize_langid_corpus,
+    )
+
+    corpus = synthesize_langid_corpus(spark, LANGID_DOCS_PER_LANG)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in learn_byte_bpe_merges(corpus, k=BPE_BYTES_K)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return byte_bpe_encode_counts(corpus, merges)
+
+
+def _byte_bpe_w0_sql() -> str:
+    """(pt, sym, n) over the langid `docs` CTE: distinct space-marked
+    pretokens with wrapped hex-pair byte-symbol strings."""
+    wrap = (
+        "list_aggregate(list_transform(range(1, length(h) // 2 + 1), "
+        "i -> ' ' || h[2*i-1:2*i] || chr(9)), 'string_agg', '')"
+    )
+    return f"""w0 AS MATERIALIZED (
+          SELECT pt, {wrap} AS sym, n
+          FROM (SELECT pt, hex(encode(pt)) AS h,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest({_PRETOKS_SQL}) AS pt FROM docs)
+                GROUP BY pt, hex(encode(pt)))
+        )"""
+
+
+def _bpe_bytes_merges_oracle_sql() -> str:
+    chain = _bpe_cte_chain(BPE_BYTES_K, w0_sql=_byte_bpe_w0_sql(), key="pt")
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS merge_rank,
+               string_split(pair, ' ')[1] AS lhs,
+               string_split(pair, ' ')[2] AS rhs,
+               replace(pair, ' ', '') AS merged,
+               cnt AS pair_count FROM m{r}"""
+        for r in range(1, BPE_BYTES_K + 1)
+    )
+    return f"WITH {_langid_docs_cte_sql()},\n{chain}\n{unions}"
+
+
+def _bpe_bytes_encode_oracle_sql() -> str:
+    k = BPE_BYTES_K
+    chain = _bpe_cte_chain(k, w0_sql=_byte_bpe_w0_sql(), key="pt")
+    return f"""
+        WITH {_langid_docs_cte_sql()},
+        {chain},
+        ptcount AS (
+          SELECT pt,
+                 length(sym) - length(replace(sym, chr(9), '')) AS n_sym
+          FROM w{k}
+        ),
+        enc AS (
+          SELECT doc_id, {_PRETOKS_SQL} AS pts FROM docs
+        ),
+        ds AS (
+          SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe_symbols
+          FROM (SELECT doc_id, unnest(pts) AS pt FROM enc)
+          JOIN ptcount USING (pt)
+          GROUP BY doc_id
+        )
+        SELECT e.doc_id,
+               CAST(len(e.pts) AS BIGINT) AS n_pretokens,
+               COALESCE(d.n_bpe_symbols, 0) AS n_bpe_symbols
+        FROM enc e LEFT JOIN ds d USING (doc_id)
+    """
+
+
+def q_sequence_pack_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted by the LEARNED byte-level tokenizer
+    (r7: packing.pack_assignments_byte_bpe — heap encoder over the
+    distinct-pretoken table, counts broadcast-joined back, boundary
+    arithmetic on the narrow stream). Shards are the fixture corpus's
+    languages, so each shard packs a different true byte budget
+    (hiragana docs cost ~3 bytes/char). DuckDB re-trains the byte
+    merges and replays every boundary."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        learn_byte_bpe_merges,
+    )
+    from claude_readability_hook_spark.operators.langid import (
+        synthesize_langid_corpus,
+    )
+    from claude_readability_hook_spark.operators.packing import (
+        pack_assignments_byte_bpe,
+    )
+
+    corpus = synthesize_langid_corpus(spark, LANGID_DOCS_PER_LANG)
+    merges = learn_byte_bpe_merges(corpus, k=BPE_BYTES_K)
+    return pack_assignments_byte_bpe(
+        corpus, merges, seq_len=128, shard_col="lang_true"
+    )
+
+
+def _sequence_pack_bytes_oracle_sql() -> str:
+    k = BPE_BYTES_K
+    chain = _bpe_cte_chain(k, w0_sql=_byte_bpe_w0_sql(), key="pt")
+    return f"""
+        WITH {_langid_docs_cte_sql()},
+        {chain},
+        ptcount AS (
+          SELECT pt,
+                 length(sym) - length(replace(sym, chr(9), '')) AS n_sym
+          FROM w{k}
+        ),
+        enc AS (
+          SELECT doc_id, lang_true, {_PRETOKS_SQL} AS pts FROM docs
+        ),
+        ds AS (
+          SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS nt
+          FROM (SELECT doc_id, unnest(pts) AS pt FROM enc)
+          JOIN ptcount USING (pt)
+          GROUP BY doc_id
+        ),
+        t AS (
+          SELECT e.doc_id, e.lang_true AS shard, COALESCE(d.nt, 0) AS nt
+          FROM enc e LEFT JOIN ds d USING (doc_id)
+        ),
+        c AS (
+          SELECT doc_id, shard, nt,
+                 sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT doc_id, shard, CAST(nt AS BIGINT) AS n_tokens,
+               CAST((cum - nt) // 128 AS BIGINT) AS pack_first,
+               CAST(CASE WHEN nt > 0 THEN (cum - 1) // 128
+                    ELSE (cum - nt) // 128 END AS BIGINT) AS pack_last,
+               CAST((cum - nt) % 128 AS BIGINT) AS start_offset
+        FROM c
     """
 
 
@@ -3920,6 +4103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pdct_hash": q_media_pdct_hash,  # new r7: integer-DCT pHash
         "video_dedup_pairs": q_video_dedup_pairs,  # new r7: temporal video dedup
         "lang_id_ngram": q_lang_id_ngram,  # new r7: char-trigram lang ID
+        "bpe_bytes_merges": q_bpe_bytes_merges,  # new r7: byte-level BPE
+        "bpe_bytes_encode": q_bpe_bytes_encode,  # new r7: byte token budget
+        "sequence_pack_bytes": q_sequence_pack_bytes,  # new r7: byte pack budget
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
         "image_dedup_pairs_both": q_image_dedup_pairs_both,  # new r6: dual hash
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
@@ -5037,6 +5223,9 @@ def oracle_sql() -> dict[str, str]:
         "media_pdct_hash": _media_pdct_oracle_sql(),
         "video_dedup_pairs": _video_dedup_pairs_oracle_sql(),
         "lang_id_ngram": _lang_id_ngram_oracle_sql(),
+        "bpe_bytes_merges": _bpe_bytes_merges_oracle_sql(),
+        "bpe_bytes_encode": _bpe_bytes_encode_oracle_sql(),
+        "sequence_pack_bytes": _sequence_pack_bytes_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
         "image_dedup_pairs_both": _image_dedup_pairs_both_oracle_sql(),
         "image_index_dedup": _image_index_dedup_oracle_sql(),

@@ -94,8 +94,21 @@ def learn_bpe_merges(
     agg). localCheckpoint every few rounds keeps the iterative plan
     from re-deriving all prior rewrites (the dedup_clusters lineage
     discipline)."""
-    spark = df.sparkSession
-    syms = word_symbol_table(df, text_col)
+    return _learn_merges_loop(
+        df.sparkSession, word_symbol_table(df, text_col), k, checkpoint_every
+    )
+
+
+def _learn_merges_loop(
+    spark: SparkSession,
+    syms: DataFrame,
+    k: int,
+    checkpoint_every: int,
+) -> DataFrame:
+    """The symbol-agnostic merge loop shared by the char-level and
+    byte-level trainers: syms is any (sym, n) wrapped-symbol table —
+    the loop never looks inside a symbol, so the same pair-count /
+    top-1 / literal-replace rounds train either alphabet."""
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, k + 1):
         pair_counts = (
@@ -217,10 +230,29 @@ def encode_word_symbols(word: str, ranks: dict[tuple[str, str], int]) -> list[st
     the reference's per-iteration re-scan exactly (a merge can never
     create a new occurrence of its own pair: lhs+rhs equals neither
     lhs nor rhs)."""
-    import heapq
-
     syms = list(word)
     syms.append(END_OF_WORD)
+    return _heap_merge_symbols(syms, ranks)
+
+
+def encode_pretoken_byte_symbols(
+    pretoken: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """The byte-level twin: heap priority-merge over the pretoken's
+    UTF-8 bytes as hex-pair symbols (no end-of-word marker — the
+    space marker carries the boundary role, the GPT-2 convention).
+    Same any-k property as encode_word_symbols."""
+    h = pretoken.encode("utf-8").hex().upper()
+    return _heap_merge_symbols(
+        [h[i : i + 2] for i in range(0, len(h), 2)], ranks
+    )
+
+
+def _heap_merge_symbols(
+    syms: list[str], ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    import heapq
+
     n = len(syms)
     if n < 2:
         return syms
@@ -436,3 +468,186 @@ def bpe_vocab(
         F.lit("merge").alias("kind"),
     )
     return base_ids.unionByName(merge_ids)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2-style): the same merge machinery over the byte
+# alphabet. Pretokens are whitespace words with a LEADING-SPACE marker on
+# every non-initial word (so " the" and "the" are distinct pretokens and
+# word boundaries are learnable, the GPT-2 convention); each pretoken's
+# UTF-8 bytes become two-hex-digit symbols — a printable, space/tab-free
+# byte<->symbol bijection the wrapped-replace loop and the DuckDB oracle
+# both reproduce exactly (hex(encode(s)) is identical in Spark and
+# DuckDB, uppercase). No end-of-word marker: the space marker carries the
+# boundary role, as in GPT-2. Case is PRESERVED (byte-level tokenizers
+# do not normalize). Closed vocabulary by construction: at most 256 base
+# symbols, so unseen text never needs an <unk>.
+# ---------------------------------------------------------------------------
+
+
+def _pretokens_expr(text: F.Column) -> F.Column:
+    """Whitespace words, every non-initial word prefixed with the
+    space marker: ['the','cat'] -> ['the', ' cat']."""
+    ws = tokens_expr(text)
+    return F.transform(
+        ws,
+        lambda w, i: F.when(i == 0, w).otherwise(F.concat(F.lit(" "), w)),
+    )
+
+
+def _wrap_byte_sym_expr(pretoken: F.Column) -> F.Column:
+    """pretoken -> wrapped symbol string of its UTF-8 bytes, one
+    ' HH<TAB>' per byte (uppercase hex pairs)."""
+    h = F.hex(F.encode(pretoken, "UTF-8"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), (F.length(h) / 2).cast("int")),
+        lambda i: F.substr(h, i * 2 - 1, F.lit(2)),
+    )
+    return F.concat_ws(
+        "", F.transform(pairs, lambda p: F.concat(F.lit(" "), p, F.lit("\t")))
+    )
+
+
+def byte_pretoken_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(sym, n): one row per DISTINCT pretoken with its corpus count
+    and wrapped byte-symbol string — the byte-level working set. Same
+    vocabulary-bounded discipline as word_symbol_table: the space
+    marker at most doubles the distinct-word count."""
+    pre = df.select(
+        F.explode(_pretokens_expr(F.col(text_col))).alias("pt")
+    )
+    counts = pre.groupBy("pt").agg(F.count("*").cast("long").alias("n"))
+    return counts.select(_wrap_byte_sym_expr(F.col("pt")).alias("sym"), "n")
+
+
+def learn_byte_bpe_merges(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Byte-level merge table (merge_rank, lhs, rhs, merged,
+    pair_count) — the shared _learn_merges_loop over the pretoken
+    byte-symbol table. Symbols are hex-pair strings; `merged` is the
+    concatenation, so a trained token's byte string is recoverable by
+    unhexing."""
+    return _learn_merges_loop(
+        df.sparkSession, byte_pretoken_table(df, text_col), k, checkpoint_every
+    )
+
+
+def apply_byte_merges_expr(
+    pretoken: F.Column, merges: list[tuple[str, str]]
+) -> F.Column:
+    """Byte-encode `pretoken`, apply the learned merges in rank order
+    (chained literal replaces, pure codegen), return the final symbol
+    array — the byte twin of apply_merges_expr."""
+    sym = _wrap_byte_sym_expr(pretoken)
+    for lhs, rhs in merges:
+        sym = F.replace(
+            sym, F.lit(f" {lhs}\t {rhs}\t"), F.lit(f" {lhs}{rhs}\t")
+        )
+    return _symbols_expr(sym)
+
+
+def byte_bpe_encode_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(doc_id, n_pretokens, n_bpe_symbols): the byte-level token
+    budget — encode the DISTINCT-pretoken table once (vocab-bounded,
+    the r5-verdict discipline) and broadcast-join symbol counts back
+    to the exploded doc pretokens. Document text never shuffles."""
+    docs = df.select(
+        "doc_id", _pretokens_expr(F.col(text_col)).alias("pts")
+    )
+    pre_syms = (
+        docs.select(F.explode("pts").alias("pt"))
+        .distinct()
+        .select(
+            "pt",
+            F.size(apply_byte_merges_expr(F.col("pt"), merges))
+            .cast("long")
+            .alias("n_sym"),
+        )
+    )
+    if broadcast_vocab:
+        pre_syms = F.broadcast(pre_syms)
+    exploded = docs.select(
+        "doc_id",
+        F.size("pts").cast("long").alias("n_pretokens"),
+        F.explode_outer("pts").alias("pt"),
+    )
+    return (
+        exploded.join(pre_syms, ["pt"], "left")
+        .groupBy("doc_id", "n_pretokens")
+        .agg(
+            F.coalesce(F.sum("n_sym"), F.lit(0))
+            .cast("long")
+            .alias("n_bpe_symbols")
+        )
+        .select("doc_id", "n_pretokens", "n_bpe_symbols")
+    )
+
+
+def trie_encode_byte_counts(
+    distinct_pretokens: DataFrame, merges: DataFrame, pt_col: str = "pt"
+) -> DataFrame:
+    """(pt, n_sym) over a DISTINCT-pretoken table via the Arrow-batched
+    heap encoder on byte symbols — the any-k byte-level encode path
+    (trie_encode_word_counts' twin): the merge DataFrame ships as a
+    broadcast rank dict, no Catalyst expression grows with k."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = distinct_pretokens.sparkSession
+    bc = spark.sparkContext.broadcast(merge_ranks(merges))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "pt": pdf[pt_col],
+                    "n_sym": [
+                        len(encode_pretoken_byte_symbols(p, ranks))
+                        for p in pdf[pt_col]
+                    ],
+                }
+            )
+
+    return distinct_pretokens.mapInPandas(enc, "pt string, n_sym long")
+
+
+def byte_bpe_encode_counts_trie(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """byte_bpe_encode_counts for REAL merge-table sizes: same
+    (doc_id, n_pretokens, n_bpe_symbols) output, heap encoder over
+    the distinct-pretoken table instead of k chained replaces."""
+    docs = df.select("doc_id", _pretokens_expr(F.col(text_col)).alias("pts"))
+    distinct = docs.select(F.explode("pts").alias("pt")).distinct()
+    pre_syms = trie_encode_byte_counts(distinct, merges)
+    if broadcast_vocab:
+        pre_syms = F.broadcast(pre_syms)
+    exploded = docs.select(
+        "doc_id",
+        F.size("pts").cast("long").alias("n_pretokens"),
+        F.explode_outer("pts").alias("pt"),
+    )
+    return (
+        exploded.join(pre_syms, ["pt"], "left")
+        .groupBy("doc_id", "n_pretokens")
+        .agg(
+            F.coalesce(F.sum("n_sym"), F.lit(0))
+            .cast("long")
+            .alias("n_bpe_symbols")
+        )
+        .select("doc_id", "n_pretokens", "n_bpe_symbols")
+    )

@@ -431,3 +431,30 @@ def pack_bpe_records(
         seq_len,
     )
     return seqs.join(bounds, ["shard", "pack_id"])
+
+
+def pack_assignments_byte_bpe(
+    df: DataFrame,
+    merges: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    bucket_span: int | None = None,
+) -> DataFrame:
+    """pack_assignments_learned_bpe's BYTE-level mode (r7): the budget
+    a trained byte-level (GPT-2-style) tokenizer charges — per-doc
+    counts from bpetrain.byte_bpe_encode_counts_trie (heap encoder
+    over the distinct-pretoken table, any merge-table size, counts
+    broadcast-joined back), then the same boundary arithmetic and
+    two-level bucket_span option. Only a narrow (doc_id, n) stream
+    reaches the packing window."""
+    from .bpetrain import byte_bpe_encode_counts_trie
+
+    counts = byte_bpe_encode_counts_trie(df, merges, text_col)
+    t = df.select("doc_id", F.col(shard_col).alias("shard")).join(
+        counts.select(
+            "doc_id", F.col("n_bpe_symbols").cast("long").alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    return _boundaries(_with_stream_cum(t, bucket_span), seq_len)
