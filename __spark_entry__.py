@@ -3780,6 +3780,275 @@ def _sequence_pack_bytes_oracle_sql() -> str:
     """
 
 
+# --- domain-level curation signals (r7: operators/domains.py) ---------------
+
+DOMAIN_HOSTS = [
+    "www.example.co.uk",
+    "news.example.co.uk",
+    "mirror.example.com",
+    "cdn.example.com",
+    "docs.python.org",
+    "203.0.113.7",
+    "foo.github.io",
+    "bar.github.io",
+]
+
+DOMAIN_GATE_KW = dict(
+    min_docs=5,
+    max_dup_micro=100_000,
+    min_quality_micro=500_000,
+    max_pii_per_mchar=1_050,
+    blocklist=("bar.github.io",),
+)
+
+_CDN_BOILERPLATE = (
+    "cdn boilerplate landing page please enable javascript to continue"
+)
+
+
+def _domain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII-augmented corpus with a deterministic host per doc:
+    8 hosts over 6 registrable domains (a two-subdomain co.uk site, a
+    two-subdomain .com site, a bare org, an IP literal, and two
+    distinct github.io sites — the multi-part-suffix case where
+    last-2-labels would WRONGLY merge every github.io tenant). The
+    cdn host serves one fixed boilerplate body, so its registrable
+    domain (example.com, shared with the mirror host) reads as
+    dup-heavy — the signal the dedup gate exists for."""
+    hosts = F.array(*[F.lit(h) for h in DOMAIN_HOSTS])
+    return (
+        _pii_augmented_docs(spark, sf_dir)
+        .withColumn(
+            "host",
+            F.element_at(hosts, (F.col("doc_id") % 8 + 1).cast("int")),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 8 == 3, F.lit(_CDN_BOILERPLATE)
+            ).otherwise(F.col("text")),
+        )
+    )
+
+
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain curation signals (r7:
+    domains.domain_signals): doc/host counts, exact-dup rate,
+    quality-keep rate, PII density per Mchar, and the bigram-LM
+    surprise mean over all the domain's bigrams — every rate in exact
+    integer micro-units. DuckDB rebuilds the host matrix, the eTLD+1
+    case analysis, and the whole LM chain; a drift in any component
+    (suffix set, dup hashing, PII order, add-one arithmetic) breaks
+    the hash."""
+    from claude_readability_hook_spark.operators.domains import domain_signals
+
+    return domain_signals(_domain_docs(spark, sf_dir))
+
+
+def q_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document domain governance verdict (r7:
+    domains.domain_gate): blocklist > min_docs > dup > quality > PII
+    precedence, thresholds chosen so the fixture exercises
+    blocklisted, low_quality, pii_dense AND ok branches. The signal
+    table joins back via the counted auto-broadcast regime."""
+    from claude_readability_hook_spark.operators.domains import domain_gate
+
+    out = domain_gate(_domain_docs(spark, sf_dir), **DOMAIN_GATE_KW)
+    return out.select("doc_id", "domain", "domain_keep", "gate_reason")
+
+
+_DOMAIN_IP_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+
+
+def _domain_reg_sql(host: str = "host") -> str:
+    from claude_readability_hook_spark.operators.domains import (
+        MULTIPART_SUFFIXES,
+    )
+
+    suffixes = "[" + ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES) + "]"
+    lab = f"string_split(lower({host}), '.')"
+    return (
+        f"CASE WHEN regexp_matches(lower({host}), '{_DOMAIN_IP_RE}') "
+        f"OR len({lab}) <= 2 THEN lower({host}) "
+        f"WHEN list_contains({suffixes}, array_to_string({lab}[-2:], '.')) "
+        f"THEN array_to_string({lab}[-3:], '.') "
+        f"ELSE array_to_string({lab}[-2:], '.') END"
+    )
+
+
+def _domain_base_ctes() -> str:
+    """aug (PII-planted docs) → hosts → dom (registrable domain) →
+    feats (per-doc md5/quality/pii/chars) → base (per-domain counts)
+    → the LM chain (sample/bgc/ctx/vocab/terms/lma per domain) —
+    shared by the domain_quality and domain_gate oracles."""
+    from claude_readability_hook_spark.operators.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    host_case = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(DOMAIN_HOSTS)
+    )
+    h32_doc = _H32_SQL.replace("md5(s)", "md5(doc_id::VARCHAR)")
+    toks = _TOKS_SQL
+    qk = (
+        f"CASE WHEN len({toks}) >= 5 "
+        f"AND (CASE WHEN len({toks}) > 0 "
+        f"THEN length(text)::DOUBLE / len({toks}) ELSE 0.0 END) "
+        "BETWEEN 2.0 AND 12.0 "
+        "AND length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE "
+        "/ greatest(length(text), 1) >= 0.6 THEN 1 ELSE 0 END"
+    )
+    pii = (
+        f"len(regexp_extract_all(text, '{EMAIL_RE}')) "
+        f"+ len(regexp_extract_all(regexp_replace(text, '{EMAIL_RE}', "
+        f"'{EMAIL_TOKEN}', 'g'), '{IPV4_RE}')) "
+        f"+ len(regexp_extract_all(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'), '{IPV4_RE}', '{IP_TOKEN}', "
+        f"'g'), '{PHONE_RE}'))"
+    )
+    return f"""aug AS MATERIALIZED (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' contact bob' || doc_id::VARCHAR || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' server 192.168.' || (doc_id % 256)::VARCHAR
+                              || '.' || (doc_id % 100)::VARCHAR
+                         ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                         THEN ' call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                         ELSE '' END AS text
+          FROM documents
+        ),
+        dom AS MATERIALIZED (
+          SELECT doc_id, text, host, {_domain_reg_sql()} AS domain
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 8 = 3
+                            THEN '{_CDN_BOILERPLATE}' ELSE text END AS text,
+                       CASE doc_id % 8 {host_case} END AS host
+                FROM aug)
+        ),
+        feats AS (
+          SELECT domain, host, md5(text) AS text_md5,
+                 {qk} AS qk, {pii} AS pii,
+                 length(text) AS nc
+          FROM dom
+        ),
+        base AS (
+          SELECT domain,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                 CAST(count(DISTINCT text_md5) AS BIGINT) AS n_distinct_text,
+                 CAST(sum(qk) AS BIGINT) AS nqk,
+                 CAST(sum(pii) AS BIGINT) AS pii_hits,
+                 CAST(sum(nc) AS BIGINT) AS n_chars
+          FROM feats GROUP BY domain
+        ),
+        toksd AS MATERIALIZED (
+          SELECT doc_id, domain,
+                 list_transform({toks}, t -> lower(t)) AS ts
+          FROM dom
+        ),
+        dsample AS (
+          SELECT ts FROM toksd WHERE ({h32_doc}) % 4 = 0
+        ),
+        dsbg AS (
+          SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                   i -> [ts[i], ts[i + 1]])) AS p
+          FROM dsample WHERE len(ts) >= 2
+        ),
+        dbgc AS MATERIALIZED (
+          SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+          FROM dsbg GROUP BY 1, 2
+        ),
+        dctx AS (SELECT w1, sum(c12) AS c1 FROM dbgc GROUP BY 1),
+        dvocab AS (
+          SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(ts) AS w FROM dsample)
+        ),
+        dombg AS (
+          SELECT domain,
+                 unnest(list_transform(range(1, greatest(len(ts), 1)),
+                   i -> [ts[i], ts[i + 1]])) AS p
+          FROM toksd WHERE len(ts) >= 2
+        ),
+        dterms AS (
+          SELECT d.domain,
+                 (2 * CAST(COALESCE(c.c1, 0) + v.v AS BIGINT) * 1000000
+                    + CAST(COALESCE(b.c12, 0) + 1 AS BIGINT))
+                 // (2 * CAST(COALESCE(b.c12, 0) + 1 AS BIGINT)) AS term_micro
+          FROM (SELECT domain, p[1] AS w1, p[2] AS w2 FROM dombg) d
+          LEFT JOIN dbgc b ON d.w1 = b.w1 AND d.w2 = b.w2
+          LEFT JOIN dctx c ON d.w1 = c.w1
+          CROSS JOIN dvocab v
+        ),
+        lma AS (
+          SELECT domain, CAST(count(*) AS BIGINT) AS nb,
+                 CAST((2 * sum(term_micro) + count(*))
+                      // (2 * count(*)) AS BIGINT) AS lm_micro
+          FROM dterms GROUP BY domain
+        ),
+        sig AS (
+          SELECT b.domain, b.n_docs, b.n_hosts,
+                 b.n_docs - b.n_distinct_text AS n_exact_dup,
+                 (2 * (b.n_docs - b.n_distinct_text) * 1000000 + b.n_docs)
+                   // (2 * b.n_docs) AS dup_micro,
+                 b.nqk AS n_quality_keep,
+                 (2 * b.nqk * 1000000 + b.n_docs)
+                   // (2 * b.n_docs) AS quality_micro,
+                 b.pii_hits,
+                 (2 * b.pii_hits * 1000000 + greatest(b.n_chars, 1))
+                   // (2 * greatest(b.n_chars, 1)) AS pii_per_mchar,
+                 COALESCE(l.nb, 0) AS n_bigrams,
+                 COALESCE(l.lm_micro, 0) AS lm_micro
+          FROM base b LEFT JOIN lma l ON b.domain = l.domain
+        )"""
+
+
+def _domain_quality_oracle_sql() -> str:
+    return f"""
+        WITH {_domain_base_ctes()}
+        SELECT domain, n_docs, n_hosts,
+               CAST(n_exact_dup AS BIGINT) AS n_exact_dup,
+               CAST(dup_micro AS BIGINT) AS dup_micro,
+               n_quality_keep,
+               CAST(quality_micro AS BIGINT) AS quality_micro,
+               pii_hits,
+               CAST(pii_per_mchar AS BIGINT) AS pii_per_mchar,
+               n_bigrams, lm_micro
+        FROM sig
+    """
+
+
+def _domain_gate_oracle_sql() -> str:
+    kw = DOMAIN_GATE_KW
+    block = ", ".join(f"'{b}'" for b in kw["blocklist"])
+    return f"""
+        WITH {_domain_base_ctes()},
+        verdict AS (
+          SELECT domain,
+                 CASE WHEN domain IN ({block}) THEN 'blocklisted'
+                      WHEN n_docs < {kw["min_docs"]} THEN 'too_few_docs'
+                      WHEN dup_micro > {kw["max_dup_micro"]} THEN 'dup_heavy'
+                      WHEN quality_micro < {kw["min_quality_micro"]}
+                        THEN 'low_quality'
+                      WHEN pii_per_mchar > {kw["max_pii_per_mchar"]}
+                        THEN 'pii_dense'
+                      ELSE 'ok' END AS gate_reason
+          FROM sig
+        )
+        SELECT d.doc_id, d.domain,
+               (v.gate_reason = 'ok') AS domain_keep,
+               v.gate_reason
+        FROM dom d JOIN verdict v ON d.domain = v.domain
+    """
+
+
 WARC_ORACLE_DOCS = 24  # 12 per segment: one plain, one member-gzip
 
 
@@ -4106,6 +4375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytes_merges": q_bpe_bytes_merges,  # new r7: byte-level BPE
         "bpe_bytes_encode": q_bpe_bytes_encode,  # new r7: byte token budget
         "sequence_pack_bytes": q_sequence_pack_bytes,  # new r7: byte pack budget
+        "domain_quality": q_domain_quality,  # new r7: domain curation signals
+        "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
         "image_dedup_pairs_both": q_image_dedup_pairs_both,  # new r6: dual hash
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
@@ -5226,6 +5497,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_bytes_merges": _bpe_bytes_merges_oracle_sql(),
         "bpe_bytes_encode": _bpe_bytes_encode_oracle_sql(),
         "sequence_pack_bytes": _sequence_pack_bytes_oracle_sql(),
+        "domain_quality": _domain_quality_oracle_sql(),
+        "domain_gate": _domain_gate_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
         "image_dedup_pairs_both": _image_dedup_pairs_both_oracle_sql(),
         "image_index_dedup": _image_index_dedup_oracle_sql(),

@@ -100,6 +100,32 @@ def main() -> None:
         "the artifact first (train-once, reuse-everywhere)",
     )
     parser.add_argument("--bpe-merges", type=int, default=8, metavar="K")
+    parser.add_argument(
+        "--domain-filter",
+        action="store_true",
+        help="apply the per-registrable-domain governance gate "
+        "(operators/domains.py): drop docs whose domain is "
+        "blocklisted, too small, dup-heavy, low-quality, or "
+        "PII-dense",
+    )
+    parser.add_argument(
+        "--domain-col",
+        default="source",
+        help="column holding the host/domain key (default: source — "
+        "crawl corpora pass their host column here)",
+    )
+    parser.add_argument(
+        "--domain-blocklist",
+        default="",
+        help="comma-separated registrable domains to drop outright",
+    )
+    parser.add_argument("--domain-min-docs", type=int, default=1)
+    parser.add_argument(
+        "--domain-max-dup-micro",
+        type=int,
+        default=500_000,
+        help="max exact-dup micro-rate per domain (1e6 = all dups)",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -146,6 +172,27 @@ def main() -> None:
         before = manifest.count()
         manifest = manifest.join(calm_ids, "doc_id", "left_semi")
         n_lm_dropped = before - manifest.count()
+    n_domain_dropped = 0
+    if args.domain_filter:
+        # domain governance gate: per-registrable-domain signals
+        # (dup rate, quality rate, PII density, LM surprise) and a
+        # blocklist — docs on failing domains leave the manifest
+        from claude_readability_hook_spark.operators.domains import domain_gate
+
+        blocklist = tuple(
+            s.strip() for s in args.domain_blocklist.split(",") if s.strip()
+        )
+        gated = domain_gate(
+            docs.select("doc_id", F.col(args.domain_col), "text"),
+            host_col=args.domain_col,
+            min_docs=args.domain_min_docs,
+            max_dup_micro=args.domain_max_dup_micro,
+            blocklist=blocklist,
+        )
+        keep_ids = gated.filter(F.col("domain_keep")).select("doc_id")
+        before = manifest.count()
+        manifest = manifest.join(keep_ids, "doc_id", "left_semi")
+        n_domain_dropped = before - manifest.count()
     n_dsir_dropped = 0
     if args.dsir_target_lang:
         # DSIR domain-mixing stage: resample toward the target-domain
@@ -252,6 +299,7 @@ def main() -> None:
                         "contaminated_dropped": n_contaminated,
                         "lm_dropped": n_lm_dropped,
                         "dsir_dropped": n_dsir_dropped,
+                        "domain_dropped": n_domain_dropped,
                         "packed_sequences": n_shards,
                         "seq_len": args.pack,
                     }
@@ -293,6 +341,7 @@ def main() -> None:
                 "contaminated_dropped": n_contaminated,
                 "lm_dropped": n_lm_dropped,
                 "dsir_dropped": n_dsir_dropped,
+                "domain_dropped": n_domain_dropped,
                 "export_shards": n_shards,
             }
         )

@@ -103,6 +103,8 @@ def test_curate_job_scrub_stages(tmp_path):
             "--decontaminate", bench,
             "--redact-pii",
             "--scrub-spans", "2",
+            "--domain-filter",
+            "--domain-blocklist", "src0",
         ],
         capture_output=True,
         text=True,
@@ -113,6 +115,9 @@ def test_curate_job_scrub_stages(tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     # the benchmark docs ARE corpus docs, so at least they get dropped
     assert summary["contaminated_dropped"] >= 1
+    # --domain-filter with src0 blocklisted: every surviving src0 doc
+    # leaves the manifest at the domain gate
+    assert summary["domain_dropped"] >= 1
     assert summary["manifest_rows"] + summary["contaminated_dropped"] <= 500
     rows = 0
     for path in glob.glob(f"{out_dir}/shards/part-*.json.gz"):
