@@ -3780,6 +3780,145 @@ def _sequence_pack_bytes_oracle_sql() -> str:
     """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bytes-per-token for the LEARNED byte-level
+    tokenizer (r7: bpetrain.tokenizer_fertility) — the tokenizer-eval
+    table: the multilingual fixture's hiragana rows cost ~3 UTF-8
+    bytes/char, so their fertility exposes the merge budget's ASCII
+    bias. DuckDB re-trains the k=8 byte merges and replays every
+    per-pretoken symbol count and the byte totals."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        learn_byte_bpe_merges,
+        tokenizer_fertility,
+    )
+    from claude_readability_hook_spark.operators.langid import (
+        synthesize_langid_corpus,
+    )
+
+    corpus = synthesize_langid_corpus(spark, LANGID_DOCS_PER_LANG)
+    merges = learn_byte_bpe_merges(corpus, k=BPE_BYTES_K)
+    return tokenizer_fertility(corpus, merges, group_col="lang_true")
+
+
+def _tokenizer_fertility_oracle_sql() -> str:
+    k = BPE_BYTES_K
+    chain = _bpe_cte_chain(k, w0_sql=_byte_bpe_w0_sql(), key="pt")
+    return f"""
+        WITH {_langid_docs_cte_sql()},
+        {chain},
+        ptcount AS (
+          SELECT pt,
+                 length(sym) - length(replace(sym, chr(9), '')) AS n_sym
+          FROM w{k}
+        ),
+        enc AS (
+          SELECT doc_id, lang_true, strlen(text) AS nb,
+                 {_PRETOKS_SQL} AS pts
+          FROM docs
+        ),
+        ds AS (
+          SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS nt
+          FROM (SELECT doc_id, unnest(pts) AS pt FROM enc)
+          JOIN ptcount USING (pt)
+          GROUP BY doc_id
+        ),
+        agg AS (
+          SELECT e.lang_true,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(e.nb) AS BIGINT) AS total_bytes,
+                 CAST(sum(COALESCE(d.nt, 0)) AS BIGINT) AS total_tokens
+          FROM enc e LEFT JOIN ds d USING (doc_id)
+          GROUP BY e.lang_true
+        )
+        SELECT lang_true, n_docs, total_bytes, total_tokens,
+               CAST(CASE WHEN total_tokens > 0
+                    THEN (2 * total_bytes * 1000000 + total_tokens)
+                         // (2 * total_tokens)
+                    ELSE 0 END AS BIGINT) AS bytes_per_token_micro
+        FROM agg
+    """
+
+
+DRIFT_TOP_K = 40
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot token drift (r7: drift.corpus_drift):
+    snapshot B is the corpus with an 11-residue slice dropped, 'the'
+    misspelled on the 5-residue slice, and a planted spam token on
+    the 7-residue slice — the three real drift modes (source loss,
+    scraper regression, spam flood). Exact integer micro-rates and a
+    vocabulary-wide total-variation distance; DuckDB rebuilds both
+    snapshots and the full ranking."""
+    from claude_readability_hook_spark.operators.drift import corpus_drift
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 5 == 0, F.replace(t, F.lit("the"), F.lit("teh"))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit(" driftnoise spamtoken spamtoken")),
+    ).otherwise(t)
+    snap_b = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", t.alias("text")
+    )
+    return corpus_drift(docs, snap_b, top_k=DRIFT_TOP_K)
+
+
+def _corpus_drift_oracle_sql() -> str:
+    toks = f"unnest(list_transform({_TOKS_SQL}, t -> lower(t))) AS token"
+    return f"""
+        WITH snapb AS MATERIALIZED (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN x || ' driftnoise spamtoken spamtoken'
+                      ELSE x END AS text
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN replace(text, 'the', 'teh')
+                            ELSE text END AS x
+                FROM documents)
+          WHERE doc_id % 11 <> 0
+        ),
+        ca AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS n_a
+          FROM (SELECT {toks} FROM documents) GROUP BY token
+        ),
+        cb AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS n_b
+          FROM (SELECT {toks} FROM snapb) GROUP BY token
+        ),
+        j AS (
+          SELECT COALESCE(ca.token, cb.token) AS token,
+                 COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM ca FULL JOIN cb ON ca.token = cb.token
+        ),
+        tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+        r AS (
+          SELECT token, n_a, n_b,
+                 (2 * n_a * 1000000 + greatest(ta, 1))
+                   // (2 * greatest(ta, 1)) AS pa_micro,
+                 (2 * n_b * 1000000 + greatest(tb, 1))
+                   // (2 * greatest(tb, 1)) AS pb_micro
+          FROM j, tot
+        ),
+        d AS (
+          SELECT *, abs(pa_micro - pb_micro) AS drift_micro FROM r
+        ),
+        tv AS (SELECT sum(drift_micro) // 2 AS tv_micro FROM d)
+        SELECT token, n_a, n_b,
+               CAST(pa_micro AS BIGINT) AS pa_micro,
+               CAST(pb_micro AS BIGINT) AS pb_micro,
+               CAST(drift_micro AS BIGINT) AS drift_micro,
+               CAST(tv.tv_micro AS BIGINT) AS tv_micro
+        FROM (SELECT * FROM d
+              ORDER BY drift_micro DESC, token ASC LIMIT {DRIFT_TOP_K}),
+             tv
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 DOMAIN_HOSTS = [
@@ -4375,6 +4514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_bytes_merges": q_bpe_bytes_merges,  # new r7: byte-level BPE
         "bpe_bytes_encode": q_bpe_bytes_encode,  # new r7: byte token budget
         "sequence_pack_bytes": q_sequence_pack_bytes,  # new r7: byte pack budget
+        "tokenizer_fertility": q_tokenizer_fertility,  # new r7: bytes/token eval
+        "corpus_drift": q_corpus_drift,  # new r7: snapshot TV drift
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
@@ -5497,6 +5638,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_bytes_merges": _bpe_bytes_merges_oracle_sql(),
         "bpe_bytes_encode": _bpe_bytes_encode_oracle_sql(),
         "sequence_pack_bytes": _sequence_pack_bytes_oracle_sql(),
+        "tokenizer_fertility": _tokenizer_fertility_oracle_sql(),
+        "corpus_drift": _corpus_drift_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),

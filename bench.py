@@ -144,6 +144,15 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "ann_recall_eval",
         "canonical_media_refs",
         "image_dedup_pairs_both",
+        # round 7
+        "media_pdct_hash",
+        "video_dedup_pairs",
+        "lang_id_ngram",
+        "bpe_bytes_merges",
+        "bpe_bytes_encode",
+        "sequence_pack_bytes",
+        "domain_quality",
+        "domain_gate",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds, or the
     # connected-components pointer-jump loop): one rep — the round
@@ -156,6 +165,9 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "sequence_pack_bpe_learned",
         "bpe_pack_symbols",
         "canonical_media_refs",
+        "bpe_bytes_merges",
+        "bpe_bytes_encode",
+        "sequence_pack_bytes",
     }
 
     times: dict[str, float] = {}

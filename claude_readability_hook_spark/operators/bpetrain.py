@@ -651,3 +651,54 @@ def byte_bpe_encode_counts_trie(
         )
         .select("doc_id", "n_pretokens", "n_bpe_symbols")
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_docs, total_bytes, total_tokens,
+    bytes_per_token_micro): the tokenizer-eval table every production
+    tokenizer ships with — UTF-8 bytes per learned byte-BPE token,
+    grouped (typically by language). A tokenizer trained mostly on
+    ASCII charges CJK text ~3 bytes/char with few merges, so its
+    fertility row exposes the languages it underserves — the signal
+    that drives merge-budget and data-mixture decisions.
+
+    Cost shape: the heap encode runs once per DISTINCT pretoken
+    (byte_bpe_encode_counts_trie), counts broadcast-join back, and
+    the fertility agg is one vocab-narrow groupBy — document text is
+    scanned once and never shuffles. Ratio in exact half-up integer
+    micro-units (the r5 rounding discipline)."""
+    counts = byte_bpe_encode_counts_trie(df, merges, text_col)
+    tagged = df.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.octet_length(F.col(text_col)).cast("long").alias("nb"),
+    ).join(counts, "doc_id")
+    return (
+        tagged.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.sum("n_bpe_symbols").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "total_bytes",
+            "total_tokens",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.expr(
+                    "(2 * total_bytes * 1000000 + total_tokens)"
+                    " div (2 * total_tokens)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bytes_per_token_micro"),
+        )
+    )

@@ -85,8 +85,13 @@ def _write_shard_files(recs: DataFrame, path: str, compression: str) -> None:
     shard's directory). A bare repartition(n, 'shard') alone does NOT
     give one-file-per-shard: hash partitioning n keys into n partitions
     routinely collides distinct shards into shared files. Pack order
-    inside each file is preserved by the pre-write sort;
-    spark.read.json(path) restores `shard` as a partition column."""
+    inside each file is preserved by the pre-write sort.
+
+    Consumer contract (Hive layout): the shard key lives in the
+    shard=<val>/ DIRECTORY name, not in the JSON records —
+    spark.read.json(path) restores it as a partition column, and
+    non-Spark training loaders read it from the path (the
+    webdataset/HF-datasets convention)."""
     n_shards = recs.select("shard").distinct().count()
     (
         recs.repartition(max(n_shards, 1), "shard")

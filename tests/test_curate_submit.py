@@ -170,13 +170,19 @@ def test_curate_job_learned_tokenizer_pack(tmp_path):
     # packed shards: learned symbols, full packs but shard-final ones
     import collections
 
+    # Hive layout: the shard key lives in the directory name
+    # (shard=<val>/ — one file per shard), records carry the rest
     per_shard = collections.defaultdict(list)
-    for path in glob.glob(f"{out_dir}/packed/part-*.json.gz"):
+    for path in glob.glob(f"{out_dir}/packed/shard=*/part-*.json.gz"):
+        shard = os.path.basename(os.path.dirname(path)).split("=", 1)[1]
         with gzip.open(path, "rt") as fh:
             for line in fh:
-                rec = json.loads(line)
-                per_shard[rec["shard"]].append(rec)
+                per_shard[shard].append(json.loads(line))
     assert per_shard
+    assert all(
+        len(glob.glob(f"{os.path.dirname(p)}/part-*.json.gz")) == 1
+        for p in glob.glob(f"{out_dir}/packed/shard=*/part-*.json.gz")
+    )
     for shard, recs in per_shard.items():
         last = max(r["pack_id"] for r in recs)
         for r in recs:
