@@ -3919,6 +3919,70 @@ def _corpus_drift_oracle_sql() -> str:
     """
 
 
+def q_bloom_url_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom seen-set gate (r7: operators/bloom.py): build the filter
+    over the even-doc URL catalog, probe EVERY doc's URL. Even URLs
+    must read maybe_seen (no false negatives — the filter's
+    contract); odd URLs read unseen except the arithmetic's true
+    false positives, which DuckDB reproduces bit-for-bit (salted h32,
+    32-bit word packing, bit_or/AND)."""
+    from claude_readability_hook_spark.operators.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+
+    url = F.concat(
+        F.lit("https://example.com/x/"), F.col("doc_id").cast("string")
+    )
+    docs = _docs(spark, sf_dir)
+    catalog = docs.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    probes = docs.select("doc_id", url.alias("url"))
+    bloom = build_bloom(catalog)
+    return probe_bloom(bloom, probes).select("doc_id", "url", "maybe_seen")
+
+
+def _bloom_oracle_sql() -> str:
+    from claude_readability_hook_spark.operators.bloom import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+    )
+
+    def h(i: int) -> str:
+        return (
+            "("
+            + _H32_SQL.replace("md5(s)", f"md5('bl{i}:' || url)")
+            + f") % {BLOOM_M_BITS}"
+        )
+
+    arr = "[" + ", ".join(h(i) for i in range(BLOOM_K)) + "]"
+    return f"""
+        WITH cat AS (
+          SELECT 'https://example.com/x/' || doc_id::VARCHAR AS url
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        cpos AS (SELECT unnest({arr}) AS pos FROM cat),
+        words AS MATERIALIZED (
+          SELECT pos // 32 AS word_idx,
+                 bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+          FROM cpos GROUP BY 1
+        ),
+        probes AS (
+          SELECT doc_id,
+                 'https://example.com/x/' || doc_id::VARCHAR AS url
+          FROM documents
+        ),
+        pp AS (SELECT doc_id, url, unnest({arr}) AS pos FROM probes),
+        chk AS (
+          SELECT doc_id, url,
+                 COALESCE(bits & (1::BIGINT << (pos % 32)::INT), 0) <> 0
+                   AS hit
+          FROM pp LEFT JOIN words ON pp.pos // 32 = words.word_idx
+        )
+        SELECT doc_id, url, bool_and(hit) AS maybe_seen
+        FROM chk GROUP BY doc_id, url
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 DOMAIN_HOSTS = [
@@ -4516,6 +4580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_bytes": q_sequence_pack_bytes,  # new r7: byte pack budget
         "tokenizer_fertility": q_tokenizer_fertility,  # new r7: bytes/token eval
         "corpus_drift": q_corpus_drift,  # new r7: snapshot TV drift
+        "bloom_url_seen": q_bloom_url_seen,  # new r7: bloom frontier gate
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
@@ -5640,6 +5705,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack_bytes": _sequence_pack_bytes_oracle_sql(),
         "tokenizer_fertility": _tokenizer_fertility_oracle_sql(),
         "corpus_drift": _corpus_drift_oracle_sql(),
+        "bloom_url_seen": _bloom_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
