@@ -3983,6 +3983,60 @@ def _bloom_oracle_sql() -> str:
     """
 
 
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token cardinality (r7: sketch.hll_*):
+    64-register sketch with engine-portable arithmetic (h32 hashing,
+    bin()-length ranks, exact dyadic harmonic sum) next to the exact
+    answer. DuckDB rebuilds every register and the identical
+    raw-estimator float path."""
+    from claude_readability_hook_spark.operators.sketch import hll_distinct
+    from claude_readability_hook_spark.operators.textcommon import tokens_expr
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.transform(tokens_expr(F.col("text")), F.lower)).alias("w")
+    )
+    return hll_distinct(toks, "w")
+
+
+def _hll_oracle_sql() -> str:
+    from claude_readability_hook_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+    )
+
+    h = _H32_SQL.replace("md5(s)", "md5(w)")
+    m = HLL_M
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT unnest(list_transform({_TOKS_SQL}, t -> lower(t))) AS w
+          FROM documents
+        ),
+        hs AS (SELECT ({h}) AS h FROM toks),
+        obs AS (
+          SELECT h % {m} AS bucket,
+                 CASE WHEN h // {m} = 0 THEN 27
+                      ELSE 27 - length(bin(h // {m})) END AS rho
+          FROM hs
+        ),
+        regs AS (SELECT bucket, max(rho) AS register FROM obs GROUP BY bucket),
+        allb AS (SELECT i AS bucket FROM range(0, {m}) t(i)),
+        r2 AS (
+          SELECT f.bucket, COALESCE(r.register, 0) AS register
+          FROM allb f LEFT JOIN regs r ON f.bucket = r.bucket
+        )
+        SELECT CAST({m} AS BIGINT) AS m,
+               CAST(sum(CASE WHEN register > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nonzero_registers,
+               round({HLL_ALPHA} * {float(m * m)}
+                     / sum(1.0::DOUBLE
+                           / (1::BIGINT << register::INT)::DOUBLE), 6)
+                 AS estimate,
+               (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM toks)
+                 AS exact_distinct
+        FROM r2
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 DOMAIN_HOSTS = [
@@ -4581,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,  # new r7: bytes/token eval
         "corpus_drift": q_corpus_drift,  # new r7: snapshot TV drift
         "bloom_url_seen": q_bloom_url_seen,  # new r7: bloom frontier gate
+        "hll_distinct_tokens": q_hll_distinct_tokens,  # new r7: HLL sketch
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
@@ -5706,6 +5761,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _tokenizer_fertility_oracle_sql(),
         "corpus_drift": _corpus_drift_oracle_sql(),
         "bloom_url_seen": _bloom_oracle_sql(),
+        "hll_distinct_tokens": _hll_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import h32_expr
 from .textcommon import seeded_md5_expr
 
 CMS_DEPTH = 4
@@ -136,3 +137,90 @@ def cms_hot_keys(
     return cms_estimate(sketch, cands, "key", depth, width).filter(
         F.col("est") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-cardinality sketch (Flajolet et al. 2007): the
+# fixed-size estimator for "how many distinct tokens/URLs/shingles does
+# this 100 TB corpus hold" — the question approx_count_distinct answers
+# inside Spark, reimplemented here with ENGINE-PORTABLE arithmetic so
+# the DuckDB oracle reproduces the estimate bit-for-bit:
+#   - h32 (md5-derived) hashes, bucket = h mod m, 26-bit rank window;
+#   - rho via length(bin(rest)) — bin() exists in both engines and
+#     never pads leading zeros;
+#   - the harmonic sum Σ 2^{-M_j} is a sum of dyadic rationals with
+#     exponents ≥ -27 over ≤ m terms, so every partial sum is EXACT in
+#     a double (needs < 53 mantissa bits) and the result is
+#     order-independent — no accumulation-order hazard;
+#   - alpha_m * m² / S is two exactly-rounded IEEE ops on identical
+#     inputs — identical bits in both engines.
+# No small/large-range corrections (they need ln — the libm-free rule);
+# the raw estimator's bias at n >> m is the documented tradeoff, and
+# the registers travel with the estimate so a consumer can apply any
+# correction downstream.
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p = 6)
+HLL_ALPHA = 0.709  # standard alpha_64 constant
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, m: int = HLL_M
+) -> DataFrame:
+    """(bucket, register) for ALL m buckets (empties carry 0) — the
+    mergeable sketch state: max-combine two register tables to union
+    their sketches (used by snapshot-incremental cardinality)."""
+    spark = df.sparkSession
+    h = h32_expr(F.col(key_col))
+    rest = F.expr(f"h div {m}")
+    observed = (
+        df.select((h % m).cast("long").alias("bucket"), h.alias("h"))
+        .select(
+            "bucket",
+            F.when(rest == 0, F.lit(27))
+            .otherwise(F.lit(27) - F.length(F.bin(rest)))
+            .cast("long")
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    full = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
+    return full.join(observed, "bucket", "left").select(
+        "bucket",
+        F.coalesce("register", F.lit(0)).cast("long").alias("register"),
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
+    """One row (m, nonzero_registers, estimate): the raw HLL estimate
+    alpha_m · m² / Σ 2^{-M_j}, 6dp."""
+    return registers.agg(
+        F.lit(m).cast("long").alias("m"),
+        F.sum((F.col("register") > 0).cast("long"))
+        .cast("long")
+        .alias("nonzero_registers"),
+        F.round(
+            F.lit(HLL_ALPHA)
+            * F.lit(float(m * m))
+            / F.sum(
+                F.expr(
+                    "cast(1.0 as double)"
+                    " / cast(shiftleft(1L, cast(register as int)) as double)"
+                )
+            ),
+            6,
+        ).alias("estimate"),
+    )
+
+
+def hll_distinct(df: DataFrame, key_col: str, m: int = HLL_M) -> DataFrame:
+    """(m, nonzero_registers, estimate, exact_distinct): sketch
+    estimate next to the exact answer — the eval harness shape (at
+    production scale you emit only the sketch; exact is the test
+    oracle's privilege)."""
+    est = hll_estimate(hll_registers(df, key_col, m), m)
+    exact = df.agg(
+        F.countDistinct(key_col).cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact)
