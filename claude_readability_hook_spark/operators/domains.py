@@ -160,10 +160,14 @@ def domain_signals(
         registrable_domain_expr(F.col(host_col)).alias("domain"),
         F.explode(_pairs_expr(_lower_tokens(text_col))).alias("p"),
     ).select("domain", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    from .lmfilter import _lm_broadcast_auto
+
+    if _lm_broadcast_auto(bg, None):
+        bg, ctx, vocab = F.broadcast(bg), F.broadcast(ctx), F.broadcast(vocab)
     terms = (
-        pairs.join(F.broadcast(bg), ["w1", "w2"], "left")
-        .join(F.broadcast(ctx), ["w1"], "left")
-        .crossJoin(F.broadcast(vocab))
+        pairs.join(bg, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .crossJoin(vocab)
         .select(
             "domain",
             F.expr(

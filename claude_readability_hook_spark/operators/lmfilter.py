@@ -46,12 +46,12 @@ Plan shape, sized for 10^12 docs:
     token count. Context counts derive from the bigram table
     (groupBy w1 — no second corpus pass); V is a 1-row distinct agg.
   - SCORE: every doc's pairs expand in-row, then join the two count
-    tables. With broadcast_lm=True (default) both tables broadcast —
-    right whenever the sampled bigram vocabulary fits the executors
-    (the normal regime: vocabulary grows ~log of corpus size) — and
-    the doc side NEVER shuffles: the only exchange carries
+    tables. broadcast_lm=None (default) is the counted AUTO regime
+    (_lm_broadcast_auto): the tables broadcast when the bigram count
+    table fits LM_BROADCAST_MAX_ROWS — the normal regime, where the
+    doc side NEVER shuffles: the only exchange carries
     (doc_id, decimal partial-sum, count) map-side-reduced rows.
-    broadcast_lm=False flips to shuffle joins keyed on the bigram —
+    broadcast_lm=False forces shuffle joins keyed on the bigram —
     the pathological-vocabulary regime knob, same pattern as
     decontaminate(broadcast_hits=) / remove_duplicated_spans
     (broadcast_drops=). Caveat (r5 judge note): that shuffle keys on
@@ -140,6 +140,23 @@ def train_bigram_lm(
     return bg, ctx, vocab
 
 
+LM_BROADCAST_MAX_ROWS = 50_000_000  # ~low-GB serialized bigram rows
+
+
+def _lm_broadcast_auto(count_table: DataFrame, flag: bool | None) -> bool:
+    """Resolve a broadcast_lm knob: explicit booleans pass through;
+    None is the AUTO regime — count the (persisted) count table and
+    broadcast only when it fits LM_BROADCAST_MAX_ROWS. The bigram
+    vocabulary grows ~quadratically in the token vocabulary, so at
+    100 TB the count table is exactly what can outgrow a broadcast;
+    an unguarded hint there fails the job at the broadcast size cap
+    (better than a silent driver OOM, but still a failed job). Same
+    discipline as canonicalize_media_refs' counted mapping."""
+    if flag is not None:
+        return flag
+    return count_table.count() <= LM_BROADCAST_MAX_ROWS
+
+
 def release_lm(lm: tuple[DataFrame, ...]) -> None:
     """Unpersist every cached frame behind a train_bigram_lm /
     train_trigram_lm tuple. The trainers persist their count tables by
@@ -157,7 +174,7 @@ def lm_surprise_scores(
     df: DataFrame,
     lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     sample_mod: int | None = LM_SAMPLE_MOD,
-    broadcast_lm: bool = True,
+    broadcast_lm: bool | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, n_bigrams, lm_score) for EVERY doc — lm_score = the
@@ -167,7 +184,7 @@ def lm_surprise_scores(
     bg, ctx, vocab = lm if lm is not None else train_bigram_lm(
         df, sample_mod, text_col
     )
-    if broadcast_lm:
+    if _lm_broadcast_auto(bg, broadcast_lm):
         bg, ctx, vocab = F.broadcast(bg), F.broadcast(ctx), F.broadcast(vocab)
     pairs = df.select(
         "doc_id", F.explode_outer(_pairs_expr(_lower_tokens(text_col))).alias("p")
@@ -217,7 +234,7 @@ def lm_quality_filter(
     max_score: float,
     lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     sample_mod: int | None = LM_SAMPLE_MOD,
-    broadcast_lm: bool = True,
+    broadcast_lm: bool | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """Keep docs the reference LM is NOT surprised by (lm_score ≤
@@ -239,7 +256,7 @@ def dsir_importance_weights(
     lm_target: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     lm_corpus: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     sample_mod: int | None = LM_SAMPLE_MOD,
-    broadcast_lm: bool = True,
+    broadcast_lm: bool | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, the
@@ -282,8 +299,9 @@ def dsir_importance_weights(
     bg_r = bg_r.withColumnRenamed("c12", "c12_r")
     ctx_r = ctx_r.withColumnRenamed("c1", "c1_r")
     v_r = v_r.withColumnRenamed("v", "v_r")
-    if broadcast_lm:
+    if _lm_broadcast_auto(bg_t, broadcast_lm):
         bg_t, ctx_t, v_t = F.broadcast(bg_t), F.broadcast(ctx_t), F.broadcast(v_t)
+    if _lm_broadcast_auto(bg_r, broadcast_lm):
         bg_r, ctx_r, v_r = F.broadcast(bg_r), F.broadcast(ctx_r), F.broadcast(v_r)
     pairs = df.select(
         "doc_id", F.explode_outer(_pairs_expr(_lower_tokens(text_col))).alias("p")
@@ -349,7 +367,7 @@ def dsir_domain_mixture(
     target: DataFrame,
     domain_col: str = "source",
     sample_mod: int | None = LM_SAMPLE_MOD,
-    broadcast_lm: bool = True,
+    broadcast_lm: bool | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """DoReMi-style domain mixture from the DSIR weights: per domain,
@@ -499,7 +517,7 @@ def lm_trigram_surprise_scores(
     df: DataFrame,
     lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     sample_mod: int | None = LM_SAMPLE_MOD,
-    broadcast_lm: bool = True,
+    broadcast_lm: bool | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, n_trigrams, lm3_score): mean add-one TRIGRAM surprise
@@ -511,7 +529,7 @@ def lm_trigram_surprise_scores(
     tri, ctx, vocab = lm if lm is not None else train_trigram_lm(
         df, sample_mod, text_col
     )
-    if broadcast_lm:
+    if _lm_broadcast_auto(tri, broadcast_lm):
         tri, ctx, vocab = F.broadcast(tri), F.broadcast(ctx), F.broadcast(vocab)
     grams = df.select(
         "doc_id",

@@ -290,3 +290,34 @@ def test_release_lm_unpersists_both_orders(spark):
     assert lm3[2].storageLevel == StorageLevel.NONE
     # never-persisted tuples release as a no-op
     release_lm(train_bigram_lm(df, sample_mod=None, persist=False))
+
+
+def test_broadcast_lm_auto_regime(spark, monkeypatch):
+    """broadcast_lm=None counts the bigram table: broadcast under the
+    bound, shuffle join above it (bound forced to 0) — identical
+    scores either way."""
+    from claude_readability_hook_spark.operators import lmfilter
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta alpha beta") for i in range(12)],
+        "doc_id long, text string",
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    auto = lmfilter.lm_surprise_scores(docs, sample_mod=None)
+    assert "BroadcastHashJoin" in plan(auto)
+    # disable the auto-broadcast threshold so only the HINT decides —
+    # with the bound forced to 0 the hint must be absent
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        monkeypatch.setattr(lmfilter, "LM_BROADCAST_MAX_ROWS", 0)
+        shuffled = lmfilter.lm_surprise_scores(docs, sample_mod=None)
+        assert "BroadcastHashJoin" not in plan(shuffled)
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, shuffled.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
