@@ -4037,6 +4037,108 @@ def _hll_oracle_sql() -> str:
     """
 
 
+def q_text_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental text dedup against the STORED minhash index (r7:
+    operators/textindex.py): the corpus builds a band_pk-partitioned
+    manifest snapshot once; the planted near-dup twins (+' extra
+    token') and exact twins probe it. DuckDB replays the signatures,
+    the banded collision join (new × stored only) and the
+    agreement-count gate closed-form."""
+    from claude_readability_hook_spark.operators.textindex import (
+        build_text_minhash_index,
+        text_index_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = _index_cache_dir(
+        sf_dir, "txtmh", f"base-{NUM_MINHASHES}-{BAND_SIZE}-{JACCARD_NGRAM}"
+    )
+    _publish_index(
+        path,
+        lambda tmp: build_text_minhash_index(
+            docs, tmp, NUM_MINHASHES, BAND_SIZE, n=JACCARD_NGRAM
+        ),
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return text_index_dedup(spark, path, near.unionByName(exact))
+
+
+def _text_index_dedup_oracle_sql() -> str:
+    from claude_readability_hook_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    A, B = minhash_params(NUM_MINHASHES)
+    mins = ", ".join(
+        f"min(({A[i]} * h32 + {B[i]}) % {MINHASH_PRIME}) AS s{i}"
+        for i in range(NUM_MINHASHES)
+    )
+    nbands = NUM_MINHASHES // BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"s{i}::VARCHAR"
+                for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+            ),
+        )
+        for b in range(nbands)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_MINHASHES)
+    )
+    return f"""
+        WITH pop AS MATERIALIZED (
+          SELECT doc_id, text, 0 AS is_new FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' extra token' AS text,
+                 1 AS is_new
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text, 1 AS is_new
+          FROM documents WHERE doc_id % 20 = 0
+        ),
+        tok AS (SELECT doc_id, is_new, {_TOKS_SQL} AS toks FROM pop),
+        sh AS (SELECT doc_id, is_new, {_shingles_sql(JACCARD_NGRAM)} AS shingles
+               FROM tok),
+        ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        ex AS (SELECT doc_id, is_new, unnest(shingles) AS s FROM ne),
+        hh AS (SELECT doc_id, is_new, {_H32_SQL} AS h32 FROM ex),
+        sig AS MATERIALIZED (
+          SELECT doc_id, any_value(is_new) AS is_new, {mins}
+          FROM hh GROUP BY doc_id
+        ),
+        bands AS MATERIALIZED ({band_selects}),
+        hits AS (
+          SELECT pb.doc_id AS new_id, sb.doc_id AS stored_id
+          FROM bands pb
+          JOIN bands sb
+            ON pb.band_idx = sb.band_idx AND pb.band_key = sb.band_key
+          JOIN sig pq ON pq.doc_id = pb.doc_id AND pq.is_new = 1
+          JOIN sig sq ON sq.doc_id = sb.doc_id AND sq.is_new = 0
+          WHERE pb.doc_id <> sb.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT h.new_id, h.stored_id,
+               CAST({n_match} AS BIGINT) AS n_matching,
+               CAST((2 * ({n_match}) * 1000000 + {NUM_MINHASHES})
+                    // (2 * {NUM_MINHASHES}) AS BIGINT)
+                 AS est_jaccard_micro
+        FROM hits h
+        JOIN sig a ON a.doc_id = h.new_id
+        JOIN sig b ON b.doc_id = h.stored_id
+        WHERE ({n_match}) >= {BAND_SIZE}
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 DOMAIN_HOSTS = [
@@ -4636,6 +4738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": q_corpus_drift,  # new r7: snapshot TV drift
         "bloom_url_seen": q_bloom_url_seen,  # new r7: bloom frontier gate
         "hll_distinct_tokens": q_hll_distinct_tokens,  # new r7: HLL sketch
+        "text_index_dedup": q_text_index_dedup,  # new r7: stored minhash index
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
@@ -5762,6 +5865,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift": _corpus_drift_oracle_sql(),
         "bloom_url_seen": _bloom_oracle_sql(),
         "hll_distinct_tokens": _hll_oracle_sql(),
+        "text_index_dedup": _text_index_dedup_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
