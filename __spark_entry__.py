@@ -4139,6 +4139,212 @@ def _text_index_dedup_oracle_sql() -> str:
     """
 
 
+def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (r7: the smoothing KenLM
+    actually uses, in exact integer micro-units — discount 3/4,
+    add-one-smoothed continuation distribution; normalizes to 1
+    exactly). Trained on the same h32(doc_id)%4 hash-sample as the
+    add-one LM; DuckDB rebuilds the four count tables and the
+    rational per-pair probability closed-form."""
+    from claude_readability_hook_spark.operators.lmfilter import (
+        lm_kn_surprise_scores,
+    )
+
+    return lm_kn_surprise_scores(_docs(spark, sf_dir), sample_mod=4)
+
+
+def _lm_kneser_ney_oracle_sql() -> str:
+    h32_doc = _H32_SQL.replace("md5(s)", "md5(doc_id::VARCHAR)")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform({_TOKS_SQL}, t -> lower(t)) AS ts
+          FROM documents
+        ),
+        sample AS (
+          SELECT ts FROM toks WHERE ({h32_doc}) % 4 = 0
+        ),
+        sbg AS (
+          SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+                   i -> [ts[i], ts[i + 1]])) AS p
+          FROM sample WHERE len(ts) >= 2
+        ),
+        bgc AS MATERIALIZED (
+          SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+          FROM sbg GROUP BY 1, 2
+        ),
+        ctx AS MATERIALIZED (
+          SELECT w1, sum(c12) AS c1, count(*) AS n1 FROM bgc GROUP BY 1
+        ),
+        cont AS MATERIALIZED (
+          SELECT w2, count(*) AS nc FROM bgc GROUP BY 1
+        ),
+        sc AS MATERIALIZED (
+          SELECT (SELECT count(*) FROM bgc) AS t,
+                 (SELECT count(DISTINCT w)
+                  FROM (SELECT unnest(ts) AS w FROM sample)) AS v
+        ),
+        docbg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(ts), 1)),
+                   i -> [ts[i], ts[i + 1]])) AS p
+          FROM toks WHERE len(ts) >= 2
+        ),
+        terms AS (
+          -- p = num/den exactly (see lmfilter KN block comment);
+          -- surprise micro-units via half-up integer division
+          SELECT d.doc_id,
+                 (2 * den * 1000000 + num) // (2 * num) AS term_micro
+          FROM (
+            SELECT d.doc_id,
+                   CAST(CASE WHEN c.c1 IS NOT NULL
+                     THEN greatest(4 * COALESCE(b.c12, 0) - 3, 0) * (s.t + s.v)
+                          + 3 * c.n1 * (COALESCE(n.nc, 0) + 1)
+                     ELSE COALESCE(n.nc, 0) + 1 END AS BIGINT) AS num,
+                   CAST(CASE WHEN c.c1 IS NOT NULL
+                     THEN 4 * c.c1 * (s.t + s.v)
+                     ELSE s.t + s.v END AS BIGINT) AS den
+            FROM (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM docbg) d
+            LEFT JOIN bgc b ON d.w1 = b.w1 AND d.w2 = b.w2
+            LEFT JOIN ctx c ON d.w1 = c.w1
+            LEFT JOIN cont n ON d.w2 = n.w2
+            CROSS JOIN sc s
+          ) d
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS nb,
+                 CAST(sum(term_micro) AS BIGINT) AS s_micro
+          FROM terms GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bigrams,
+               COALESCE(
+                 (((2 * a.s_micro + a.nb) // (2 * a.nb))::DOUBLE) / 1000000.0,
+                 0.0) AS kn_score
+        FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """
+
+
+# --- per-source boilerplate templates (r7: operators/boilerplate.py) --------
+
+BOILER_PLANT = " subscribe to the {src} newsletter unsubscribe anytime"
+_BOILER_POP_SQL = (
+    "SELECT doc_id, source, CASE WHEN doc_id % 2 = 0 THEN text ||"
+    " ' subscribe to the ' || source || ' newsletter unsubscribe anytime'"
+    " ELSE text END AS text FROM documents"
+)
+_BOILER_ALL_SH_SQL = (
+    "list_transform(range(1, greatest(len(toks) - 4, 0) + 1),"
+    " i -> array_to_string(toks[i:i+4], ' '))"
+)
+_BOILER_BP_SQL = """
+        tok AS (SELECT doc_id, source,
+                       list_transform({toks}, t -> lower(t)) AS toks
+                FROM pop),
+        dsh AS (SELECT doc_id, source,
+                       unnest(list_distinct({allsh})) AS s
+                FROM tok),
+        dh AS (SELECT doc_id, source, {h32} AS sh_h FROM dsh),
+        dfc AS (SELECT source, sh_h, count(*) AS df_count
+                FROM dh GROUP BY 1, 2),
+        tot AS (SELECT source, count(*) AS n_docs FROM pop GROUP BY 1),
+        bp AS MATERIALIZED (
+          SELECT d.source, d.sh_h,
+                 CAST(d.df_count AS BIGINT) AS df_count,
+                 CAST(t.n_docs AS BIGINT) AS n_docs
+          FROM dfc d JOIN tot t USING (source)
+          WHERE t.n_docs >= 4 AND d.df_count >= 2
+            AND d.df_count * 1000000 >= 500000 * t.n_docs
+        )
+"""
+
+
+def _boiler_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every even doc_id gains its source's template suffix — each
+    source then carries 3+ pure-template 5-grams at ~50% document
+    frequency (boundary shingles mix in per-doc tokens and stay
+    below threshold). DuckDB twin: _BOILER_POP_SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" subscribe to the "),
+                F.col("source"),
+                F.lit(" newsletter unsubscribe anytime"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source boilerplate 5-gram table over the planted
+    population (r7: operators/boilerplate.py) — shingle hashes at
+    ≥50% within-source document frequency, integer cross-multiply
+    threshold, sources with ≥4 docs."""
+    from claude_readability_hook_spark.operators.boilerplate import (
+        boilerplate_ngrams,
+    )
+
+    return boilerplate_ngrams(_boiler_planted_docs(spark, sf_dir))
+
+
+def _boilerplate_ngrams_oracle_sql() -> str:
+    body = _BOILER_BP_SQL.format(
+        toks=_TOKS_SQL, allsh=_BOILER_ALL_SH_SQL, h32=_H32_SQL
+    )
+    return f"""
+        WITH pop AS MATERIALIZED ({_BOILER_POP_SQL}),
+        {body}
+        SELECT source, sh_h, df_count, n_docs FROM bp
+    """
+
+
+def q_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate coverage over the planted population:
+    share of 5-gram POSITIONS covered by the source's template table,
+    half-up micro-units (high ⇒ template-dominated page — the C4/
+    RefinedWeb template-strip gate as a curation feature)."""
+    from claude_readability_hook_spark.operators.boilerplate import (
+        boilerplate_scores,
+    )
+
+    return boilerplate_scores(_boiler_planted_docs(spark, sf_dir))
+
+
+def _boilerplate_score_oracle_sql() -> str:
+    body = _BOILER_BP_SQL.format(
+        toks=_TOKS_SQL, allsh=_BOILER_ALL_SH_SQL, h32=_H32_SQL
+    )
+    return f"""
+        WITH pop AS MATERIALIZED ({_BOILER_POP_SQL}),
+        {body},
+        psh AS (SELECT doc_id, source, unnest({_BOILER_ALL_SH_SQL}) AS s
+                FROM tok),
+        ph AS (SELECT doc_id, source, {_H32_SQL} AS sh_h FROM psh),
+        hits AS (
+          SELECT p.doc_id, count(*) AS n_sh,
+                 sum(CASE WHEN b.sh_h IS NOT NULL THEN 1 ELSE 0 END) AS n_b
+          FROM ph p
+          LEFT JOIN bp b ON p.source = b.source AND p.sh_h = b.sh_h
+          GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(h.n_sh, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(h.n_b, 0) AS BIGINT) AS n_boiler,
+               CASE WHEN COALESCE(h.n_sh, 0) > 0
+                    THEN (((2 * h.n_b * 1000000 + h.n_sh)
+                           // (2 * h.n_sh))::DOUBLE) / 1000000.0
+                    ELSE 0.0 END AS boiler_score
+        FROM pop t LEFT JOIN hits h USING (doc_id)
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 DOMAIN_HOSTS = [
@@ -4739,6 +4945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_url_seen": q_bloom_url_seen,  # new r7: bloom frontier gate
         "hll_distinct_tokens": q_hll_distinct_tokens,  # new r7: HLL sketch
         "text_index_dedup": q_text_index_dedup,  # new r7: stored minhash index
+        "lm_kneser_ney": q_lm_kneser_ney,  # new r7: KN-smoothed LM scoring
+        "boilerplate_ngrams": q_boilerplate_ngrams,  # new r7: template table
+        "boilerplate_score": q_boilerplate_score,  # new r7: template coverage
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
@@ -5866,6 +6075,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_url_seen": _bloom_oracle_sql(),
         "hll_distinct_tokens": _hll_oracle_sql(),
         "text_index_dedup": _text_index_dedup_oracle_sql(),
+        "lm_kneser_ney": _lm_kneser_ney_oracle_sql(),
+        "boilerplate_ngrams": _boilerplate_ngrams_oracle_sql(),
+        "boilerplate_score": _boilerplate_score_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),

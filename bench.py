@@ -153,6 +153,14 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "sequence_pack_bytes",
         "domain_quality",
         "domain_gate",
+        "tokenizer_fertility",
+        "corpus_drift",
+        "bloom_url_seen",
+        "hll_distinct_tokens",
+        "text_index_dedup",
+        "lm_kneser_ney",
+        "boilerplate_ngrams",
+        "boilerplate_score",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds, or the
     # connected-components pointer-jump loop): one rep — the round

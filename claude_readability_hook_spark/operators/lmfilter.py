@@ -569,3 +569,158 @@ def lm_trigram_surprise_scores(
         .otherwise(F.lit(0.0))
         .alias("lm3_score"),
     )
+
+
+# --- Kneser-Ney smoothed scoring ---------------------------------------------
+#
+# The add-one scorers above over-penalize RARE-BUT-REAL continuations
+# (every unseen bigram pays the same V-sized price regardless of how
+# promiscuous its context is). Interpolated Kneser-Ney is the standard
+# fix — and, perhaps surprisingly, it fits the repo's no-libm exact
+# integer discipline bit-for-bit: with absolute discount D = 3/4 and an
+# add-one-smoothed continuation distribution
+#
+#   p_cont(w2) = (N1+(·,w2) + 1) / (T + V)
+#   p(w2|w1)   = max(c12 − D, 0)/c1 + (D·N1+(w1,·)/c1) · p_cont(w2)
+#
+# (T = distinct bigram types, V = vocab size, N1+(w1,·) = distinct
+# continuations of w1, N1+(·,w2) = distinct predecessors of w2) every
+# probability is a ratio of two exact int64s:
+#
+#   seen ctx:   p = [max(4·c12−3, 0)·(T+V) + 3·N1w1·(Ncont+1)]
+#                   / [4·c1·(T+V)]
+#   unseen ctx: p = (Ncont+1) / (T+V)          (λ = 1 full backoff)
+#
+# and Σ_w2 p(w2|w1) = 1 EXACTLY (Σ max(c12−D,0) = c1 − D·N1w1 and the
+# add-one continuation sums to (T+V)/(T+V)), so this is a proper
+# distribution, not a heuristic. The per-pair surprise 1/p micro-unit
+# rounds with the same integer half-up `div` as lm_surprise_scores.
+#
+# int64 headroom: the widest product is 4·c1·(T+V); with the default
+# hash-sample both factors are sample-bounded (c1 ≤ sample bigram
+# tokens, T+V ≤ sample type counts) — at a 10^12-doc corpus keep
+# sample_mod high enough that (sample tokens)·(T+V) < 2^62, or move
+# the three products to DECIMAL(38,0) (both engines divide decimals
+# exactly); the default regime is nowhere near the edge.
+
+
+def train_kn_bigram_lm(
+    df: DataFrame,
+    sample_mod: int | None = LM_SAMPLE_MOD,
+    text_col: str = "text",
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(bigram_counts, context_stats, continuation_counts, scalars)
+    for the KN scorer — all three derived tables come from ONE
+    vocabulary-bounded bigram aggregation over the hash-sample (the
+    train_bigram_lm plan shape; no second corpus pass):
+      bigram_counts       (w1, w2, c12)
+      context_stats       (w1, c1, n1w1)   n1w1 = distinct w2 after w1
+      continuation_counts (w2, ncont)      ncont = distinct w1 before w2
+      scalars             1 row (t = bigram types, v = vocab size)
+    Same persist-by-default rationale and OWNERSHIP contract as
+    train_bigram_lm: the caller release_lm(lm)'s the tuple."""
+    sample = df
+    if sample_mod is not None:
+        sample = df.filter(
+            (h32_expr(F.col("doc_id").cast("string")) % sample_mod) == 0
+        )
+    toks = sample.select(_lower_tokens(text_col).alias("ts"))
+    bg = (
+        toks.select(F.explode(_pairs_expr(F.col("ts"))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    if persist:
+        bg = bg.persist()
+    # bg rows ARE the distinct pairs, so count(*) per side = the two
+    # KN type counts and no extra distinct pass is needed
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1w1")
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").alias("ncont"))
+    vocab = toks.select(F.explode(F.col("ts")).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    types = bg.agg(F.count("*").alias("t"))
+    scalars = types.crossJoin(vocab)
+    if persist:
+        scalars = scalars.persist()
+    return bg, ctx, cont, scalars
+
+
+def lm_kn_surprise_scores(
+    df: DataFrame,
+    lm: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
+    sample_mod: int | None = LM_SAMPLE_MOD,
+    broadcast_lm: bool | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, kn_score): mean interpolated Kneser-Ney
+    bigram surprise (see the block comment above) — the curation
+    signal CCNet/RefinedWeb actually threshold on (KenLM is KN-
+    smoothed), in exact integer micro-units. Docs with <2 tokens
+    score 0.0. Plan shape is lm_surprise_scores': in-row pair
+    expansion, count-table joins under the counted auto-broadcast
+    regime, one (doc_id, partial) map-side-reduced exchange."""
+    bg, ctx, cont, scalars = (
+        lm if lm is not None else train_kn_bigram_lm(df, sample_mod, text_col)
+    )
+    if _lm_broadcast_auto(bg, broadcast_lm):
+        bg, ctx, cont, scalars = (
+            F.broadcast(bg),
+            F.broadcast(ctx),
+            F.broadcast(cont),
+            F.broadcast(scalars),
+        )
+    pairs = df.select(
+        "doc_id", F.explode_outer(_pairs_expr(_lower_tokens(text_col))).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    term_micro = F.expr("(2 * den * 1000000 + num) div (2 * num)")
+    scored = (
+        pairs.join(bg, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(scalars)
+        .select(
+            "doc_id",
+            "w1",
+            F.when(
+                F.col("c1").isNotNull(),
+                F.greatest(4 * F.coalesce(F.col("c12"), F.lit(0)) - 3, F.lit(0))
+                * (F.col("t") + F.col("v"))
+                + 3
+                * F.col("n1w1")
+                * (F.coalesce(F.col("ncont"), F.lit(0)) + 1),
+            )
+            .otherwise(F.coalesce(F.col("ncont"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("num"),
+            F.when(
+                F.col("c1").isNotNull(),
+                4 * F.col("c1") * (F.col("t") + F.col("v")),
+            )
+            .otherwise(F.col("t") + F.col("v"))
+            .cast("long")
+            .alias("den"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("w1").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("w1").isNotNull(), term_micro)).alias("s_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("(2 * s_micro + n_bigrams) div (2 * n_bigrams)").cast(
+                "double"
+            )
+            / F.lit(1000000.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("kn_score"),
+    )

@@ -321,3 +321,72 @@ def test_broadcast_lm_auto_regime(spark, monkeypatch):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_kn_hand_computed_scores(spark):
+    """KN over the _tiny corpus (trained on all docs): bg types
+    {(a,b):3,(b,a):1,(b,c):1,(q,r):1} → T=4, V=6, T+V=10;
+    ctx a:(c1=3,n1=1) b:(2,2) q:(1,1); cont b/a/c/r all ncont=1.
+      p(b|a) = [max(12−3,0)·10 + 3·1·2]/[4·3·10] = 96/120 → 1/p=1.25
+      p(a|b) = [10 + 3·2·2]/80 = 22/80        → 80/22 = 3.636364
+      p(c|b) = same 22/80                      → 3.636364
+      p(r|q) = [10 + 3·1·2]/40 = 16/40         → 40/16 = 2.5
+    doc 1 mean (1250000+3636364+1250000)/3 → 2.045455
+    doc 2 mean (1250000+3636364)/2 = 2443182 exactly → 2.443182
+    doc 3: no bigrams → 0.0; doc 4 → 2.5"""
+    from claude_readability_hook_spark.operators.lmfilter import (
+        lm_kn_surprise_scores,
+        train_kn_bigram_lm,
+    )
+
+    df = _tiny(spark)
+    lm = train_kn_bigram_lm(df, sample_mod=None)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_score"])
+        for r in lm_kn_surprise_scores(df, lm=lm).collect()
+    }
+    assert got == {
+        1: (3, 2.045455),
+        2: (2, 2.443182),
+        3: (0, 0.0),
+        4: (1, 2.5),
+    }
+
+
+def test_kn_unseen_context_backs_off_to_continuation(spark):
+    """Unseen context w1 → λ=1 full backoff: p = (ncont+1)/(T+V).
+    'xx yy xx': both contexts unseen, both continuations unseen →
+    p = 1/10 each → surprise 10.0. And a SEEN context with an unseen
+    continuation ('a zzz') gets num=3·n1·1, den=4·c1·10 → 120/3 = 40
+    — harsher than the promiscuous-context case but finite, unlike
+    textbook KN's zero."""
+    from claude_readability_hook_spark.operators.lmfilter import (
+        lm_kn_surprise_scores,
+        train_kn_bigram_lm,
+    )
+
+    df = _tiny(spark)
+    lm = train_kn_bigram_lm(df, sample_mod=None)
+    probes = spark.createDataFrame(
+        [(9, "xx yy xx"), (10, "a zzz")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_score"])
+        for r in lm_kn_surprise_scores(probes, lm=lm).collect()
+    }
+    assert got == {9: (2, 10.0), 10: (1, 40.0)}
+
+
+def test_kn_broadcast_knob_equal(spark):
+    from claude_readability_hook_spark.operators.lmfilter import (
+        lm_kn_surprise_scores,
+    )
+
+    df = _tiny(spark)
+    a = sorted(
+        map(tuple, lm_kn_surprise_scores(df, sample_mod=None, broadcast_lm=True).collect())
+    )
+    b = sorted(
+        map(tuple, lm_kn_surprise_scores(df, sample_mod=None, broadcast_lm=False).collect())
+    )
+    assert a == b
