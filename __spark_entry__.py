@@ -3503,6 +3503,145 @@ def _video_dedup_pairs_oracle_sql() -> str:
     """
 
 
+AUDIO_FP_REFS = 40
+
+# shared CTE body for the audio-fingerprint oracles: rebuilds the AM
+# integer-noise synthesis (multimodal.synthesize_media_table
+# real_wav_am — no trig, pure integer arithmetic in the ref string),
+# the 64-window L1 envelope, the strict-majority threshold bits, and
+# the signed 64-bit pack
+_AUDIO_FP_SQL = """
+        ps AS (SELECT media_ref, twin, {asciisum} AS seed FROM prefs),
+        p AS MATERIALIZED (
+          SELECT media_ref, twin, seed,
+                 1024 + (seed % 7) * 64 AS n, seed % 16 AS pat,
+                 16 + seed % 7 AS spw
+          FROM ps
+        ),
+        mag AS (
+          SELECT media_ref, i.i // spw AS w,
+                 (CASE WHEN twin = 1 AND i.i // spw = 0 THEN 26500
+                       ELSE 2000 + ((pat + (i.i // spw) // 8) % 8)
+                            * 3500 END)
+                 * ((seed * 31 + (i.i % spw) * 17) % 101) // 100 AS m
+          FROM p, range(0, 1408) i(i) WHERE i.i < n
+        ),
+        e AS (
+          SELECT media_ref, w, CAST(sum(m) AS BIGINT) AS ew
+          FROM mag GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT media_ref, CAST(sum(ew) AS BIGINT) AS total
+          FROM e GROUP BY 1
+        ),
+        fps AS MATERIALIZED (
+          SELECT e.media_ref,
+                 CAST(SUM(CASE WHEN 64 * ew <= total THEN 0
+                               WHEN w = 63
+                               THEN (-9223372036854775807 - 1)
+                               ELSE (1::BIGINT << w) END)
+                      AS BIGINT) AS afp
+          FROM e JOIN tot USING (media_ref) GROUP BY 1
+        )
+"""
+
+
+def _audio_media(spark: SparkSession):
+    from claude_readability_hook_spark.operators.multimodal import (
+        synthesize_media_table,
+    )
+
+    base = synthesize_media_table(
+        spark, [f"au:{i}" for i in range(AUDIO_FP_REFS)], real_wav_am=True
+    )
+    twin = synthesize_media_table(
+        spark,
+        [f"ua:{i}" for i in range(AUDIO_FP_REFS)],
+        real_wav_am=True,
+        wav_am_twin=True,
+    )
+    return base.unionByName(twin)
+
+
+def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated oracle for the envelope audio fingerprint (r7:
+    operators/audiodedup — one PCM decode, 64 integer window-energy
+    bits). Fixture: 'au:N' AM-noise WAVs and 'ua:N' twins (ANAGRAM
+    prefixes share the ascii-sum seed; the twin forces window 0's
+    amplitude to the top level, flipping at most bit 0). Every PCM
+    sample is integer arithmetic in the ref string — no trig — so
+    DuckDB rebuilds the envelope sums and the signed 64-bit pack
+    exactly; any drift in the RIFF walk, the window split, the
+    strict-majority threshold, or the packing breaks the hash."""
+    from claude_readability_hook_spark.operators.audiodedup import (
+        audio_fingerprints,
+    )
+
+    fps = audio_fingerprints(_audio_media(spark))
+    return fps.select("media_ref", "afp", "n_samples", "decode_ok")
+
+
+def _audio_fingerprints_oracle_sql() -> str:
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    body = _AUDIO_FP_SQL.format(asciisum=asciisum)
+    return f"""
+        WITH prefs AS (
+          SELECT 'au:' || i::VARCHAR AS media_ref, 0 AS twin
+          FROM range(0, {AUDIO_FP_REFS}) t(i)
+          UNION ALL
+          SELECT 'ua:' || i::VARCHAR AS media_ref, 1 AS twin
+          FROM range(0, {AUDIO_FP_REFS}) t(i)
+        ),
+        {body}
+        SELECT f.media_ref, f.afp, CAST(p.n AS BIGINT) AS n_samples,
+               'ok' AS decode_ok
+        FROM fps f JOIN p ON f.media_ref = p.media_ref
+    """
+
+
+def q_audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs over the envelope fingerprint (r7:
+    operators/audiodedup.audio_dup_pairs — the image-dedup banding
+    machinery retargeted at the afp column). Planted 'au:'/'ua:' twins
+    sit at Hamming distance ≤ 1; DuckDB takes ALL pairs at
+    bit_count(xor) ≤ 3, legitimate because 8-band LSH is complete for
+    distance ≤ 7 and the query disables the bucket cap — banding
+    changes the plan, never the result (the image_dedup_pairs
+    argument, reapplied)."""
+    from claude_readability_hook_spark.operators.audiodedup import (
+        audio_dup_pairs,
+        audio_fingerprints,
+    )
+
+    fps = audio_fingerprints(_audio_media(spark))
+    return audio_dup_pairs(fps, max_distance=3, max_bucket_size=None)
+
+
+def _audio_dedup_pairs_oracle_sql() -> str:
+    asciisum = (
+        "list_sum(list_transform(range(1, length(media_ref) + 1), "
+        "j -> ascii(substr(media_ref, j, 1))))"
+    )
+    body = _AUDIO_FP_SQL.format(asciisum=asciisum)
+    return f"""
+        WITH prefs AS (
+          SELECT 'au:' || i::VARCHAR AS media_ref, 0 AS twin
+          FROM range(0, {AUDIO_FP_REFS}) t(i)
+          UNION ALL
+          SELECT 'ua:' || i::VARCHAR AS media_ref, 1 AS twin
+          FROM range(0, {AUDIO_FP_REFS}) t(i)
+        ),
+        {body}
+        SELECT a.media_ref AS ref_a, b.media_ref AS ref_b,
+               CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS distance
+        FROM fps a JOIN fps b ON a.media_ref < b.media_ref
+        WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    """
+
+
 LANGID_DOCS_PER_LANG = 12
 
 
@@ -4936,6 +5075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": q_media_phash,  # new r6: perceptual image hash
         "media_pdct_hash": q_media_pdct_hash,  # new r7: integer-DCT pHash
         "video_dedup_pairs": q_video_dedup_pairs,  # new r7: temporal video dedup
+        "audio_fingerprints": q_audio_fingerprints,  # new r7: envelope audio fp
+        "audio_dedup_pairs": q_audio_dedup_pairs,  # new r7: audio near-dup
         "lang_id_ngram": q_lang_id_ngram,  # new r7: char-trigram lang ID
         "bpe_bytes_merges": q_bpe_bytes_merges,  # new r7: byte-level BPE
         "bpe_bytes_encode": q_bpe_bytes_encode,  # new r7: byte token budget
@@ -6066,6 +6207,8 @@ def oracle_sql() -> dict[str, str]:
         "media_phash": _media_phash_oracle_sql(),
         "media_pdct_hash": _media_pdct_oracle_sql(),
         "video_dedup_pairs": _video_dedup_pairs_oracle_sql(),
+        "audio_fingerprints": _audio_fingerprints_oracle_sql(),
+        "audio_dedup_pairs": _audio_dedup_pairs_oracle_sql(),
         "lang_id_ngram": _lang_id_ngram_oracle_sql(),
         "bpe_bytes_merges": _bpe_bytes_merges_oracle_sql(),
         "bpe_bytes_encode": _bpe_bytes_encode_oracle_sql(),

@@ -161,6 +161,8 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "lm_kneser_ney",
         "boilerplate_ngrams",
         "boilerplate_score",
+        "audio_fingerprints",
+        "audio_dedup_pairs",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds, or the
     # connected-components pointer-jump loop): one rep — the round

@@ -529,6 +529,8 @@ def synthesize_media_table(
     real_png_pdct: bool = False,
     real_png_mp4: bool = False,
     video_twin: bool = False,
+    real_wav_am: bool = False,
+    wav_am_twin: bool = False,
 ) -> DataFrame:
     """Deterministic media rows for the given media_refs (tests/bench):
     payload bytes derived from the ref string — no external data.
@@ -664,6 +666,51 @@ def synthesize_media_table(
                     "height": None,
                     "duration_ms": 40 * n,
                     "mime": "video/mp4",
+                }
+            )
+            continue
+        if real_wav_am:
+            from ..core.wavcodec import encode_wav
+
+            # Amplitude-modulated integer noise for the audio-dedup
+            # oracles: 8 amplitude segments (level pattern = a pure
+            # function of seed % 16, so refs sharing seed mod 16 share
+            # the ENVELOPE while the per-sample noise still depends on
+            # the full seed) over a seed-hashed magnitude sequence. No
+            # trig anywhere — every PCM sample is exact integer
+            # arithmetic in the ref string, so DuckDB replays the
+            # fingerprint bit-for-bit. n is a multiple of 64 and the
+            # noise index repeats per fingerprint window, so every
+            # same-amplitude window carries IDENTICAL energy: each
+            # envelope bit has a deterministic ≥12% margin to the
+            # global-mean threshold. wav_am_twin forces window 0's
+            # amplitude to the top level, which moves that threshold
+            # by <3% — inside every other window's margin — flipping
+            # AT MOST fingerprint bit 0: a planted near-duplicate at
+            # Hamming distance ≤ 1.
+            rate = 8000
+            n = 1024 + (seed % 7) * 64
+            pat = seed % 16
+            spw = n // 64  # exact: n is a multiple of 64
+            samples = []
+            for i in range(n):
+                w = i // spw
+                if wav_am_twin and w == 0:
+                    amp = 2000 + 7 * 3500
+                else:
+                    amp = 2000 + ((pat + w // 8) % 8) * 3500
+                mag = amp * ((seed * 31 + (i % spw) * 17) % 101) // 100
+                sign = 1 if (seed + i) % 2 == 0 else -1
+                samples.append(sign * mag)
+            rows.append(
+                {
+                    "media_ref": ref,
+                    "modality": "audio",
+                    "payload": encode_wav(samples, sample_rate=rate),
+                    "width": None,
+                    "height": None,
+                    "duration_ms": int(round(1000 * n / rate)),
+                    "mime": "audio/wav",
                 }
             )
             continue
