@@ -4484,6 +4484,71 @@ def _boilerplate_score_oracle_sql() -> str:
     """
 
 
+def _line_rep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted line-repetition population: each doc becomes one long
+    line plus (doc_id % 4) stamped copies of its first-8-token line —
+    docs at doc_id%4 ∈ {2,3} carry true duplicate lines, %4==1 a
+    unique second line, %4==0 none. DuckDB twin: text ||
+    repeat(chr(10) || first8, doc_id % 4)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    first8 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    lines = F.concat(
+        F.array(F.col("text")),
+        F.array_repeat(first8, (F.col("doc_id") % 4).cast("int")),
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line gates (r7: textstats.line_repetition) —
+    within-doc dup-line fraction and dup-line character fraction in
+    exact integer micro-units, over the planted population."""
+    from claude_readability_hook_spark.operators.textstats import (
+        line_repetition,
+    )
+
+    return line_repetition(_line_rep_docs(spark, sf_dir))
+
+
+def _line_repetition_oracle_sql() -> str:
+    return """
+        WITH pop AS (
+          SELECT doc_id,
+                 text || repeat(
+                   chr(10) || array_to_string(
+                     (string_split(text, ' '))[1:8], ' '),
+                   CAST(doc_id % 4 AS INTEGER)) AS text
+          FROM documents
+        ),
+        ls AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(string_split(text, chr(10)),
+                                  x -> trim(x)),
+                   x -> length(x) > 0) AS ls
+          FROM pop
+        ),
+        st AS (
+          SELECT doc_id, len(ls) AS n, len(list_distinct(ls)) AS nd,
+                 COALESCE(list_sum(list_transform(ls, x -> length(x))), 0)
+                   AS tc,
+                 COALESCE(list_sum(list_transform(list_distinct(ls),
+                                                  x -> length(x))), 0) AS dc
+          FROM ls
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+               CASE WHEN n > 0
+                    THEN (((2 * (n - nd) * 1000000 + n) // (2 * n))::DOUBLE)
+                         / 1000000.0
+                    ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN tc > 0
+                    THEN (((2 * (tc - dc) * 1000000 + tc)
+                           // (2 * tc))::DOUBLE) / 1000000.0
+                    ELSE 0.0 END AS dup_char_frac
+        FROM st
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 DOMAIN_HOSTS = [
@@ -5089,6 +5154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_kneser_ney": q_lm_kneser_ney,  # new r7: KN-smoothed LM scoring
         "boilerplate_ngrams": q_boilerplate_ngrams,  # new r7: template table
         "boilerplate_score": q_boilerplate_score,  # new r7: template coverage
+        "line_repetition": q_line_repetition,  # new r7: Gopher dup-line gates
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
@@ -6221,6 +6287,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_kneser_ney": _lm_kneser_ney_oracle_sql(),
         "boilerplate_ngrams": _boilerplate_ngrams_oracle_sql(),
         "boilerplate_score": _boilerplate_score_oracle_sql(),
+        "line_repetition": _line_repetition_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),

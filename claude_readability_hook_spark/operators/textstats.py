@@ -295,6 +295,60 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def line_repetition(
+    df: DataFrame, delim: str = "\n", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_char_frac): Gopher's
+    WITHIN-document line-repetition gates (Rae et al. 2021 §A1.1 —
+    'duplicate line fraction' and 'duplicate line character
+    fraction'), the standard filter for pages whose body is one nav
+    block / cookie banner stamped over and over. Lines are the
+    delim-split, trimmed, non-empty segments; dup_line_frac counts
+    line OCCURRENCES beyond the first of each distinct value, and
+    dup_char_frac the characters those occurrences carry — both
+    exact-integer micro-unit ratios (half-up div, the repo's score
+    discipline).
+
+    Scale shape: pure in-row Column expressions over one text scan —
+    no explode, no shuffle, nothing moves but the per-doc result row;
+    at 100 TB this rides the extraction-output pass for free. Unlike
+    repetition_features' top-bigram mode (which needs a hash agg),
+    within-doc line stats never leave the row."""
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), F.lit(delim), -1), lambda x: F.trim(x)
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    chars = lambda arr: F.aggregate(  # noqa: E731 — local expr builder
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    base = df.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct"),
+        chars(lines).alias("total_chars"),
+        chars(F.array_distinct(lines)).alias("distinct_chars"),
+    )
+    micro = (
+        lambda num, den: F.when(
+            F.col(den) > 0,
+            F.expr(f"(2 * ({num}) * 1000000 + {den}) div (2 * {den})").cast(
+                "double"
+            )
+            / F.lit(1000000.0),
+        ).otherwise(F.lit(0.0))
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        micro("n_lines - n_distinct", "n_lines").alias("dup_line_frac"),
+        micro("total_chars - distinct_chars", "total_chars").alias(
+            "dup_char_frac"
+        ),
+    )
+
+
 # GPT-2-flavoured pretokenizer shape: contractions, letter runs, digit
 # runs, punctuation runs, whitespace collapsed away. ASCII classes only
 # so Java (Spark) and RE2 (DuckDB) agree.
