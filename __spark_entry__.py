@@ -4551,6 +4551,71 @@ def _line_repetition_oracle_sql() -> str:
 
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
+FRONTIER_BUDGET = 40
+
+
+def _frontier_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-frontier fixture: one URL per document over the 8
+    DOMAIN_HOSTS, priority = (doc_id·7) % 100 — hosts, URLs, and
+    priorities all closed-form in doc_id."""
+    hosts = F.array(*[F.lit(h) for h in DOMAIN_HOSTS])
+    host = F.element_at(hosts, (F.col("doc_id") % 8 + 1).cast("int"))
+    return _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+        ((F.col("doc_id") * 7) % 100).cast("long").alias("priority"),
+    )
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness schedule (r7: operators/frontier.py):
+    host-affine fetcher sharding (h32(host) % 64 — no cross-worker
+    rate-limit coordination), per-host fetch slots by (priority DESC,
+    url), crawl-delay offsets, and a host budget marking the
+    over-budget tail keep=false. DuckDB replays the rank window and
+    the salted hash shard exactly."""
+    from claude_readability_hook_spark.operators.frontier import (
+        schedule_frontier,
+    )
+
+    return schedule_frontier(
+        _frontier_urls(spark, sf_dir), host_budget=FRONTIER_BUDGET
+    )
+
+
+def _frontier_schedule_oracle_sql() -> str:
+    hosts_sql = "[" + ", ".join(f"'{h}'" for h in DOMAIN_HOSTS) + "]"
+    h32_host = _H32_SQL.replace("md5(s)", "md5(host)")
+    return f"""
+        WITH u AS (
+          SELECT ({hosts_sql})[(doc_id % 8 + 1)::INTEGER] AS host,
+                 (doc_id * 7) % 100 AS priority, doc_id
+          FROM documents
+        ),
+        uu AS (
+          SELECT 'https://' || host || '/p/' || doc_id::VARCHAR AS url,
+                 host, priority
+          FROM u
+        ),
+        r AS (
+          SELECT url, host,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY priority DESC, url
+                 ) - 1 AS slot
+          FROM uu
+        )
+        SELECT url, host,
+               CAST(({h32_host}) % 64 AS BIGINT) AS fetcher_id,
+               CAST(slot AS BIGINT) AS slot,
+               CAST(slot * 1000 AS BIGINT) AS fetch_offset_ms,
+               slot < {FRONTIER_BUDGET} AS keep
+        FROM r
+    """
+
+
 DOMAIN_HOSTS = [
     "www.example.co.uk",
     "news.example.co.uk",
@@ -5155,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,  # new r7: template table
         "boilerplate_score": q_boilerplate_score,  # new r7: template coverage
         "line_repetition": q_line_repetition,  # new r7: Gopher dup-line gates
+        "frontier_schedule": q_frontier_schedule,  # new r7: politeness planner
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_dedup_pairs": q_image_dedup_pairs,  # new r6: Hamming-LSH dedup
@@ -6288,6 +6354,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _boilerplate_ngrams_oracle_sql(),
         "boilerplate_score": _boilerplate_score_oracle_sql(),
         "line_repetition": _line_repetition_oracle_sql(),
+        "frontier_schedule": _frontier_schedule_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),

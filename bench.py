@@ -163,6 +163,8 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "boilerplate_score",
         "audio_fingerprints",
         "audio_dedup_pairs",
+        "line_repetition",
+        "frontier_schedule",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds, or the
     # connected-components pointer-jump loop): one rep — the round

@@ -1,0 +1,105 @@
+"""Crawl-frontier politeness scheduling: per-host fetch slots, host
+budgets, and host-affine fetcher sharding — the planning stage between
+"candidate URL list" and "fetch fleet" that every polite crawler runs
+(the reference serves single requests behind a gateway and never plans
+a crawl; at 10^12 candidate URLs the plan IS the crawler).
+
+Three invariants, each engine-portable:
+
+- **Host affinity**: fetcher_id = h32(host) % n_fetchers. A host's
+  URLs all land on ONE fetcher whatever the cluster size, so rate
+  limits need no cross-worker coordination — the politeness property
+  that makes the fleet embarrassingly parallel. Pure expression, no
+  shuffle.
+- **Per-host ordering**: slot = rank of the URL within its host by
+  (priority DESC, url ASC) — deterministic tie-break, no nondeterministic
+  row_number over unordered input. fetch_offset_ms = slot · crawl
+  delay: the fetcher replays its hosts' slots on a clock and is polite
+  by construction.
+- **Host budget**: slots ≥ budget are keep=false with a reason column
+  (the frontier analog of the bucket-cap quarantine discipline) — a
+  mega-host cannot starve the round.
+
+Scale shape: ONE narrow shuffle (the per-host rank window) carrying
+(url, host, priority) rows — never page bytes. For mega-hosts whose
+row sets would make a single window partition uncomfortable, pass
+``trim_salts``: phase 1 ranks within (host, salt=h32(url)%trim_salts)
+and keeps each salt's top-budget (a superset of the true top-budget,
+by the standard distributed top-k argument), phase 2 re-ranks the
+≤ trim_salts·budget survivors exactly — the kept rows' slots are
+bit-equal to the direct plan's (differential-tested), with the heavy
+partition split ``trim_salts`` ways. The same two-regime pattern as
+skew.hot_key_salted_repartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import h32_expr
+
+FRONTIER_FETCHERS = 64
+FRONTIER_DELAY_MS = 1000
+
+
+def schedule_frontier(
+    urls: DataFrame,
+    n_fetchers: int = FRONTIER_FETCHERS,
+    delay_ms: int = FRONTIER_DELAY_MS,
+    host_budget: int | None = None,
+    trim_salts: int | None = None,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """(url, host, fetcher_id, slot, fetch_offset_ms, keep) for every
+    candidate URL. slot is 0-based within host by (priority DESC, url
+    ASC); keep=false marks rows past host_budget (never dropped here —
+    the caller decides quarantine vs defer). trim_salts (requires
+    host_budget) switches to the salted two-phase plan and emits the
+    KEPT rows only — their (slot, fetcher, offset) are bit-equal to
+    the direct plan's keep=true rows (differential-tested); the
+    trimmed tail is exactly what a mega-host run doesn't want to
+    materialize."""
+    base = urls.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        F.col(priority_col).alias("priority"),
+    )
+    if trim_salts is not None:
+        if host_budget is None:
+            raise ValueError("trim_salts needs host_budget (it trims to it)")
+        salted = Window.partitionBy(
+            "host", h32_expr(F.col("url")) % trim_salts
+        ).orderBy(F.col("priority").desc(), F.col("url"))
+        # each salt keeps its own top-budget — a superset of the true
+        # per-host top-budget, so the exact re-rank below sees every
+        # final keeper (and only ≤ trim_salts·budget rows per host)
+        base = (
+            base.withColumn("salt_slot", F.row_number().over(salted) - 1)
+            .filter(F.col("salt_slot") < host_budget)
+            .drop("salt_slot")
+        )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url")
+    )
+    out = base.select(
+        "url",
+        "host",
+        (h32_expr(F.col("host")) % n_fetchers).cast("long").alias("fetcher_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("slot"),
+    ).withColumn("fetch_offset_ms", (F.col("slot") * delay_ms).cast("long"))
+    if trim_salts is not None:
+        # beyond-budget slots in the salted superset are only lower
+        # bounds (phase 1 trimmed rows that may rank between) — emit
+        # the exact keepers and nothing else
+        return out.filter(F.col("slot") < host_budget).withColumn(
+            "keep", F.lit(True)
+        )
+    keep = (
+        F.lit(True)
+        if host_budget is None
+        else (F.col("slot") < host_budget)
+    )
+    return out.withColumn("keep", keep)

@@ -1,0 +1,65 @@
+"""Frontier politeness scheduling (operators/frontier.py): slot
+ordering/tie-breaks, host-affine fetcher sharding, budget marking, and
+the salted-trim regime's bit-equality on the kept set."""
+
+from __future__ import annotations
+
+import pytest
+
+from claude_readability_hook_spark.operators.frontier import schedule_frontier
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "url string, host string, priority long")
+
+
+def test_slots_offsets_budget(spark):
+    df = _rows(
+        spark,
+        [
+            ("https://a/1", "a", 10),
+            ("https://a/2", "a", 90),
+            ("https://a/3", "a", 90),  # priority tie → url order
+            ("https://b/1", "b", 50),
+        ],
+    )
+    out = {r["url"]: r for r in schedule_frontier(df, host_budget=2).collect()}
+    assert out["https://a/2"]["slot"] == 0
+    assert out["https://a/3"]["slot"] == 1
+    assert out["https://a/1"]["slot"] == 2
+    assert out["https://a/1"]["keep"] is False
+    assert out["https://a/2"]["keep"] is True
+    assert out["https://b/1"]["slot"] == 0
+    assert out["https://a/3"]["fetch_offset_ms"] == 1000
+
+
+def test_host_affinity_and_shard_range(spark):
+    df = _rows(
+        spark, [(f"https://h{i % 5}/p/{i}", f"h{i % 5}", i) for i in range(50)]
+    )
+    got = schedule_frontier(df, n_fetchers=8).collect()
+    by_host = {}
+    for r in got:
+        assert 0 <= r["fetcher_id"] < 8
+        by_host.setdefault(r["host"], set()).add(r["fetcher_id"])
+    # a host never spans fetchers — the no-coordination invariant
+    assert all(len(v) == 1 for v in by_host.values())
+
+
+def test_trim_regime_bit_equal_on_kept(spark):
+    # one mega-host + small hosts; budget 7, trim over 4 salts
+    rows = [(f"https://mega/p/{i:04d}", "mega", (i * 13) % 97) for i in range(200)]
+    rows += [(f"https://s{j}/p/{j}", f"s{j}", j) for j in range(6)]
+    df = _rows(spark, rows)
+    direct = schedule_frontier(df, host_budget=7)
+    trimmed = schedule_frontier(df, host_budget=7, trim_salts=4)
+    key = lambda r: (r["host"], r["slot"])  # noqa: E731
+    a = sorted(map(tuple, direct.filter("keep").collect()), key=lambda t: t[:2])
+    b = sorted(map(tuple, trimmed.collect()), key=lambda t: t[:2])
+    assert a == b
+
+
+def test_trim_needs_budget(spark):
+    df = _rows(spark, [("https://a/1", "a", 1)])
+    with pytest.raises(ValueError):
+        schedule_frontier(df, trim_salts=4)
