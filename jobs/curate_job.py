@@ -11,7 +11,8 @@ cluster).
         [--cap-per-source 10000] [--val-fraction 0.1] [--langs en] \
         [--dedup minhash|exact|none] [--manifest-only] \
         [--decontaminate bench.parquet] [--redact-pii] [--scrub-spans 3] \
-        [--lm-filter 500.0] [--dsir-target-lang en --dsir-scale 2]
+        [--lm-filter 500.0] [--dsir-target-lang en --dsir-scale 2] \
+        [--boilerplate-filter 0.5] [--line-dup-filter 0.3]
 
 Pipeline (all narrow joins on doc_id — text never travels past the
 gate): curation gate (language ∧ quality ∧ not-exact-dup-loser) →
@@ -55,6 +56,24 @@ def main() -> None:
         default=0,
         help="remove 10-token spans recurring in >= MIN_DOCS docs "
         "(C4-style duplicated-span scrub) before export",
+    )
+    parser.add_argument(
+        "--boilerplate-filter",
+        type=float,
+        metavar="MAX_FRAC",
+        default=None,
+        help="drop docs whose within-source boilerplate 5-gram position "
+        "coverage exceeds MAX_FRAC (cross-document template gate, "
+        "operators/boilerplate.py)",
+    )
+    parser.add_argument(
+        "--line-dup-filter",
+        type=float,
+        metavar="MAX_FRAC",
+        default=None,
+        help="drop docs whose duplicate-line character fraction exceeds "
+        "MAX_FRAC (Gopher within-doc repetition gate, "
+        "textstats.line_repetition)",
     )
     parser.add_argument(
         "--lm-filter",
@@ -172,6 +191,36 @@ def main() -> None:
         before = manifest.count()
         manifest = manifest.join(calm_ids, "doc_id", "left_semi")
         n_lm_dropped = before - manifest.count()
+    n_boiler_dropped = 0
+    if args.boilerplate_filter is not None:
+        # cross-document template gate: per-source boilerplate 5-gram
+        # table (df-thresholded, broadcast) → per-doc position coverage
+        from claude_readability_hook_spark.operators.boilerplate import (
+            boilerplate_scores,
+        )
+
+        bscores = boilerplate_scores(docs.select("doc_id", "text", "source"))
+        calm = bscores.filter(
+            F.col("boiler_score") <= args.boilerplate_filter
+        ).select("doc_id")
+        before = manifest.count()
+        manifest = manifest.join(calm, "doc_id", "left_semi")
+        n_boiler_dropped = before - manifest.count()
+    n_linedup_dropped = 0
+    if args.line_dup_filter is not None:
+        # Gopher within-doc repetition gate — pure in-row expressions,
+        # a free rider on the text scan
+        from claude_readability_hook_spark.operators.textstats import (
+            line_repetition,
+        )
+
+        lr = line_repetition(docs.select("doc_id", "text"))
+        calm = lr.filter(
+            F.col("dup_char_frac") <= args.line_dup_filter
+        ).select("doc_id")
+        before = manifest.count()
+        manifest = manifest.join(calm, "doc_id", "left_semi")
+        n_linedup_dropped = before - manifest.count()
     n_domain_dropped = 0
     if args.domain_filter:
         # domain governance gate: per-registrable-domain signals
@@ -342,6 +391,8 @@ def main() -> None:
                 "lm_dropped": n_lm_dropped,
                 "dsir_dropped": n_dsir_dropped,
                 "domain_dropped": n_domain_dropped,
+                "boiler_dropped": n_boiler_dropped,
+                "linedup_dropped": n_linedup_dropped,
                 "export_shards": n_shards,
             }
         )

@@ -105,6 +105,8 @@ def test_curate_job_scrub_stages(tmp_path):
             "--scrub-spans", "2",
             "--domain-filter",
             "--domain-blocklist", "src0",
+            "--boilerplate-filter", "0.5",
+            "--line-dup-filter", "0.5",
         ],
         capture_output=True,
         text=True,
@@ -118,6 +120,11 @@ def test_curate_job_scrub_stages(tmp_path):
     # --domain-filter with src0 blocklisted: every surviving src0 doc
     # leaves the manifest at the domain gate
     assert summary["domain_dropped"] >= 1
+    # wiring check for the r7 gates: the word-soup corpus has no
+    # cross-page templates and no newlines, so both gates pass
+    # everything — the flags parse, the stages run, the counts report
+    assert summary["boiler_dropped"] == 0
+    assert summary["linedup_dropped"] == 0
     assert summary["manifest_rows"] + summary["contaminated_dropped"] <= 500
     rows = 0
     for path in glob.glob(f"{out_dir}/shards/part-*.json.gz"):
