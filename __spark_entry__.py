@@ -4549,6 +4549,113 @@ def _line_repetition_oracle_sql() -> str:
     """
 
 
+def _gopher_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted Gopher-rule population: doc_id % 6 routes each doc to a
+    rule-tripping synthetic body (1: all-bullet lines, 2: all-ellipsis
+    lines, 3: hashtag-heavy, 4: all-numeric words, 5: truncated below
+    the word minimum) or leaves the prose untouched (0). Every planted
+    body is closed-form so the DuckDB twin rebuilds it exactly."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    m = (F.col("doc_id") % 6).cast("int")
+    planted = (
+        F.when(m == 1, F.repeat(F.lit("- item list\n"), 20))
+        .when(m == 2, F.repeat(F.lit("see the story more...\n"), 15))
+        .when(m == 3, F.repeat(F.lit("word of #tag "), 40))
+        .when(m == 4, F.repeat(F.lit("12345 67890 "), 40))
+        .when(m == 5, F.substring(F.col("text"), 1, 60))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", planted.alias("text"))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher word-level rule set (r7: textstats.gopher_quality) —
+    mean word length bounds, symbol-to-word ratios, bullet/ellipsis
+    line fractions, alphabetic-word fraction, required-stopword
+    presence, and the conjunction keep gate, all exact micro-unit
+    ratios over the planted population."""
+    from claude_readability_hook_spark.operators.textstats import gopher_quality
+
+    return gopher_quality(_gopher_docs(spark, sf_dir))
+
+
+def _gopher_quality_oracle_sql() -> str:
+    micro = (
+        lambda num, den: f"CASE WHEN {den} > 0 THEN "
+        f"(((2 * ({num}) * 1000000 + {den}) // (2 * {den}))::DOUBLE)"
+        f" / 1000000.0 ELSE 0.0 END"
+    )
+    return f"""
+        WITH pop AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 6 AS INTEGER)
+                   WHEN 1 THEN repeat('- item list' || chr(10), 20)
+                   WHEN 2 THEN repeat('see the story more...' || chr(10), 15)
+                   WHEN 3 THEN repeat('word of #tag ', 40)
+                   WHEN 4 THEN repeat('12345 67890 ', 40)
+                   WHEN 5 THEN substring(text, 1, 60)
+                   ELSE text END AS text
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, text, {_TOKS_SQL} AS toks,
+                 list_transform({_TOKS_SQL}, t -> lower(t)) AS lw,
+                 list_filter(
+                   list_transform(string_split(text, chr(10)),
+                                  x -> trim(x)),
+                   x -> length(x) > 0) AS ls
+          FROM pop
+        ),
+        base AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 len(ls) AS n_lines,
+                 COALESCE(list_sum(list_transform(toks, t -> length(t))),
+                          0) AS word_chars,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_ellipsis,
+                 len(list_filter(toks,
+                                 t -> regexp_matches(t, '[A-Za-z]')))
+                   AS alpha_words,
+                 len(list_filter(ls, x -> starts_with(x, '-')
+                                          OR starts_with(x, '*')))
+                   AS bullet_lines,
+                 len(list_filter(ls, x -> ends_with(x, '...')))
+                   AS ellipsis_lines,
+                 list_contains(lw, 'the')::INT + list_contains(lw, 'be')::INT
+                   + list_contains(lw, 'to')::INT
+                   + list_contains(lw, 'of')::INT
+                   + list_contains(lw, 'and')::INT
+                   + list_contains(lw, 'that')::INT
+                   + list_contains(lw, 'have')::INT
+                   + list_contains(lw, 'with')::INT AS req_stop_hits
+          FROM tok
+        ),
+        feat AS (
+          SELECT doc_id,
+                 CAST(n_words AS BIGINT) AS n_words,
+                 {micro('word_chars', 'n_words')} AS mean_word_len,
+                 {micro('n_hash', 'n_words')} AS hash_ratio,
+                 {micro('n_ellipsis', 'n_words')} AS ellipsis_ratio,
+                 {micro('bullet_lines', 'n_lines')} AS bullet_line_frac,
+                 {micro('ellipsis_lines', 'n_lines')} AS ellipsis_line_frac,
+                 {micro('alpha_words', 'n_words')} AS alpha_word_frac,
+                 CAST(req_stop_hits AS BIGINT) AS req_stop_hits
+          FROM base
+        )
+        SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               req_stop_hits,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND hash_ratio < 0.1 AND ellipsis_ratio < 0.1
+                AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+                AND alpha_word_frac >= 0.8 AND req_stop_hits >= 2) AS keep
+        FROM feat
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 FRONTIER_BUDGET = 40
@@ -5220,6 +5327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,  # new r7: template table
         "boilerplate_score": q_boilerplate_score,  # new r7: template coverage
         "line_repetition": q_line_repetition,  # new r7: Gopher dup-line gates
+        "gopher_quality": q_gopher_quality,  # new r7: full Gopher rule set
         "frontier_schedule": q_frontier_schedule,  # new r7: politeness planner
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
@@ -5265,7 +5373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recently-changed stable (r4 fixes, green r3+r4)
         "dedup_clusters": q_dedup_clusters,
         # stable fillers rotating through the window
-        "per_source_stats": q_per_source_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -5275,6 +5382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: driver-hash-green on their CURRENT code in
         # >=2 prior rounds, untouched this round; still covered every
         # run by test_oracle_parity
+        "per_source_stats": q_per_source_stats,  # demoted r7: green r2+r4+r5
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
@@ -6354,6 +6462,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _boilerplate_ngrams_oracle_sql(),
         "boilerplate_score": _boilerplate_score_oracle_sql(),
         "line_repetition": _line_repetition_oracle_sql(),
+        "gopher_quality": _gopher_quality_oracle_sql(),
         "frontier_schedule": _frontier_schedule_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),

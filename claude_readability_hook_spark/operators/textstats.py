@@ -349,6 +349,119 @@ def line_repetition(
     )
 
 
+# The required-stopword presence rule from Rae et al. 2021 §A1.1: a
+# document must contain at least 2 of these 8 words. Frozen — the
+# oracle SQL embeds the same list.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    delim: str = "\n",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The full Gopher word-level quality rule set (Rae et al. 2021
+    §A1.1) as exact micro-unit ratios plus the conjunction keep gate:
+
+      * word count in [min_words, max_words]
+      * mean word length in [3, 10] characters
+      * '#' symbol-to-word ratio < 0.1 and '...' ratio < 0.1
+      * < 90% of lines starting with a bullet ('-' / '*')
+      * < 30% of lines ending with an ellipsis
+      * >= 80% of words containing at least one alphabetic character
+      * >= 2 distinct hits from the 8-word required-stopword list
+
+    Complements line_repetition (the §A1.1 duplicate-line gates) and
+    quality_features (the coarse legacy gate). Every ratio is an exact
+    int64 half-up micro-unit division, so the keep comparisons agree
+    bit-for-bit with the DuckDB twin regardless of threshold edges.
+
+    Scale shape: pure in-row Column expressions — one text scan, zero
+    Exchange; at 100 TB this rides the extraction-output pass for
+    free, exactly like line_repetition."""
+    text = F.col(text_col)
+    tokens = tokens_expr(text)
+    lower_toks = F.transform(tokens, lambda t: F.lower(t))
+    lines = F.filter(
+        F.transform(F.split(text, F.lit(delim), -1), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    word_chars = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    # '#' / '...' occurrence counts by length delta under non-overlapping
+    # leftmost replace — identical semantics in Spark and DuckDB.
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    stop_hits = sum(
+        (
+            F.array_contains(lower_toks, w).cast("int")
+            for w in GOPHER_REQUIRED_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    base = df.select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("n_words"),
+        F.size(lines).cast("long").alias("n_lines"),
+        word_chars.alias("word_chars"),
+        n_hash.cast("long").alias("n_hash"),
+        n_ellipsis.cast("long").alias("n_ellipsis"),
+        F.size(F.filter(tokens, lambda t: t.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("alpha_words"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.startswith(x, F.lit("-")) | F.startswith(x, F.lit("*")),
+            )
+        )
+        .cast("long")
+        .alias("bullet_lines"),
+        F.size(F.filter(lines, lambda x: F.endswith(x, F.lit("..."))))
+        .cast("long")
+        .alias("ellipsis_lines"),
+        stop_hits.cast("long").alias("req_stop_hits"),
+    )
+    micro = (
+        lambda num, den: F.when(
+            F.col(den) > 0,
+            F.expr(f"(2 * ({num}) * 1000000 + {den}) div (2 * {den})").cast(
+                "double"
+            )
+            / F.lit(1000000.0),
+        ).otherwise(F.lit(0.0))
+    )
+    feat = base.select(
+        "doc_id",
+        "n_words",
+        micro("word_chars", "n_words").alias("mean_word_len"),
+        micro("n_hash", "n_words").alias("hash_ratio"),
+        micro("n_ellipsis", "n_words").alias("ellipsis_ratio"),
+        micro("bullet_lines", "n_lines").alias("bullet_line_frac"),
+        micro("ellipsis_lines", "n_lines").alias("ellipsis_line_frac"),
+        micro("alpha_words", "n_words").alias("alpha_word_frac"),
+        "req_stop_hits",
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("hash_ratio") < 0.1)
+        & (F.col("ellipsis_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("req_stop_hits") >= 2)
+    )
+    return feat.select("*", keep.alias("keep"))
+
+
 # GPT-2-flavoured pretokenizer shape: contractions, letter runs, digit
 # runs, punctuation runs, whitespace collapsed away. ASCII classes only
 # so Java (Spark) and RE2 (DuckDB) agree.
