@@ -12,7 +12,7 @@ cluster).
         [--dedup minhash|exact|none] [--manifest-only] \
         [--decontaminate bench.parquet] [--redact-pii] [--scrub-spans 3] \
         [--lm-filter 500.0] [--dsir-target-lang en --dsir-scale 2] \
-        [--boilerplate-filter 0.5] [--line-dup-filter 0.3]
+        [--boilerplate-filter 0.5] [--line-dup-filter 0.3] [--gopher-filter]
 
 Pipeline (all narrow joins on doc_id — text never travels past the
 gate): curation gate (language ∧ quality ∧ not-exact-dup-loser) →
@@ -74,6 +74,14 @@ def main() -> None:
         help="drop docs whose duplicate-line character fraction exceeds "
         "MAX_FRAC (Gopher within-doc repetition gate, "
         "textstats.line_repetition)",
+    )
+    parser.add_argument(
+        "--gopher-filter",
+        action="store_true",
+        help="apply the full Gopher word-level rule-set keep gate "
+        "(word-count/mean-word-length bounds, symbol ratios, "
+        "bullet/ellipsis line fractions, alpha-word fraction, "
+        "required stopwords — textstats.gopher_quality)",
     )
     parser.add_argument(
         "--lm-filter",
@@ -221,6 +229,19 @@ def main() -> None:
         before = manifest.count()
         manifest = manifest.join(calm, "doc_id", "left_semi")
         n_linedup_dropped = before - manifest.count()
+    n_gopher_dropped = 0
+    if args.gopher_filter:
+        # the full Gopher word-level conjunction gate — pure in-row,
+        # another free rider on the text scan
+        from claude_readability_hook_spark.operators.textstats import (
+            gopher_quality,
+        )
+
+        gq = gopher_quality(docs.select("doc_id", "text"))
+        calm = gq.filter(F.col("keep")).select("doc_id")
+        before = manifest.count()
+        manifest = manifest.join(calm, "doc_id", "left_semi")
+        n_gopher_dropped = before - manifest.count()
     n_domain_dropped = 0
     if args.domain_filter:
         # domain governance gate: per-registrable-domain signals
@@ -393,6 +414,7 @@ def main() -> None:
                 "domain_dropped": n_domain_dropped,
                 "boiler_dropped": n_boiler_dropped,
                 "linedup_dropped": n_linedup_dropped,
+                "gopher_dropped": n_gopher_dropped,
                 "export_shards": n_shards,
             }
         )

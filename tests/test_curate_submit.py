@@ -201,3 +201,58 @@ def test_curate_job_learned_tokenizer_pack(tmp_path):
 
     any_tokens = next(iter(per_shard.values()))[0]["tokens"]
     assert any(t.endswith(END_OF_WORD) for t in any_tokens)
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_curate_job_gopher_gate(tmp_path):
+    """--gopher-filter through the real launch surface: a crafted input
+    where half the docs pass the base curation gates but fail exactly
+    one Gopher rule (every line ellipsis-terminated), so the drop count
+    is attributable to the new gate alone."""
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    out_dir = str(tmp_path / "out")
+    inp = str(tmp_path / "docs.parquet")
+
+    good_line = "the quick brown fox jumps over that lazy sleeping dog"
+    rows = []
+    for i in range(10):
+        # 60 words of stopword-bearing English prose → passes everything
+        rows.append((i, " ".join([good_line] * 6) + f" unique{i}", "srcA"))
+    for i in range(10, 20):
+        # same vocabulary, but every line ends '...' → ellipsis_line_frac
+        # 1.0 > 0.3 trips gopher; base quality/lang gates still pass
+        rows.append(
+            (i, "\n".join([good_line + "..."] * 6) + f"\nunique{i} the end of that story", "srcA")
+        )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    con.execute(f"COPY t TO '{inp}' (FORMAT PARQUET)")
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", pkg_zip,
+            os.path.join(root, "jobs", "curate_job.py"),
+            "--input", inp,
+            "--output", out_dir,
+            "--cap-per-source", "500",
+            "--shard-rows", "200",
+            "--gopher-filter",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["gopher_dropped"] == 10
+    assert summary["manifest_rows"] == 10
