@@ -4656,6 +4656,135 @@ def _gopher_quality_oracle_sql() -> str:
     """
 
 
+def _c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted C4-rule population: doc_id % 5 routes each doc to a
+    rule-tripping body (1: all-short lines, 2: javascript lines, 3:
+    brace page, 4: lorem-ipsum page) or a clean five-sentence page
+    (0). The raw word-soup text rides along as one line with no
+    terminal punctuation, so the line filter sees realistic prose too.
+    Every planted string is closed-form in doc_id for the DuckDB
+    twin."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    m = (F.col("doc_id") % 5).cast("int")
+    nl = F.lit("\n")
+    doc_line = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"),
+        F.lit(" begins the story here."),
+    )
+    good5 = F.concat(
+        doc_line, F.repeat(F.concat(nl, F.lit("one two three four five six.")), 4)
+    )
+    planted = (
+        F.when(
+            m == 1,
+            F.concat(
+                F.col("text"),
+                F.repeat(F.concat(nl, F.lit("one two three four.")), 5),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.col("text"),
+                F.repeat(
+                    F.concat(
+                        nl, F.lit("this page uses javascript to render body.")
+                    ),
+                    5,
+                ),
+                nl,
+                doc_line,
+            ),
+        )
+        .when(m == 3, F.concat(good5, nl, F.col("text"), F.lit(" {")))
+        .when(m == 4, F.concat(good5, nl, F.lit("lorem ipsum dolor sit amet.")))
+        .otherwise(F.concat(F.col("text"), nl, good5))
+    )
+    return docs.select("doc_id", planted.alias("text"))
+
+
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rule set (r7: textstats.c4_quality) — terminal-
+    punctuation + min-word line filters, javascript-line removal,
+    brace/lorem-ipsum/min-sentence page gates, cleaned-text md5 —
+    over the planted population."""
+    from claude_readability_hook_spark.operators.textstats import c4_quality
+
+    return c4_quality(_c4_docs(spark, sf_dir))
+
+
+def _c4_quality_oracle_sql() -> str:
+    return """
+        WITH pop AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 5 AS INTEGER)
+                   WHEN 1 THEN text
+                     || repeat(chr(10) || 'one two three four.', 5)
+                   WHEN 2 THEN text
+                     || repeat(chr(10)
+                        || 'this page uses javascript to render body.', 5)
+                     || chr(10) || 'doc ' || doc_id::VARCHAR
+                     || ' begins the story here.'
+                   WHEN 3 THEN 'doc ' || doc_id::VARCHAR
+                     || ' begins the story here.'
+                     || repeat(chr(10) || 'one two three four five six.', 4)
+                     || chr(10) || text || ' {'
+                   WHEN 4 THEN 'doc ' || doc_id::VARCHAR
+                     || ' begins the story here.'
+                     || repeat(chr(10) || 'one two three four five six.', 4)
+                     || chr(10) || 'lorem ipsum dolor sit amet.'
+                   ELSE text || chr(10) || 'doc ' || doc_id::VARCHAR
+                     || ' begins the story here.'
+                     || repeat(chr(10) || 'one two three four five six.', 4)
+                   END AS text
+          FROM documents
+        ),
+        ls AS (
+          SELECT doc_id, text,
+                 list_filter(
+                   list_transform(string_split(text, chr(10)),
+                                  x -> trim(x)),
+                   x -> length(x) > 0) AS lines
+          FROM pop
+        ),
+        kp AS (
+          SELECT doc_id, text,
+                 lines,
+                 list_filter(lines, x ->
+                   (ends_with(x, '.') OR ends_with(x, '!')
+                    OR ends_with(x, '?'))
+                   AND len(list_filter(
+                         regexp_split_to_array(x, '\\s+'),
+                         t -> t <> '')) >= 5
+                   AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM ls
+        ),
+        base AS (
+          SELECT doc_id,
+                 len(lines) AS n_lines,
+                 len(kept) AS n_kept_lines,
+                 -- DuckDB array_to_string returns NULL on an empty
+                 -- list (Spark array_join returns ''): coalesce
+                 COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+                 contains(text, '{') AS has_brace,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem
+          FROM kp
+        )
+        SELECT doc_id,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+               CAST(length(clean)
+                    - length(regexp_replace(clean, '[.!?]', '', 'g'))
+                    AS BIGINT) AS n_sentences,
+               has_brace, has_lorem,
+               md5(clean) AS clean_md5,
+               (length(clean)
+                  - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 3
+                AND NOT has_brace AND NOT has_lorem) AS keep
+        FROM base
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 FRONTIER_BUDGET = 40
@@ -5328,6 +5457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_score": q_boilerplate_score,  # new r7: template coverage
         "line_repetition": q_line_repetition,  # new r7: Gopher dup-line gates
         "gopher_quality": q_gopher_quality,  # new r7: full Gopher rule set
+        "c4_quality": q_c4_quality,  # new r7: C4 cleaning rule set
         "frontier_schedule": q_frontier_schedule,  # new r7: politeness planner
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
@@ -5377,12 +5507,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "token_stats": q_token_stats,
         "text_quality": q_text_quality,
         # ---- position 51+: driver-hash-green on their CURRENT code in
         # >=2 prior rounds, untouched this round; still covered every
         # run by test_oracle_parity
         "per_source_stats": q_per_source_stats,  # demoted r7: green r2+r4+r5
+        "token_stats": q_token_stats,  # demoted r7: green r2+r3+r4+r5
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
@@ -6463,6 +6593,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_score": _boilerplate_score_oracle_sql(),
         "line_repetition": _line_repetition_oracle_sql(),
         "gopher_quality": _gopher_quality_oracle_sql(),
+        "c4_quality": _c4_quality_oracle_sql(),
         "frontier_schedule": _frontier_schedule_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),

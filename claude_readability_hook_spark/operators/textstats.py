@@ -462,6 +462,73 @@ def gopher_quality(
     return feat.select("*", keep.alias("keep"))
 
 
+def c4_quality(
+    df: DataFrame,
+    delim: str = "\n",
+    text_col: str = "text",
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2) as exact
+    in-row expressions: per-LINE filters (must end in terminal
+    punctuation '.', '!' or '?'; must carry >= min_line_words words;
+    lines mentioning 'javascript' are removed, not the page) and
+    per-PAGE gates (drop pages containing '{', containing
+    'lorem ipsum', or with fewer than min_sentences sentences left
+    after line filtering — sentences counted as terminal punctuation
+    marks in the kept text).
+
+    Emits the kept-line counts, the page-gate flags, the md5 of the
+    cleaned text (the narrow audit/oracle column — downstream readers
+    re-derive the cleaned body from the same expression), and the
+    conjunction keep. Completes the published-rule-set trio next to
+    gopher_quality (word-level) and line_repetition (dup-line): a
+    curation stack users can cite line-by-line against the papers.
+
+    Scale shape: pure Column expressions, zero Exchange — rides the
+    same text scan as the other gates."""
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, F.lit(delim), -1), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    terminal = lambda x: (  # noqa: E731 — local expr builder
+        F.endswith(x, F.lit("."))
+        | F.endswith(x, F.lit("!"))
+        | F.endswith(x, F.lit("?"))
+    )
+    n_words = lambda x: F.size(  # noqa: E731
+        F.filter(F.split(x, r"\s+"), lambda t: t != F.lit(""))
+    )
+    kept = F.filter(
+        lines,
+        lambda x: terminal(x)
+        & (n_words(x) >= min_line_words)
+        & ~F.contains(F.lower(x), F.lit("javascript")),
+    )
+    clean = F.array_join(kept, delim)
+    n_sentences = F.length(clean) - F.length(
+        F.regexp_replace(clean, r"[.!?]", "")
+    )
+    has_brace = F.contains(text, F.lit("{"))
+    has_lorem = F.contains(F.lower(text), F.lit("lorem ipsum"))
+    base = df.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        F.md5(clean).alias("clean_md5"),
+    )
+    keep = (
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_brace")
+        & ~F.col("has_lorem")
+    )
+    return base.select("*", keep.alias("keep"))
+
+
 # GPT-2-flavoured pretokenizer shape: contractions, letter runs, digit
 # runs, punctuation runs, whitespace collapsed away. ASCII classes only
 # so Java (Spark) and RE2 (DuckDB) agree.

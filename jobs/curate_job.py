@@ -84,6 +84,13 @@ def main() -> None:
         "required stopwords — textstats.gopher_quality)",
     )
     parser.add_argument(
+        "--c4-filter",
+        action="store_true",
+        help="apply the C4 page gates (brace / lorem-ipsum / fewer "
+        "than 3 sentences after the terminal-punctuation line "
+        "filter — textstats.c4_quality)",
+    )
+    parser.add_argument(
         "--lm-filter",
         type=float,
         metavar="MAX_SCORE",
@@ -242,6 +249,18 @@ def main() -> None:
         before = manifest.count()
         manifest = manifest.join(calm, "doc_id", "left_semi")
         n_gopher_dropped = before - manifest.count()
+    n_c4_dropped = 0
+    if args.c4_filter:
+        # C4 page gates — same free-rider shape as the Gopher gate
+        from claude_readability_hook_spark.operators.textstats import (
+            c4_quality,
+        )
+
+        cq = c4_quality(docs.select("doc_id", "text"))
+        calm = cq.filter(F.col("keep")).select("doc_id")
+        before = manifest.count()
+        manifest = manifest.join(calm, "doc_id", "left_semi")
+        n_c4_dropped = before - manifest.count()
     n_domain_dropped = 0
     if args.domain_filter:
         # domain governance gate: per-registrable-domain signals
@@ -415,6 +434,7 @@ def main() -> None:
                 "boiler_dropped": n_boiler_dropped,
                 "linedup_dropped": n_linedup_dropped,
                 "gopher_dropped": n_gopher_dropped,
+                "c4_dropped": n_c4_dropped,
                 "export_shards": n_shards,
             }
         )

@@ -204,11 +204,12 @@ def test_curate_job_learned_tokenizer_pack(tmp_path):
 
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
-def test_curate_job_gopher_gate(tmp_path):
-    """--gopher-filter through the real launch surface: a crafted input
-    where half the docs pass the base curation gates but fail exactly
-    one Gopher rule (every line ellipsis-terminated), so the drop count
-    is attributable to the new gate alone."""
+def test_curate_job_gopher_and_c4_gates(tmp_path):
+    """--gopher-filter and --c4-filter through the real launch surface:
+    a crafted input with three doc classes — clean prose (passes both),
+    ellipsis-terminated lines (fails exactly the Gopher line rule while
+    C4 keeps them), and brace pages (pass Gopher, fail exactly the C4
+    brace gate) — so each drop count is attributable to one gate."""
     import duckdb
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -217,16 +218,40 @@ def test_curate_job_gopher_gate(tmp_path):
     out_dir = str(tmp_path / "out")
     inp = str(tmp_path / "docs.parquet")
 
-    good_line = "the quick brown fox jumps over that lazy sleeping dog"
+    good_line = "the quick brown fox jumps over that lazy sleeping dog."
     rows = []
     for i in range(10):
-        # 60 words of stopword-bearing English prose → passes everything
-        rows.append((i, " ".join([good_line] * 6) + f" unique{i}", "srcA"))
-    for i in range(10, 20):
-        # same vocabulary, but every line ends '...' → ellipsis_line_frac
-        # 1.0 > 0.3 trips gopher; base quality/lang gates still pass
+        # 7 terminal-punctuated >=5-word lines of stopword-bearing
+        # English prose → passes Gopher AND C4
         rows.append(
-            (i, "\n".join([good_line + "..."] * 6) + f"\nunique{i} the end of that story", "srcA")
+            (
+                i,
+                "\n".join([good_line] * 6)
+                + f"\nunique{i} section of the story here.",
+                "srcA",
+            )
+        )
+    for i in range(10, 20):
+        # every line ends '...' → gopher ellipsis_line_frac 1.0 > 0.3;
+        # C4 would KEEP these (terminal '.', >=3 sentence marks)
+        rows.append(
+            (
+                i,
+                "\n".join([good_line[:-1] + "..."] * 6)
+                + f"\nunique{i} the end of that story...",
+                "srcA",
+            )
+        )
+    for i in range(20, 30):
+        # one brace word: passes Gopher (alpha frac 69/70 >= 0.8),
+        # fails exactly the C4 brace page gate
+        rows.append(
+            (
+                i,
+                "\n".join([good_line] * 6)
+                + f"\nunique{i} part of the story here {{ told.",
+                "srcA",
+            )
         )
     con = duckdb.connect()
     con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, source VARCHAR)")
@@ -246,6 +271,7 @@ def test_curate_job_gopher_gate(tmp_path):
             "--cap-per-source", "500",
             "--shard-rows", "200",
             "--gopher-filter",
+            "--c4-filter",
         ],
         capture_output=True,
         text=True,
@@ -255,4 +281,5 @@ def test_curate_job_gopher_gate(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["gopher_dropped"] == 10
+    assert summary["c4_dropped"] == 10
     assert summary["manifest_rows"] == 10
