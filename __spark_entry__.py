@@ -4785,6 +4785,124 @@ def _c4_quality_oracle_sql() -> str:
     """
 
 
+def _url_quality_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted URL-quality population: doc_id % 5 routes each doc to a
+    spam-shaped URL class (1: digit-heavy host, 2: hyphen-stuffed
+    host, 3: soft-ban words in path, 4: over-deep path) or a clean
+    editorial URL (0) — all closed-form in doc_id."""
+    did = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 5).cast("int")
+    url = (
+        F.when(
+            m == 1,
+            F.concat(F.lit("https://1234567890-cdn.example.com/x/"), did),
+        )
+        .when(
+            m == 2,
+            F.concat(F.lit("https://a-b-c-d-e.example.com/p/"), did),
+        )
+        .when(
+            m == 3,
+            F.concat(F.lit("https://games.example.com/casino/poker/"), did),
+        )
+        .when(
+            m == 4,
+            F.concat(
+                F.lit("https://deep.example.com"),
+                F.repeat(F.lit("/d"), 12),
+                F.lit("/"),
+                did,
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://news.example.com/a/b/"), did))
+    )
+    return _docs(spark, sf_dir).select(url.alias("url"))
+
+
+def q_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL quality gate (r7: frontier.url_quality) —
+    host digit fraction, hyphen count, path depth, length, query
+    params, weighted soft-ban fragment score, conjunction keep — over
+    the planted URL population."""
+    from claude_readability_hook_spark.operators.frontier import url_quality
+
+    return url_quality(_url_quality_pop(spark, sf_dir))
+
+
+def _url_quality_oracle_sql() -> str:
+    from claude_readability_hook_spark.operators.frontier import (
+        URL_SOFTBAN_WORDS,
+    )
+
+    softban = " + ".join(
+        f"contains(lower(url), '{w}')::INT * {wt}" for w, wt in URL_SOFTBAN_WORDS
+    )
+    return f"""
+        WITH pop AS (
+          SELECT CASE CAST(doc_id % 5 AS INTEGER)
+                   WHEN 1 THEN 'https://1234567890-cdn.example.com/x/'
+                     || doc_id::VARCHAR
+                   WHEN 2 THEN 'https://a-b-c-d-e.example.com/p/'
+                     || doc_id::VARCHAR
+                   WHEN 3 THEN 'https://games.example.com/casino/poker/'
+                     || doc_id::VARCHAR
+                   WHEN 4 THEN 'https://deep.example.com'
+                     || repeat('/d', 12) || '/' || doc_id::VARCHAR
+                   ELSE 'https://news.example.com/a/b/' || doc_id::VARCHAR
+                   END AS url
+          FROM documents
+        ),
+        parts AS (
+          SELECT url,
+                 regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                 regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                   AS path
+          FROM pop
+        ),
+        base AS (
+          SELECT url, host,
+                 length(host) AS host_len,
+                 length(host)
+                   - length(regexp_replace(host, '[0-9]', '', 'g'))
+                   AS host_digits,
+                 length(host)
+                   - length(regexp_replace(host, '-', '', 'g'))
+                   AS host_hyphens,
+                 length(path)
+                   - length(regexp_replace(path, '/', '', 'g'))
+                   AS path_depth,
+                 CASE WHEN contains(url, '?')
+                      THEN 1 + length(url)
+                           - length(regexp_replace(url, '&', '', 'g'))
+                      ELSE 0 END AS n_query_params,
+                 length(url) AS url_len,
+                 {softban} AS softban_score
+          FROM parts
+        ),
+        feat AS (
+          SELECT url, host,
+                 CASE WHEN host_len > 0
+                      THEN (2 * host_digits * 1000000 + host_len)
+                           // (2 * host_len)
+                      ELSE 0 END AS host_digit_micro,
+                 CAST(host_hyphens AS BIGINT) AS host_hyphens,
+                 CAST(path_depth AS BIGINT) AS path_depth,
+                 CAST(n_query_params AS BIGINT) AS n_query_params,
+                 CAST(url_len AS BIGINT) AS url_len,
+                 CAST(softban_score AS BIGINT) AS softban_score
+          FROM base
+        )
+        SELECT url, host,
+               CAST(host_digit_micro AS BIGINT) AS host_digit_micro,
+               host_hyphens, path_depth, n_query_params, url_len,
+               softban_score,
+               (host_digit_micro <= 200000 AND host_hyphens <= 3
+                AND path_depth <= 8 AND url_len <= 200
+                AND softban_score < 3) AS keep
+        FROM feat
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 FRONTIER_BUDGET = 40
@@ -5458,6 +5576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_repetition": q_line_repetition,  # new r7: Gopher dup-line gates
         "gopher_quality": q_gopher_quality,  # new r7: full Gopher rule set
         "c4_quality": q_c4_quality,  # new r7: C4 cleaning rule set
+        "url_quality": q_url_quality,  # new r7: RefinedWeb URL gate
         "frontier_schedule": q_frontier_schedule,  # new r7: politeness planner
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
@@ -5470,8 +5589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_pq_topk": q_ivf_pq_topk,  # new r5: product-quantized IVF (ADC)
         "ivf_ann_topk_q8": q_ivf_ann_topk_q8,
-        "ann_knn_join": q_ann_knn_join,
         "ann_recall_eval": q_ann_recall_eval,  # new r6: retrieval quality gate
+        "ann_knn_join": q_ann_knn_join,  # demoted r7: green r3-r6, untouched
         "ann_knn_join_pq": q_ann_knn_join_pq,  # new r5: PQ batch retrieval
         "ann_knn_join_q8": q_ann_knn_join_q8,
         "lsh_knn_join": q_lsh_knn_join,
@@ -5503,7 +5622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recently-changed stable (r4 fixes, green r3+r4)
         "dedup_clusters": q_dedup_clusters,
         # stable fillers rotating through the window
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5513,6 +5631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # run by test_oracle_parity
         "per_source_stats": q_per_source_stats,  # demoted r7: green r2+r4+r5
         "token_stats": q_token_stats,  # demoted r7: green r2+r3+r4+r5
+        "dedup_exact": q_dedup_exact,  # demoted r7: green r2+r3+r4+r5
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "vocab_topk": q_vocab_topk,
@@ -6594,6 +6713,7 @@ def oracle_sql() -> dict[str, str]:
         "line_repetition": _line_repetition_oracle_sql(),
         "gopher_quality": _gopher_quality_oracle_sql(),
         "c4_quality": _c4_quality_oracle_sql(),
+        "url_quality": _url_quality_oracle_sql(),
         "frontier_schedule": _frontier_schedule_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),

@@ -167,6 +167,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "frontier_schedule",
         "gopher_quality",
         "c4_quality",
+        "url_quality",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds, or the
     # connected-components pointer-jump loop): one rep — the round

@@ -103,3 +103,102 @@ def schedule_frontier(
         else (F.col("slot") < host_budget)
     )
     return out.withColumn("keep", keep)
+
+
+# RefinedWeb-style soft-ban URL fragments and their weights (Penedo et
+# al. 2023 §3.1 use a weighted word list over the URL; this list is a
+# small frozen stand-in with the same mechanics — the oracle SQL embeds
+# the identical pairs).
+URL_SOFTBAN_WORDS = (
+    ("casino", 3),
+    ("poker", 3),
+    ("torrent", 2),
+    ("warez", 3),
+    ("coupon", 1),
+    ("download", 1),
+)
+
+
+def url_quality(
+    urls: DataFrame,
+    url_col: str = "url",
+    max_host_digit_micro: int = 200_000,
+    max_host_hyphens: int = 3,
+    max_path_depth: int = 8,
+    max_url_len: int = 200,
+    softban_threshold: int = 3,
+) -> DataFrame:
+    """RefinedWeb-style URL quality filter — the pre-fetch gate that
+    runs BEFORE schedule_frontier so the fetch fleet never spends a
+    slot on spam-shaped URLs: host digit fraction (machine-generated
+    CDN/tracker hosts), host hyphen count (SEO keyword-stuffed
+    domains), path depth, total length, query-parameter count, and a
+    weighted soft-ban fragment score over the lowercased URL.
+
+    Emits per-URL features plus the conjunction keep. The digit
+    fraction is an exact micro-unit ratio (half-up int64 division) so
+    the threshold comparison is engine-exact; every other feature is
+    an integer count.
+
+    Scale shape: pure in-row Column expressions over the URL column —
+    zero Exchange; at 10^12 candidate URLs this is a free rider on
+    the frontier scan, and dropping before scheduling shrinks the one
+    rank shuffle schedule_frontier does pay for."""
+    url = F.col(url_col)
+    host = F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    host_digits = F.length(host) - F.length(
+        F.regexp_replace(host, r"[0-9]", "")
+    )
+    host_hyphens = F.length(host) - F.length(
+        F.regexp_replace(host, r"-", "")
+    )
+    path_depth = F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
+    n_query_params = F.when(
+        F.contains(url, F.lit("?")),
+        F.lit(1)
+        + F.length(url)
+        - F.length(F.regexp_replace(url, r"&", "")),
+    ).otherwise(F.lit(0))
+    softban = sum(
+        (
+            F.contains(F.lower(url), F.lit(w)).cast("int") * F.lit(wt)
+            for w, wt in URL_SOFTBAN_WORDS
+        ),
+        F.lit(0),
+    )
+    base = urls.select(
+        url_col,
+        host.alias("host"),
+        F.length(host).cast("long").alias("host_len"),
+        host_digits.cast("long").alias("host_digits"),
+        host_hyphens.cast("long").alias("host_hyphens"),
+        path_depth.cast("long").alias("path_depth"),
+        n_query_params.cast("long").alias("n_query_params"),
+        F.length(url).cast("long").alias("url_len"),
+        softban.cast("long").alias("softban_score"),
+    )
+    digit_micro = F.when(
+        F.col("host_len") > 0,
+        F.expr(
+            "(2 * host_digits * 1000000 + host_len) div (2 * host_len)"
+        ),
+    ).otherwise(F.lit(0))
+    feat = base.select(
+        url_col,
+        "host",
+        digit_micro.cast("long").alias("host_digit_micro"),
+        "host_hyphens",
+        "path_depth",
+        "n_query_params",
+        "url_len",
+        "softban_score",
+    )
+    keep = (
+        (F.col("host_digit_micro") <= max_host_digit_micro)
+        & (F.col("host_hyphens") <= max_host_hyphens)
+        & (F.col("path_depth") <= max_path_depth)
+        & (F.col("url_len") <= max_url_len)
+        & (F.col("softban_score") < softban_threshold)
+    )
+    return feat.select("*", keep.alias("keep"))
