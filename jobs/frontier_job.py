@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the crawl-frontier planning stage —
+the fourth production launch surface next to jobs/extract_job.py,
+jobs/curate_job.py and jobs/media_job.py (north_rule mode:
+`spark-submit --py-files` on a multi-executor cluster).
+
+    cd /root/repo && zip -qr /tmp/crh_spark.zip claude_readability_hook_spark
+    spark-submit --py-files /tmp/crh_spark.zip jobs/frontier_job.py \
+        --input  /path/to/candidate-urls.parquet   # (url[, priority])
+        --output /path/to/out \
+        [--n-fetchers 64] [--delay-ms 1000] [--host-budget 1000] \
+        [--trim-salts 8] [--no-url-filter]
+
+Pipeline (narrow columns only — never page bytes):
+
+  URL gate        RefinedWeb-style pre-fetch quality filter
+                  (frontier.url_quality): digit/hyphen host
+                  heuristics, path depth, length, soft-ban score.
+                  Rejected URLs land in rejected/ with their feature
+                  row — crawl governance wants the why, not a drop.
+  schedule        host-affine fetcher sharding + per-host fetch slots
+                  + crawl-delay offsets + host budgets
+                  (frontier.schedule_frontier; trim_salts switches to
+                  the salted two-phase plan for mega-hosts).
+
+Outputs under --output: plan/ (parquet: url, host, fetcher_id, slot,
+fetch_offset_ms, keep) and rejected/ (parquet feature rows), plus ONE
+JSON summary line on stdout — the shared jobs/ contract.
+
+The reference never plans a crawl (it serves single URLs behind a
+gateway, apps/gateway/src/features/extract); at 10^12 candidate URLs
+the plan IS the crawler, so this surface exists only Spark-side.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True, help="candidate-URL parquet")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--n-fetchers", type=int, default=64)
+    parser.add_argument("--delay-ms", type=int, default=1000)
+    parser.add_argument("--host-budget", type=int, default=None)
+    parser.add_argument(
+        "--trim-salts",
+        type=int,
+        default=None,
+        help="salted two-phase ranking for mega-hosts (needs --host-budget)",
+    )
+    parser.add_argument(
+        "--no-url-filter",
+        action="store_true",
+        help="skip the RefinedWeb URL quality gate",
+    )
+    args = parser.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("crh-spark-frontier").getOrCreate()
+
+    from claude_readability_hook_spark.operators.frontier import (
+        schedule_frontier,
+        url_quality,
+    )
+
+    urls = spark.read.parquet(args.input)
+    if "priority" not in urls.columns:
+        urls = urls.withColumn("priority", F.lit(0).cast("long"))
+    n_in = urls.count()
+
+    n_rejected = 0
+    if not args.no_url_filter:
+        feats = url_quality(urls.select("url"))
+        feats.filter(~F.col("keep")).write.mode("overwrite").parquet(
+            f"{args.output}/rejected"
+        )
+        keepers = feats.filter(F.col("keep")).select("url")
+        urls = urls.join(keepers, "url", "left_semi")
+        n_rejected = n_in - urls.count()
+
+    candidates = urls.select(
+        "url",
+        F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+        "priority",
+    )
+    plan = schedule_frontier(
+        candidates,
+        n_fetchers=args.n_fetchers,
+        delay_ms=args.delay_ms,
+        host_budget=args.host_budget,
+        trim_salts=args.trim_salts,
+    )
+    plan.write.mode("overwrite").parquet(f"{args.output}/plan")
+
+    planned = spark.read.parquet(f"{args.output}/plan")
+    n_planned = planned.count()
+    n_over_budget = planned.filter(~F.col("keep")).count()
+    n_hosts = planned.select("host").distinct().count()
+    print(
+        json.dumps(
+            {
+                "urls_in": n_in,
+                "url_rejected": n_rejected,
+                "planned": n_planned,
+                "over_budget": n_over_budget,
+                "hosts": n_hosts,
+                "fetchers": args.n_fetchers,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""End-to-end launch test for the crawl-frontier planner: package the
+library, run jobs/frontier_job.py through actual `spark-submit
+--py-files`, and verify the plan, the URL-gate rejections, and the
+politeness invariants on the output parquet."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from tests.test_spark_submit import _zip_package
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_frontier_job_plan_and_gate(tmp_path):
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    out_dir = str(tmp_path / "out")
+    inp = str(tmp_path / "urls.parquet")
+
+    rows = []
+    # 30 clean URLs over 3 hosts, priorities cycling 0..9
+    for i in range(30):
+        rows.append((f"https://h{i % 3}.example.com/p/{i}", i % 10))
+    # 5 spam URLs the gate must reject before scheduling
+    for i in range(5):
+        rows.append((f"https://games.example.com/casino/poker/{i}", 99))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (url VARCHAR, priority BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.execute(f"COPY t TO '{inp}' (FORMAT PARQUET)")
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", pkg_zip,
+            os.path.join(root, "jobs", "frontier_job.py"),
+            "--input", inp,
+            "--output", out_dir,
+            "--n-fetchers", "8",
+            "--host-budget", "7",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["urls_in"] == 35
+    assert summary["url_rejected"] == 5  # the casino/poker URLs
+    assert summary["planned"] == 30
+    assert summary["hosts"] == 3
+    # budget 7 over 3 hosts × 10 URLs → 3 over-budget each
+    assert summary["over_budget"] == 9
+
+    plan = con.sql(
+        f"SELECT * FROM read_parquet('{out_dir}/plan/*.parquet')"
+    ).fetchall()
+    cols = [d[0] for d in con.sql(
+        f"SELECT * FROM read_parquet('{out_dir}/plan/*.parquet') LIMIT 0"
+    ).description]
+    by = lambda r: dict(zip(cols, r))  # noqa: E731
+    # host affinity: one fetcher per host
+    fetchers = {}
+    for r in map(by, plan):
+        fetchers.setdefault(r["host"], set()).add(r["fetcher_id"])
+    assert all(len(v) == 1 for v in fetchers.values())
+    # slots are 0..9 within each host, keep=false exactly for slot >= 7
+    for r in map(by, plan):
+        assert r["keep"] == (r["slot"] < 7)
+        assert r["fetch_offset_ms"] == r["slot"] * 1000
+
+    rejected = con.sql(
+        f"SELECT url FROM read_parquet('{out_dir}/rejected/*.parquet')"
+    ).fetchall()
+    assert len(rejected) == 5
+    assert all("casino" in u for (u,) in rejected)
