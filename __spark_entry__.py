@@ -4903,6 +4903,197 @@ def _url_quality_oracle_sql() -> str:
     """
 
 
+def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted robots.txt corpus: 8 hosts, even hosts carry a decoy
+    'evil' agent section BEFORE the wildcard section plus an empty
+    Disallow (both must be ignored), odd hosts carry a trailing
+    'other' agent section AFTER it — section isolation is the thing
+    under test. Bodies are closed-form in the host number."""
+    hn = (F.col("doc_id") % 8).cast("int")
+    nl = F.lit("\n")
+    even_body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: evil"),
+        F.lit("Disallow: /"),
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /private"),
+        F.lit("Allow: /private/open"),
+        F.lit("Disallow: /p"),
+        F.lit("Disallow:"),
+    )
+    odd_body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.lit("Allow: /p"),
+        F.lit("Disallow: /q"),
+        F.lit("User-agent: other"),
+        F.lit("Disallow: /"),
+    )
+    _ = nl
+    return (
+        _docs(spark, sf_dir)
+        .select(hn.alias("hn"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hn").cast("string"), F.lit(".example.com")).alias(
+                "host"
+            ),
+            F.when(F.col("hn") % 2 == 0, even_body)
+            .otherwise(odd_body)
+            .alias("robots_txt"),
+        )
+    )
+
+
+_ROBOTS_BODY_SQL = """
+          SELECT 'h' || hn::VARCHAR || '.example.com' AS host,
+                 CASE WHEN hn % 2 = 0
+                      THEN 'User-agent: evil' || chr(10) || 'Disallow: /'
+                        || chr(10) || 'User-agent: *'
+                        || chr(10) || 'Disallow: /private'
+                        || chr(10) || 'Allow: /private/open'
+                        || chr(10) || 'Disallow: /p'
+                        || chr(10) || 'Disallow:'
+                      ELSE 'User-agent: *' || chr(10) || 'Allow: /p'
+                        || chr(10) || 'Disallow: /q'
+                        || chr(10) || 'User-agent: other'
+                        || chr(10) || 'Disallow: /'
+                      END AS robots_txt
+          FROM (SELECT DISTINCT CAST(doc_id % 8 AS INTEGER) AS hn
+                FROM documents)
+"""
+
+_ROBOTS_RULES_SQL = f"""
+        WITH robots AS ({_ROBOTS_BODY_SQL}),
+        arr AS (
+          SELECT host,
+                 list_transform(string_split(robots_txt, chr(10)),
+                                x -> trim(lower(x))) AS lower
+          FROM robots
+        ),
+        bounds AS (
+          SELECT host, lower,
+                 COALESCE(list_position(lower, 'user-agent: *'), 0) AS ua_idx
+          FROM arr
+        ),
+        nxt AS (
+          SELECT host, lower, ua_idx,
+                 list_filter(lower, (x, i) ->
+                   starts_with(x, 'user-agent:') AND i > ua_idx) AS nexts
+          FROM bounds
+        ),
+        sect AS (
+          SELECT host,
+                 CASE WHEN ua_idx > 0
+                      THEN lower[(ua_idx + 1):(CASE WHEN len(nexts) > 0
+                        THEN list_position(lower, nexts[1]) - 1
+                        ELSE len(lower) END)]
+                      ELSE [] END AS section
+          FROM nxt
+        ),
+        dirs AS (
+          SELECT host,
+                 list_filter(section, x -> starts_with(x, 'allow:')
+                                           OR starts_with(x, 'disallow:'))
+                   AS directives
+          FROM sect
+        ),
+        rules AS (
+          SELECT host,
+                 unnest(list_filter(
+                   list_transform(directives, (x, i) -> {{
+                     'allow': starts_with(x, 'allow:'),
+                     'path_prefix': trim(regexp_replace(
+                        x, '^(allow|disallow):', '')),
+                     'rule_order': CAST(i AS BIGINT)}}),
+                   r -> length(r.path_prefix) > 0)) AS r
+          FROM dirs
+        )
+        SELECT host, r.allow AS allow, r.path_prefix AS path_prefix,
+               r.rule_order AS rule_order
+        FROM rules
+"""
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (r7: frontier.parse_robots) — wildcard-agent
+    section isolation, Allow/Disallow directives, empty-prefix no-op
+    rules dropped — over the planted 8-host robots corpus."""
+    from claude_readability_hook_spark.operators.frontier import parse_robots
+
+    return parse_robots(_robots_corpus(spark, sf_dir))
+
+
+def _robots_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL fixture for the robots gate: every doc gets a URL on one of
+    the 8 robots hosts, with the path class cycling through the four
+    interesting cases (matched-disallow, matched-allow-longer,
+    unmatched, odd-host allow)."""
+    did = F.col("doc_id").cast("string")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 8).cast("int").cast("string"),
+        F.lit(".example.com"),
+    )
+    m = (F.col("doc_id") % 4).cast("int")
+    path = (
+        F.when(m == 1, F.concat(F.lit("/private/"), did))
+        .when(m == 2, F.concat(F.lit("/private/open/"), did))
+        .when(m == 3, F.concat(F.lit("/q/"), did))
+        .otherwise(F.concat(F.lit("/p/"), did))
+    )
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://"), host, path).alias("url")
+    )
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots gate (r7: frontier.robots_gate) — Google longest-match
+    precedence, allow wins ties, allowed on no match — planted URLs
+    against the planted robots corpus."""
+    from claude_readability_hook_spark.operators.frontier import (
+        parse_robots,
+        robots_gate,
+    )
+
+    rules = parse_robots(_robots_corpus(spark, sf_dir))
+    return robots_gate(_robots_urls(spark, sf_dir), rules)
+
+
+def _robots_gate_oracle_sql() -> str:
+    return f"""
+        WITH rules AS ({_ROBOTS_RULES_SQL}),
+        u AS (
+          SELECT 'https://h' || (doc_id % 8)::VARCHAR || '.example.com'
+                   || path AS url,
+                 'h' || (doc_id % 8)::VARCHAR || '.example.com' AS host,
+                 path
+          FROM (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                     WHEN 1 THEN '/private/' || doc_id::VARCHAR
+                     WHEN 2 THEN '/private/open/' || doc_id::VARCHAR
+                     WHEN 3 THEN '/q/' || doc_id::VARCHAR
+                     ELSE '/p/' || doc_id::VARCHAR END AS path
+            FROM documents)
+        ),
+        m AS (
+          SELECT u.url, u.host, r.path_prefix, r.allow,
+                 length(r.path_prefix) AS plen,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY u.url
+                   ORDER BY length(r.path_prefix) DESC, r.allow DESC
+                 ) AS rn
+          FROM u JOIN rules r ON u.host = r.host
+          WHERE starts_with(u.path, r.path_prefix)
+        )
+        SELECT u.url, u.host,
+               COALESCE(m.path_prefix, '') AS matched_prefix,
+               COALESCE(m.allow, TRUE) AS allowed
+        FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+          ON u.url = m.url
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 FRONTIER_BUDGET = 40
@@ -5577,6 +5768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,  # new r7: full Gopher rule set
         "c4_quality": q_c4_quality,  # new r7: C4 cleaning rule set
         "url_quality": q_url_quality,  # new r7: RefinedWeb URL gate
+        "robots_rules": q_robots_rules,  # new r7: robots.txt parser
+        "robots_gate": q_robots_gate,  # new r7: longest-match robots gate
         "frontier_schedule": q_frontier_schedule,  # new r7: politeness planner
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
@@ -5584,12 +5777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_pairs_both": q_image_dedup_pairs_both,  # new r6: dual hash
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
         "canonical_media_refs": q_canonical_media_refs,  # new r6: span rewrite
-        # ann_index.py changed this round (manifest retry merge,
-        # retention knobs, compact kind carry, broadcast_queries knob)
-        "ivf_ann_topk": q_ivf_ann_topk,
+        # ann_index.py untouched this round; only the two youngest ann
+        # pairs (1-round green) stay inside the window
         "ivf_pq_topk": q_ivf_pq_topk,  # new r5: product-quantized IVF (ADC)
-        "ivf_ann_topk_q8": q_ivf_ann_topk_q8,
         "ann_recall_eval": q_ann_recall_eval,  # new r6: retrieval quality gate
+        "ivf_ann_topk": q_ivf_ann_topk,  # demoted r7: green r2-r6, untouched
+        "ivf_ann_topk_q8": q_ivf_ann_topk_q8,  # demoted r7: green r4-r6, untouched
         "ann_knn_join": q_ann_knn_join,  # demoted r7: green r3-r6, untouched
         "ann_knn_join_pq": q_ann_knn_join_pq,  # new r5: PQ batch retrieval
         "ann_knn_join_q8": q_ann_knn_join_q8,
@@ -5622,13 +5815,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recently-changed stable (r4 fixes, green r3+r4)
         "dedup_clusters": q_dedup_clusters,
         # stable fillers rotating through the window
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_quality": q_text_quality,
         # ---- position 51+: driver-hash-green on their CURRENT code in
         # >=2 prior rounds, untouched this round; still covered every
         # run by test_oracle_parity
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # demoted r7: green r2-r5
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,  # demoted r7: green r2-r5
+        "dedup_simhash": q_dedup_simhash,  # demoted r7: green r2-r5
         "per_source_stats": q_per_source_stats,  # demoted r7: green r2+r4+r5
         "token_stats": q_token_stats,  # demoted r7: green r2+r3+r4+r5
         "dedup_exact": q_dedup_exact,  # demoted r7: green r2+r3+r4+r5
@@ -6714,6 +6907,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_quality_oracle_sql(),
         "c4_quality": _c4_quality_oracle_sql(),
         "url_quality": _url_quality_oracle_sql(),
+        "robots_rules": _ROBOTS_RULES_SQL,
+        "robots_gate": _robots_gate_oracle_sql(),
         "frontier_schedule": _frontier_schedule_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),

@@ -168,6 +168,8 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "gopher_quality",
         "c4_quality",
         "url_quality",
+        "robots_rules",
+        "robots_gate",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds, or the
     # connected-components pointer-jump loop): one rep — the round

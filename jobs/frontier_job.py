@@ -9,10 +9,13 @@ jobs/curate_job.py and jobs/media_job.py (north_rule mode:
         --input  /path/to/candidate-urls.parquet   # (url[, priority])
         --output /path/to/out \
         [--n-fetchers 64] [--delay-ms 1000] [--host-budget 1000] \
-        [--trim-salts 8] [--no-url-filter]
+        [--trim-salts 8] [--no-url-filter] [--robots robots.parquet]
 
 Pipeline (narrow columns only — never page bytes):
 
+  robots gate     optional: parse per-host robots.txt wildcard
+                  sections, drop disallowed URLs (Google longest-match
+                  precedence) into rejected_robots/
   URL gate        RefinedWeb-style pre-fetch quality filter
                   (frontier.url_quality): digit/hyphen host
                   heuristics, path depth, length, soft-ban score.
@@ -56,6 +59,13 @@ def main() -> None:
         action="store_true",
         help="skip the RefinedWeb URL quality gate",
     )
+    parser.add_argument(
+        "--robots",
+        default=None,
+        help="robots.txt parquet (host, robots_txt): parse the "
+        "wildcard-agent sections and drop disallowed URLs (Google "
+        "longest-match precedence) before scheduling",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,6 +74,8 @@ def main() -> None:
     spark = SparkSession.builder.appName("crh-spark-frontier").getOrCreate()
 
     from claude_readability_hook_spark.operators.frontier import (
+        parse_robots,
+        robots_gate,
         schedule_frontier,
         url_quality,
     )
@@ -82,6 +94,18 @@ def main() -> None:
         keepers = feats.filter(F.col("keep")).select("url")
         urls = urls.join(keepers, "url", "left_semi")
         n_rejected = n_in - urls.count()
+
+    n_disallowed = 0
+    if args.robots:
+        rules = parse_robots(spark.read.parquet(args.robots))
+        verdicts = robots_gate(urls.select("url"), rules)
+        verdicts.filter(~F.col("allowed")).write.mode("overwrite").parquet(
+            f"{args.output}/rejected_robots"
+        )
+        allowed = verdicts.filter(F.col("allowed")).select("url")
+        before = urls.count()
+        urls = urls.join(allowed, "url", "left_semi")
+        n_disallowed = before - urls.count()
 
     candidates = urls.select(
         "url",
@@ -106,6 +130,7 @@ def main() -> None:
             {
                 "urls_in": n_in,
                 "url_rejected": n_rejected,
+                "robots_disallowed": n_disallowed,
                 "planned": n_planned,
                 "over_budget": n_over_budget,
                 "hosts": n_hosts,

@@ -32,10 +32,22 @@ def test_frontier_job_plan_and_gate(tmp_path):
     # 5 spam URLs the gate must reject before scheduling
     for i in range(5):
         rows.append((f"https://games.example.com/casino/poker/{i}", 99))
+    # 4 robots-disallowed URLs on an otherwise-clean host
+    for i in range(4):
+        rows.append((f"https://h0.example.com/private/{i}", 50))
     con = duckdb.connect()
     con.execute("CREATE TABLE t (url VARCHAR, priority BIGINT)")
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     con.execute(f"COPY t TO '{inp}' (FORMAT PARQUET)")
+    robots = str(tmp_path / "robots.parquet")
+    con.execute(
+        "CREATE TABLE rb (host VARCHAR, robots_txt VARCHAR)"
+    )
+    con.execute(
+        "INSERT INTO rb VALUES ('h0.example.com', "
+        "'User-agent: *' || chr(10) || 'Disallow: /private')"
+    )
+    con.execute(f"COPY rb TO '{robots}' (FORMAT PARQUET)")
 
     proc = subprocess.run(
         [
@@ -49,6 +61,7 @@ def test_frontier_job_plan_and_gate(tmp_path):
             "--output", out_dir,
             "--n-fetchers", "8",
             "--host-budget", "7",
+            "--robots", robots,
         ],
         capture_output=True,
         text=True,
@@ -57,8 +70,9 @@ def test_frontier_job_plan_and_gate(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert summary["urls_in"] == 35
+    assert summary["urls_in"] == 39
     assert summary["url_rejected"] == 5  # the casino/poker URLs
+    assert summary["robots_disallowed"] == 4  # h0's /private URLs
     assert summary["planned"] == 30
     assert summary["hosts"] == 3
     # budget 7 over 3 hosts × 10 URLs → 3 over-budget each
