@@ -4916,6 +4916,7 @@ def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("User-agent: evil"),
         F.lit("Disallow: /"),
         F.lit("User-agent: *"),
+        F.lit("Crawl-delay: 2"),
         F.lit("Disallow: /private"),
         F.lit("Allow: /private/open"),
         F.lit("Disallow: /p"),
@@ -4950,6 +4951,7 @@ _ROBOTS_BODY_SQL = """
                  CASE WHEN hn % 2 = 0
                       THEN 'User-agent: evil' || chr(10) || 'Disallow: /'
                         || chr(10) || 'User-agent: *'
+                        || chr(10) || 'Crawl-delay: 2'
                         || chr(10) || 'Disallow: /private'
                         || chr(10) || 'Allow: /private/open'
                         || chr(10) || 'Disallow: /p'
@@ -5057,6 +5059,63 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rules = parse_robots(_robots_corpus(spark, sf_dir))
     return robots_gate(_robots_urls(spark, sf_dir), rules)
+
+
+def q_frontier_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Crawl-delay honored in the fetch plan (r7:
+    frontier.parse_crawl_delays + schedule_frontier_with_delays):
+    fetch_offset_ms = slot × the host's own robots delay (even hosts
+    declare 'Crawl-delay: 2' → 2000 ms, odd hosts default to 1000).
+    The Spark side PARSES the delay out of the planted robots bodies;
+    the oracle replays the closed form — the parse must reproduce it
+    exactly."""
+    from claude_readability_hook_spark.operators.frontier import (
+        parse_crawl_delays,
+        schedule_frontier_with_delays,
+    )
+
+    did = F.col("doc_id").cast("string")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 8).cast("int").cast("string"),
+        F.lit(".example.com"),
+    )
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), did).alias("url"),
+        host.alias("host"),
+        ((F.col("doc_id") * 7) % 100).cast("long").alias("priority"),
+    )
+    delays = parse_crawl_delays(_robots_corpus(spark, sf_dir))
+    return schedule_frontier_with_delays(
+        urls, delays, host_budget=FRONTIER_BUDGET
+    )
+
+
+def _frontier_delays_oracle_sql() -> str:
+    h32_host = _H32_SQL.replace("md5(s)", "md5(host)")
+    return f"""
+        WITH u AS (
+          SELECT 'https://h' || (doc_id % 8)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS url,
+                 'h' || (doc_id % 8)::VARCHAR || '.example.com' AS host,
+                 (doc_id % 8) AS hn,
+                 (doc_id * 7) % 100 AS priority
+          FROM documents
+        ),
+        r AS (
+          SELECT url, host, hn,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY priority DESC, url
+                 ) - 1 AS slot
+          FROM u
+        )
+        SELECT url, host,
+               CAST(({h32_host}) % 64 AS BIGINT) AS fetcher_id,
+               CAST(slot AS BIGINT) AS slot,
+               CAST(slot * (CASE WHEN hn % 2 = 0 THEN 2000 ELSE 1000 END)
+                    AS BIGINT) AS fetch_offset_ms,
+               slot < {FRONTIER_BUDGET} AS keep
+        FROM r
+    """
 
 
 def _robots_gate_oracle_sql() -> str:
@@ -5770,6 +5829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality": q_url_quality,  # new r7: RefinedWeb URL gate
         "robots_rules": q_robots_rules,  # new r7: robots.txt parser
         "robots_gate": q_robots_gate,  # new r7: longest-match robots gate
+        "frontier_delays": q_frontier_delays,  # new r7: per-host crawl delay
         "frontier_schedule": q_frontier_schedule,  # new r7: politeness planner
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
@@ -5779,8 +5839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_media_refs": q_canonical_media_refs,  # new r6: span rewrite
         # ann_index.py untouched this round; only the two youngest ann
         # pairs (1-round green) stay inside the window
-        "ivf_pq_topk": q_ivf_pq_topk,  # new r5: product-quantized IVF (ADC)
         "ann_recall_eval": q_ann_recall_eval,  # new r6: retrieval quality gate
+        "ivf_pq_topk": q_ivf_pq_topk,  # demoted r7: green r5+r6, untouched
         "ivf_ann_topk": q_ivf_ann_topk,  # demoted r7: green r2-r6, untouched
         "ivf_ann_topk_q8": q_ivf_ann_topk_q8,  # demoted r7: green r4-r6, untouched
         "ann_knn_join": q_ann_knn_join,  # demoted r7: green r3-r6, untouched
@@ -5815,10 +5875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recently-changed stable (r4 fixes, green r3+r4)
         "dedup_clusters": q_dedup_clusters,
         # stable fillers rotating through the window
-        "text_quality": q_text_quality,
         # ---- position 51+: driver-hash-green on their CURRENT code in
         # >=2 prior rounds, untouched this round; still covered every
         # run by test_oracle_parity
+        "text_quality": q_text_quality,  # demoted r7: green r2+r3+r4
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # demoted r7: green r2-r5
         "dedup_minhash_lsh": q_dedup_minhash_lsh,  # demoted r7: green r2-r5
         "dedup_simhash": q_dedup_simhash,  # demoted r7: green r2-r5
@@ -6909,6 +6969,7 @@ def oracle_sql() -> dict[str, str]:
         "url_quality": _url_quality_oracle_sql(),
         "robots_rules": _ROBOTS_RULES_SQL,
         "robots_gate": _robots_gate_oracle_sql(),
+        "frontier_delays": _frontier_delays_oracle_sql(),
         "frontier_schedule": _frontier_schedule_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),

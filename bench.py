@@ -170,6 +170,7 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "url_quality",
         "robots_rules",
         "robots_gate",
+        "frontier_delays",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds, or the
     # connected-components pointer-jump loop): one rep — the round

@@ -34,7 +34,7 @@ skew.hot_key_salted_repartition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import h32_expr
@@ -204,6 +204,30 @@ def url_quality(
     return feat.select("*", keep.alias("keep"))
 
 
+def _wildcard_section(body: Column) -> Column:
+    """The `User-agent: *` section of a robots.txt body as an array of
+    trimmed lowercased lines — first `user-agent: *` line (exclusive)
+    to the next `user-agent:` line (exclusive), empty if absent."""
+    lower = F.transform(
+        F.split(body, F.lit("\n"), -1), lambda x: F.trim(F.lower(x))
+    )
+    ua_idx = F.array_position(lower, "user-agent: *")  # 1-based, 0 = absent
+    next_uas = F.filter(
+        lower,
+        lambda x, i: F.startswith(x, F.lit("user-agent:"))
+        & (i + 1 > ua_idx),
+    )
+    # slice length to the next section (or the rest of the file)
+    next_idx = F.when(
+        F.size(next_uas) > 0,
+        F.array_position(lower, F.element_at(next_uas, 1)),
+    ).otherwise(F.size(lower) + 1)
+    return F.when(
+        ua_idx > 0,
+        F.slice(lower, (ua_idx + 1).cast("int"), (next_idx - ua_idx - 1).cast("int")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def parse_robots(
     robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
 ) -> DataFrame:
@@ -220,24 +244,7 @@ def parse_robots(
     list lambdas. At 10^12 URLs the robots table is per-HOST (millions
     of rows, not trillions) — parsing is a rounding error and the
     output broadcasts."""
-    lower = F.transform(
-        F.split(F.col(body_col), F.lit("\n"), -1), lambda x: F.trim(F.lower(x))
-    )
-    ua_idx = F.array_position(lower, "user-agent: *")  # 1-based, 0 = absent
-    next_uas = F.filter(
-        lower,
-        lambda x, i: F.startswith(x, F.lit("user-agent:"))
-        & (i + 1 > ua_idx),
-    )
-    # slice length to the next section (or the rest of the file)
-    next_idx = F.when(
-        F.size(next_uas) > 0,
-        F.array_position(lower, F.element_at(next_uas, 1)),
-    ).otherwise(F.size(lower) + 1)
-    section = F.when(
-        ua_idx > 0,
-        F.slice(lower, (ua_idx + 1).cast("int"), (next_idx - ua_idx - 1).cast("int")),
-    ).otherwise(F.array().cast("array<string>"))
+    section = _wildcard_section(F.col(body_col))
     directives = F.filter(
         section,
         lambda x: F.startswith(x, F.lit("allow:"))
@@ -328,4 +335,74 @@ def robots_gate(
         "host",
         best["path_prefix"].alias("matched_prefix"),
         best["allow"].alias("allowed"),
+    )
+
+
+def parse_crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    default_delay_ms: int = FRONTIER_DELAY_MS,
+) -> DataFrame:
+    """(host, delay_ms) from the wildcard section's `Crawl-delay: N`
+    directive (seconds → milliseconds); hosts without one fall back to
+    default_delay_ms. Non-integer values are treated as absent (the
+    directive is non-standard and crawlers ignore garbage). The first
+    crawl-delay line in the section wins."""
+    section = _wildcard_section(F.col(body_col))
+    delays = F.filter(
+        F.transform(
+            F.filter(section, lambda x: F.startswith(x, F.lit("crawl-delay:"))),
+            lambda x: F.trim(F.regexp_replace(x, r"^crawl-delay:", "")),
+        ),
+        lambda v: v.rlike(r"^[0-9]+$"),
+    )
+    delay_ms = F.when(
+        F.size(delays) > 0,
+        F.element_at(delays, 1).cast("long") * 1000,
+    ).otherwise(F.lit(default_delay_ms).cast("long"))
+    return robots.select(host_col, delay_ms.alias("delay_ms"))
+
+
+def schedule_frontier_with_delays(
+    urls: DataFrame,
+    delays: DataFrame,
+    n_fetchers: int = FRONTIER_FETCHERS,
+    default_delay_ms: int = FRONTIER_DELAY_MS,
+    host_budget: int | None = None,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str = "priority",
+    broadcast_delays: bool = True,
+) -> DataFrame:
+    """schedule_frontier with PER-HOST politeness: fetch_offset_ms =
+    slot × the host's own crawl delay (from parse_crawl_delays or any
+    (host, delay_ms) table) instead of one global delay — the robots
+    Crawl-delay directive actually honored per host.
+
+    The delay table is per-host (small), so it broadcasts by default;
+    the slot ranking is unchanged (same single narrow shuffle as
+    schedule_frontier)."""
+    base = schedule_frontier(
+        urls,
+        n_fetchers=n_fetchers,
+        delay_ms=0,  # offsets recomputed below from the joined delay
+        host_budget=host_budget,
+        url_col=url_col,
+        host_col=host_col,
+        priority_col=priority_col,
+    ).drop("fetch_offset_ms")
+    d = delays.select(host_col, "delay_ms")
+    if broadcast_delays:
+        d = F.broadcast(d)
+    return base.join(d, host_col, "left").select(
+        url_col,
+        host_col,
+        "fetcher_id",
+        "slot",
+        (
+            F.col("slot")
+            * F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms))
+        ).cast("long").alias("fetch_offset_ms"),
+        "keep",
     )

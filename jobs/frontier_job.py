@@ -74,9 +74,11 @@ def main() -> None:
     spark = SparkSession.builder.appName("crh-spark-frontier").getOrCreate()
 
     from claude_readability_hook_spark.operators.frontier import (
+        parse_crawl_delays,
         parse_robots,
         robots_gate,
         schedule_frontier,
+        schedule_frontier_with_delays,
         url_quality,
     )
 
@@ -96,8 +98,10 @@ def main() -> None:
         n_rejected = n_in - urls.count()
 
     n_disallowed = 0
+    robots_df = None
     if args.robots:
-        rules = parse_robots(spark.read.parquet(args.robots))
+        robots_df = spark.read.parquet(args.robots)
+        rules = parse_robots(robots_df)
         verdicts = robots_gate(urls.select("url"), rules)
         verdicts.filter(~F.col("allowed")).write.mode("overwrite").parquet(
             f"{args.output}/rejected_robots"
@@ -112,13 +116,24 @@ def main() -> None:
         F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
         "priority",
     )
-    plan = schedule_frontier(
-        candidates,
-        n_fetchers=args.n_fetchers,
-        delay_ms=args.delay_ms,
-        host_budget=args.host_budget,
-        trim_salts=args.trim_salts,
-    )
+    if robots_df is not None and args.trim_salts is None:
+        # robots known → honor each host's own Crawl-delay directive
+        # (hosts without one fall back to --delay-ms)
+        plan = schedule_frontier_with_delays(
+            candidates,
+            parse_crawl_delays(robots_df, default_delay_ms=args.delay_ms),
+            n_fetchers=args.n_fetchers,
+            default_delay_ms=args.delay_ms,
+            host_budget=args.host_budget,
+        )
+    else:
+        plan = schedule_frontier(
+            candidates,
+            n_fetchers=args.n_fetchers,
+            delay_ms=args.delay_ms,
+            host_budget=args.host_budget,
+            trim_salts=args.trim_salts,
+        )
     plan.write.mode("overwrite").parquet(f"{args.output}/plan")
 
     planned = spark.read.parquet(f"{args.output}/plan")

@@ -45,7 +45,8 @@ def test_frontier_job_plan_and_gate(tmp_path):
     )
     con.execute(
         "INSERT INTO rb VALUES ('h0.example.com', "
-        "'User-agent: *' || chr(10) || 'Disallow: /private')"
+        "'User-agent: *' || chr(10) || 'Crawl-delay: 2' || chr(10) "
+        "|| 'Disallow: /private')"
     )
     con.execute(f"COPY rb TO '{robots}' (FORMAT PARQUET)")
 
@@ -90,10 +91,13 @@ def test_frontier_job_plan_and_gate(tmp_path):
     for r in map(by, plan):
         fetchers.setdefault(r["host"], set()).add(r["fetcher_id"])
     assert all(len(v) == 1 for v in fetchers.values())
-    # slots are 0..9 within each host, keep=false exactly for slot >= 7
+    # slots are 0..9 within each host, keep=false exactly for slot >= 7;
+    # h0 declared Crawl-delay: 2 → its offsets stretch to 2 s per slot,
+    # the robots-silent hosts stay on the --delay-ms default
     for r in map(by, plan):
         assert r["keep"] == (r["slot"] < 7)
-        assert r["fetch_offset_ms"] == r["slot"] * 1000
+        per_slot = 2000 if r["host"] == "h0.example.com" else 1000
+        assert r["fetch_offset_ms"] == r["slot"] * per_slot
 
     rejected = con.sql(
         f"SELECT url FROM read_parquet('{out_dir}/rejected/*.parquet')"

@@ -102,3 +102,36 @@ def test_gate_shuffle_regime_matches(spark):
         map(tuple, robots_gate(urls, rules, broadcast_rules=False).collect())
     )
     assert a == b
+
+
+def test_crawl_delays_and_schedule(spark):
+    from claude_readability_hook_spark.operators.frontier import (
+        parse_crawl_delays,
+        schedule_frontier_with_delays,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("slow", "User-agent: *\nCrawl-delay: 5\nDisallow: /x"),
+            ("fast", "User-agent: *\nDisallow: /x"),  # no directive → default
+            ("junk", "User-agent: *\nCrawl-delay: soon"),  # garbage → default
+            ("decoy", "User-agent: bot\nCrawl-delay: 9"),  # other agent → default
+        ],
+        "host string, robots_txt string",
+    )
+    d = {r["host"]: r["delay_ms"] for r in parse_crawl_delays(robots).collect()}
+    assert d == {"slow": 5000, "fast": 1000, "junk": 1000, "decoy": 1000}
+
+    urls = spark.createDataFrame(
+        [(f"https://slow/p/{i}", "slow", i) for i in range(3)]
+        + [(f"https://fast/p/{i}", "fast", i) for i in range(3)],
+        "url string, host string, priority long",
+    )
+    out = {
+        (r["host"], r["slot"]): r["fetch_offset_ms"]
+        for r in schedule_frontier_with_delays(
+            urls, parse_crawl_delays(robots)
+        ).collect()
+    }
+    assert out[("slow", 2)] == 10000  # slot 2 × 5 s
+    assert out[("fast", 2)] == 2000  # slot 2 × default 1 s
