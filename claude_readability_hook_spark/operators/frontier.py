@@ -406,3 +406,60 @@ def schedule_frontier_with_delays(
         ).cast("long").alias("fetch_offset_ms"),
         "keep",
     )
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    body_col: str = "sitemap_xml",
+    default_priority_micro: int = 500_000,
+) -> DataFrame:
+    """(host, url, lastmod, priority_micro) from sitemap XML bodies —
+    the URL-discovery input that feeds the frontier. One row per
+    <url> block; <loc> required (blocks without one are dropped),
+    <lastmod> optional (empty string when absent), <priority>
+    optional (0.0–1.0 decimal, scaled to exact integer micro-units by
+    DIGIT manipulation, never float multiplication — '0.8' → 800000;
+    absent/garbage → the sitemap default 0.5).
+
+    Pure in-row expressions: `(?s)` regexps lift the blocks and
+    fields, digit surgery builds the micro priority — no XML library,
+    no Python. Not a general XML parser (sitemaps are a rigid,
+    machine-generated format; entity edge cases are out of scope —
+    documented honest ceiling). The output's priority_micro plugs
+    straight into schedule_frontier's priority column."""
+    blocks = F.regexp_extract_all(
+        F.col(body_col), F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1)
+    )
+    def field(b: Column, tag: str) -> Column:
+        return F.regexp_extract(b, rf"(?s)<{tag}>\s*(.*?)\s*</{tag}>", 1)
+
+    def micro(p: Column) -> Column:
+        # '1' / '1.0' / '0.85' → integer micro-units via digit surgery:
+        # int part × 1e6 + fraction padded/truncated to 6 digits
+        ip = F.regexp_extract(p, r"^([0-9]+)", 1)
+        fp = F.rpad(F.regexp_extract(p, r"^[0-9]+\.([0-9]+)$", 1), 6, "0")
+        ok = p.rlike(r"^[0-9]+(\.[0-9]+)?$")
+        return F.when(
+            ok,
+            ip.cast("long") * 1_000_000
+            + F.coalesce(F.substring(fp, 1, 6).cast("long"), F.lit(0)),
+        ).otherwise(F.lit(default_priority_micro))
+
+    rows = F.filter(
+        F.transform(
+            blocks,
+            lambda b: F.struct(
+                field(b, "loc").alias("url"),
+                field(b, "lastmod").alias("lastmod"),
+                micro(field(b, "priority")).alias("priority_micro"),
+            ),
+        ),
+        lambda r: F.length(r["url"]) > 0,
+    )
+    return sitemaps.select(host_col, F.explode(rows).alias("r")).select(
+        host_col,
+        F.col("r.url").alias("url"),
+        F.col("r.lastmod").alias("lastmod"),
+        F.col("r.priority_micro").alias("priority_micro"),
+    )

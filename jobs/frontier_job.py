@@ -9,13 +9,18 @@ jobs/curate_job.py and jobs/media_job.py (north_rule mode:
         --input  /path/to/candidate-urls.parquet   # (url[, priority])
         --output /path/to/out \
         [--n-fetchers 64] [--delay-ms 1000] [--host-budget 1000] \
-        [--trim-salts 8] [--no-url-filter] [--robots robots.parquet]
+        [--trim-salts 8] [--no-url-filter] [--robots robots.parquet] \
+        [--sitemaps sitemaps.parquet]
 
 Pipeline (narrow columns only — never page bytes):
 
+  sitemap ingest  optional: discovered URLs join the frontier with
+                  their sitemap priorities (micro-units); duplicates
+                  keep the max priority
   robots gate     optional: parse per-host robots.txt wildcard
                   sections, drop disallowed URLs (Google longest-match
-                  precedence) into rejected_robots/
+                  precedence) into rejected_robots/; per-host
+                  Crawl-delay honored in the fetch offsets
   URL gate        RefinedWeb-style pre-fetch quality filter
                   (frontier.url_quality): digit/hyphen host
                   heuristics, path depth, length, soft-ban score.
@@ -66,6 +71,13 @@ def main() -> None:
         "wildcard-agent sections and drop disallowed URLs (Google "
         "longest-match precedence) before scheduling",
     )
+    parser.add_argument(
+        "--sitemaps",
+        default=None,
+        help="sitemap XML parquet (host, sitemap_xml): discovered URLs "
+        "join the frontier carrying their sitemap priorities "
+        "(micro-units); duplicates keep the max priority",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -76,6 +88,7 @@ def main() -> None:
     from claude_readability_hook_spark.operators.frontier import (
         parse_crawl_delays,
         parse_robots,
+        parse_sitemaps,
         robots_gate,
         schedule_frontier,
         schedule_frontier_with_delays,
@@ -85,6 +98,19 @@ def main() -> None:
     urls = spark.read.parquet(args.input)
     if "priority" not in urls.columns:
         urls = urls.withColumn("priority", F.lit(0).cast("long"))
+    urls = urls.select("url", "priority")
+    n_discovered = 0
+    if args.sitemaps:
+        sm = parse_sitemaps(spark.read.parquet(args.sitemaps)).select(
+            "url", F.col("priority_micro").alias("priority")
+        )
+        n_discovered = sm.count()
+        # duplicates (seed list ∩ sitemap) keep the max priority
+        urls = (
+            urls.unionByName(sm)
+            .groupBy("url")
+            .agg(F.max("priority").alias("priority"))
+        )
     n_in = urls.count()
 
     n_rejected = 0
@@ -144,6 +170,7 @@ def main() -> None:
         json.dumps(
             {
                 "urls_in": n_in,
+                "sitemap_discovered": n_discovered,
                 "url_rejected": n_rejected,
                 "robots_disallowed": n_disallowed,
                 "planned": n_planned,

@@ -49,6 +49,16 @@ def test_frontier_job_plan_and_gate(tmp_path):
         "|| 'Disallow: /private')"
     )
     con.execute(f"COPY rb TO '{robots}' (FORMAT PARQUET)")
+    # sitemap discovery: h1 publishes 3 new high-priority URLs
+    sitemaps = str(tmp_path / "sitemaps.parquet")
+    xml = "<urlset>" + "".join(
+        f"<url><loc>https://h1.example.com/sm/{i}</loc>"
+        "<priority>0.9</priority></url>"
+        for i in range(3)
+    ) + "</urlset>"
+    con.execute("CREATE TABLE sm (host VARCHAR, sitemap_xml VARCHAR)")
+    con.execute("INSERT INTO sm VALUES ('h1.example.com', ?)", [xml])
+    con.execute(f"COPY sm TO '{sitemaps}' (FORMAT PARQUET)")
 
     proc = subprocess.run(
         [
@@ -63,6 +73,7 @@ def test_frontier_job_plan_and_gate(tmp_path):
             "--n-fetchers", "8",
             "--host-budget", "7",
             "--robots", robots,
+            "--sitemaps", sitemaps,
         ],
         capture_output=True,
         text=True,
@@ -71,13 +82,14 @@ def test_frontier_job_plan_and_gate(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert summary["urls_in"] == 39
+    assert summary["urls_in"] == 42  # 39 seeds + 3 sitemap discoveries
+    assert summary["sitemap_discovered"] == 3
     assert summary["url_rejected"] == 5  # the casino/poker URLs
     assert summary["robots_disallowed"] == 4  # h0's /private URLs
-    assert summary["planned"] == 30
+    assert summary["planned"] == 33
     assert summary["hosts"] == 3
-    # budget 7 over 3 hosts × 10 URLs → 3 over-budget each
-    assert summary["over_budget"] == 9
+    # budget 7: h0/h2 have 10 URLs (3 over each), h1 has 13 (6 over)
+    assert summary["over_budget"] == 12
 
     plan = con.sql(
         f"SELECT * FROM read_parquet('{out_dir}/plan/*.parquet')"
@@ -98,6 +110,9 @@ def test_frontier_job_plan_and_gate(tmp_path):
         assert r["keep"] == (r["slot"] < 7)
         per_slot = 2000 if r["host"] == "h0.example.com" else 1000
         assert r["fetch_offset_ms"] == r["slot"] * per_slot
+        # 0.9-priority sitemap URLs outrank every 0-9 seed priority
+        if "/sm/" in r["url"]:
+            assert r["slot"] <= 2
 
     rejected = con.sql(
         f"SELECT url FROM read_parquet('{out_dir}/rejected/*.parquet')"

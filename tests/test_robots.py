@@ -135,3 +135,47 @@ def test_crawl_delays_and_schedule(spark):
     }
     assert out[("slow", 2)] == 10000  # slot 2 × 5 s
     assert out[("fast", 2)] == 2000  # slot 2 × default 1 s
+
+
+def test_parse_sitemaps(spark):
+    from claude_readability_hook_spark.operators.frontier import parse_sitemaps
+
+    xml = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "  <url>\n    <loc>https://h0/a</loc>\n"
+        "    <lastmod>2024-01-02</lastmod>\n"
+        "    <priority>0.8</priority>\n  </url>\n"
+        "  <url><loc>https://h0/b</loc><priority>1.0</priority></url>\n"
+        "  <url><loc>https://h0/c</loc><priority>garbage</priority></url>\n"
+        "  <url><loc>https://h0/d</loc></url>\n"
+        "  <url><lastmod>2024-05-05</lastmod></url>\n"  # no loc → dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h0", xml)], "host string, sitemap_xml string")
+    out = {r["url"]: r for r in parse_sitemaps(df).collect()}
+    assert set(out) == {"https://h0/a", "https://h0/b", "https://h0/c", "https://h0/d"}
+    assert out["https://h0/a"]["priority_micro"] == 800000
+    assert out["https://h0/a"]["lastmod"] == "2024-01-02"
+    assert out["https://h0/b"]["priority_micro"] == 1000000
+    assert out["https://h0/c"]["priority_micro"] == 500000  # garbage → default
+    assert out["https://h0/d"]["priority_micro"] == 500000  # absent → default
+    assert out["https://h0/d"]["lastmod"] == ""
+
+
+def test_sitemap_feeds_frontier(spark):
+    from claude_readability_hook_spark.operators.frontier import (
+        parse_sitemaps,
+        schedule_frontier,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://h0/hi</loc><priority>0.9</priority></url>"
+        "<url><loc>https://h0/lo</loc><priority>0.1</priority></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h0", xml)], "host string, sitemap_xml string")
+    cand = parse_sitemaps(df).withColumnRenamed("priority_micro", "priority")
+    out = {r["url"]: r["slot"] for r in schedule_frontier(cand).collect()}
+    assert out["https://h0/hi"] == 0  # higher sitemap priority fetches first
+    assert out["https://h0/lo"] == 1
