@@ -370,6 +370,7 @@ def schedule_frontier_with_delays(
     n_fetchers: int = FRONTIER_FETCHERS,
     default_delay_ms: int = FRONTIER_DELAY_MS,
     host_budget: int | None = None,
+    trim_salts: int | None = None,
     url_col: str = "url",
     host_col: str = "host",
     priority_col: str = "priority",
@@ -382,12 +383,14 @@ def schedule_frontier_with_delays(
 
     The delay table is per-host (small), so it broadcasts by default;
     the slot ranking is unchanged (same single narrow shuffle as
-    schedule_frontier)."""
+    schedule_frontier, including the trim_salts mega-host regime —
+    the delay join composes with either plan)."""
     base = schedule_frontier(
         urls,
         n_fetchers=n_fetchers,
         delay_ms=0,  # offsets recomputed below from the joined delay
         host_budget=host_budget,
+        trim_salts=trim_salts,
         url_col=url_col,
         host_col=host_col,
         priority_col=priority_col,

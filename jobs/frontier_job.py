@@ -142,7 +142,7 @@ def main() -> None:
         F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
         "priority",
     )
-    if robots_df is not None and args.trim_salts is None:
+    if robots_df is not None:
         # robots known → honor each host's own Crawl-delay directive
         # (hosts without one fall back to --delay-ms)
         plan = schedule_frontier_with_delays(
@@ -151,6 +151,7 @@ def main() -> None:
             n_fetchers=args.n_fetchers,
             default_delay_ms=args.delay_ms,
             host_budget=args.host_budget,
+            trim_salts=args.trim_salts,
         )
     else:
         plan = schedule_frontier(

@@ -179,3 +179,25 @@ def test_sitemap_feeds_frontier(spark):
     out = {r["url"]: r["slot"] for r in schedule_frontier(cand).collect()}
     assert out["https://h0/hi"] == 0  # higher sitemap priority fetches first
     assert out["https://h0/lo"] == 1
+
+
+def test_delays_compose_with_trim_salts(spark):
+    from claude_readability_hook_spark.operators.frontier import (
+        schedule_frontier_with_delays,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://big/p/{i:03d}", "big", i % 10) for i in range(40)],
+        "url string, host string, priority long",
+    )
+    delays = spark.createDataFrame([("big", 3000)], "host string, delay_ms long")
+    direct = schedule_frontier_with_delays(urls, delays, host_budget=8)
+    trimmed = schedule_frontier_with_delays(
+        urls, delays, host_budget=8, trim_salts=4
+    )
+    keep_direct = sorted(
+        map(tuple, direct.filter("keep").collect())
+    )
+    keep_trim = sorted(map(tuple, trimmed.collect()))
+    assert keep_trim == keep_direct  # bit-equal kept rows, per-host delay
+    assert all(r[4] == r[3] * 3000 for r in keep_trim)  # offset = slot×3s
