@@ -102,13 +102,17 @@ def synthesize_warc(
     docs: list[tuple[str, str]],
     member_gzip: bool = False,
     record_type: str = "response",
+    encoding: str = "utf-8",
+    declare_charset: bool = False,
 ) -> bytes:
     """Valid WARC 1.0 segment from (url, text) pairs (tests/bench — no
     fixture data): one warcinfo record + one record per doc.
     record_type='response' wraps bodies in an HTTP envelope (a WARC
     crawl segment); 'conversion' writes bare text bodies (a WET
     extracted-text segment). member_gzip=True gzips each record
-    separately (the Common Crawl packaging)."""
+    separately (the Common Crawl packaging). encoding/declare_charset
+    build non-UTF-8 fixtures for the charset-sniffing path (defaults
+    reproduce the original byte stream exactly)."""
 
     def record(rtype: str, uri: str, body: bytes, rid: str) -> bytes:
         hdrs = [
@@ -121,12 +125,17 @@ def synthesize_warc(
         hdrs.append(b"Content-Length: " + str(len(body)).encode())
         return b"\r\n".join(hdrs) + _CRLF2 + body + _CRLF2
 
+    ct = b"text/html"
+    if declare_charset:
+        ct += b"; charset=" + encoding.encode("ascii")
     parts = [record("warcinfo", "", b"software: crh-spark-synth\r\n", "info-0")]
     for i, (url, text) in enumerate(docs):
-        payload = text.encode("utf-8")
+        payload = text.encode(encoding)
         if record_type == "response":
             payload = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + ct
+                + b"\r\nContent-Length: "
                 + str(len(payload)).encode()
                 + _CRLF2
                 + payload
@@ -203,4 +212,86 @@ def _warc_like_to_documents(
     return files.select("path", "content").mapInPandas(
         parse,
         schema="doc_id string, url string, source string, text string, _warc_error string",
+    )
+
+
+def http_response_parts(body: bytes) -> tuple[str | None, bytes]:
+    """(content_type_header, payload) from an HTTP message body —
+    http_response_body plus the one header the charset sniffer wants.
+    Non-HTTP bodies pass through with no header."""
+    if body[:5] in (b"HTTP/",):
+        sep = body.find(_CRLF2)
+        if sep != -1:
+            ct = None
+            for line in body[:sep].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    ct = v.strip().decode("latin-1", "replace")
+                    break
+            return ct, body[sep + len(_CRLF2) :]
+    return None, body
+
+
+def warc_to_documents_sniffed(spark: SparkSession, path: str) -> DataFrame:
+    """warc_to_documents with charset DETECTION instead of blind
+    utf-8/replace: BOM → Content-Type header charset → <meta> charset
+    → strict utf-8 trial → cp1252 (core/charset.py — the WHATWG-subset
+    ladder every production crawler runs). Adds a `charset` lineage
+    column recording the codec each document actually decoded with;
+    a cp1252 page arrives as its real characters, not U+FFFD mojibake
+    that would poison shingles, n-gram stats and LM scores downstream.
+
+    Kept as a sibling of warc_to_documents (same scan shape, same
+    poison isolation) so the original's byte-exact behavior — and its
+    driver oracle — stay untouched."""
+    import pandas as pd
+
+    from ..core.charset import decode_payload
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            records = []
+            for fpath, content in zip(batch["path"], batch["content"]):
+                seg = fpath.rsplit("/", 1)[-1]
+                try:
+                    for i, rec in enumerate(parse_warc(bytes(content))):
+                        if rec["type"] != "response":
+                            continue
+                        ct, payload = http_response_parts(rec["body"])
+                        text, enc = decode_payload(payload, ct)
+                        records.append(
+                            {
+                                "doc_id": f"{seg}#{i}",
+                                "url": rec["uri"],
+                                "source": seg,
+                                "text": text,
+                                "charset": enc,
+                                "_warc_error": None,
+                            }
+                        )
+                except Exception as exc:  # noqa: BLE001 — poison isolation
+                    records.append(
+                        {
+                            "doc_id": f"{seg}#error",
+                            "url": None,
+                            "source": seg,
+                            "text": None,
+                            "charset": None,
+                            "_warc_error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                records,
+                columns=[
+                    "doc_id", "url", "source", "text", "charset", "_warc_error",
+                ],
+            )
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(
+        parse,
+        schema=(
+            "doc_id string, url string, source string, "
+            "text string, charset string, _warc_error string"
+        ),
     )
