@@ -466,3 +466,64 @@ def parse_sitemaps(
         F.col("r.lastmod").alias("lastmod"),
         F.col("r.priority_micro").alias("priority_micro"),
     )
+
+
+def plan_retries(
+    fetch_log: DataFrame,
+    base_delay_ms: int = 1000,
+    max_delay_ms: int = 60_000,
+    max_attempts: int = 4,
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, attempts, last_status, verdict, retry_after_ms) from a
+    fetch log of (url, attempt, status) rows — the feedback edge that
+    closes the crawl loop (plan → fetch → retry plan):
+
+      * verdict 'done'      — any attempt returned 2xx;
+      * verdict 'permanent' — newest attempt is a non-retryable 4xx
+        (404, 410, 403, 401 …; 408 and 429 stay retryable);
+      * verdict 'exhausted' — attempts ≥ max_attempts, still failing;
+      * verdict 'retry'     — transient failure (5xx / 429 / 408 /
+        status 0 = network error), retry_after_ms = min(base · 2^n,
+        max) truncated binary exponential backoff keyed on the number
+        of FAILED attempts so far.
+
+    retry_after_ms is NULL except for 'retry' rows (-1-style sentinels
+    are for oracle outputs; this is a planning surface). One narrow
+    groupBy(url) over status-code rows — page bytes never enter the
+    log. The backoff is deterministic (no jitter) so replays and
+    oracles agree; a fetcher fleet wanting jitter can salt on its own
+    fetcher_id downstream."""
+    per_url = fetch_log.groupBy(url_col).agg(
+        F.count("*").cast("long").alias("attempts"),
+        F.max(F.struct(F.col("attempt"), F.col("status")))["status"]
+        .cast("long")
+        .alias("last_status"),
+        F.max(
+            ((F.col("status") >= 200) & (F.col("status") < 300)).cast("int")
+        ).alias("succeeded"),
+    )
+    retryable = (
+        (F.col("last_status") >= 500)
+        | F.col("last_status").isin(0, 408, 429)
+    )
+    verdict = (
+        F.when(F.col("succeeded") == 1, F.lit("done"))
+        .when(~retryable, F.lit("permanent"))
+        .when(F.col("attempts") >= max_attempts, F.lit("exhausted"))
+        .otherwise(F.lit("retry"))
+    )
+    backoff = F.least(
+        F.lit(base_delay_ms)
+        * F.pow(F.lit(2.0), F.col("attempts").cast("double")).cast("long"),
+        F.lit(max_delay_ms),
+    ).cast("long")
+    return per_url.select(
+        url_col,
+        "attempts",
+        "last_status",
+        verdict.alias("verdict"),
+        F.when(verdict == "retry", backoff)
+        .otherwise(F.lit(None).cast("long"))
+        .alias("retry_after_ms"),
+    )

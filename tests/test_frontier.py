@@ -63,3 +63,46 @@ def test_trim_needs_budget(spark):
     df = _rows(spark, [("https://a/1", "a", 1)])
     with pytest.raises(ValueError):
         schedule_frontier(df, trim_salts=4)
+
+
+def test_plan_retries(spark):
+    from claude_readability_hook_spark.operators.frontier import plan_retries
+
+    log = spark.createDataFrame(
+        [
+            # succeeded on the second attempt
+            ("https://a/ok", 1, 503), ("https://a/ok", 2, 200),
+            # permanent: newest attempt 404
+            ("https://a/gone", 1, 404),
+            # transient 5xx, 2 attempts → retry with 1000·2² backoff
+            ("https://a/flaky", 1, 500), ("https://a/flaky", 2, 502),
+            # rate limited (429 is retryable even though it's 4xx)
+            ("https://a/slow", 1, 429),
+            # network error (status 0) exhausted at 4 attempts
+            ("https://a/dead", 1, 0), ("https://a/dead", 2, 0),
+            ("https://a/dead", 3, 0), ("https://a/dead", 4, 0),
+        ],
+        "url string, attempt int, status int",
+    )
+    out = {r["url"]: r for r in plan_retries(log).collect()}
+    assert out["https://a/ok"]["verdict"] == "done"
+    assert out["https://a/ok"]["retry_after_ms"] is None
+    assert out["https://a/gone"]["verdict"] == "permanent"
+    assert out["https://a/flaky"]["verdict"] == "retry"
+    assert out["https://a/flaky"]["retry_after_ms"] == 4000
+    assert out["https://a/slow"]["verdict"] == "retry"
+    assert out["https://a/slow"]["retry_after_ms"] == 2000
+    assert out["https://a/dead"]["verdict"] == "exhausted"
+    assert out["https://a/dead"]["retry_after_ms"] is None
+
+
+def test_plan_retries_backoff_cap(spark):
+    from claude_readability_hook_spark.operators.frontier import plan_retries
+
+    log = spark.createDataFrame(
+        [(f"https://a/x", i, 500) for i in range(1, 8)],
+        "url string, attempt int, status int",
+    )
+    out = plan_retries(log, max_attempts=10).collect()[0]
+    # 1000·2⁷ = 128000 clamps to the 60 s ceiling
+    assert out["verdict"] == "retry" and out["retry_after_ms"] == 60000
