@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the corpus health report — the fifth
+launch surface (extract / curate / media / frontier / report): the
+first job an operator runs on a fresh crawl dump, and the one a
+governance dashboard polls per snapshot.
+
+    cd /root/repo && zip -qr /tmp/crh_spark.zip claude_readability_hook_spark
+    spark-submit --py-files /tmp/crh_spark.zip jobs/report_job.py \
+        --input /path/to/documents.parquet --output /path/to/out \
+        [--gate-sample 0]   # cap rows entering the per-doc gates (0 = all)
+
+Sections (each reuses the audited batch operator — the report never
+reimplements a metric):
+
+  volume      corpus_report: doc/source counts, byte/token volumes,
+              length distribution, short-doc rate (ONE global agg)
+  quality     keep rates of the three published-rule gates — Gopher
+              word-level (gopher_quality), C4 page gates (c4_quality),
+              Gopher duplicate-line (line_repetition ≤ 0.30 dup-char)
+              — each a pure in-row scan + 1-row agg
+  domains     per-registrable-domain signals (doc counts, dup rates,
+              quality rates, PII density) when a `host` column exists
+
+Outputs: report.json under --output (single governance document) plus
+domains/ parquet for the dashboard drill-down, and the SAME JSON on
+stdout — the shared jobs/ contract."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True, help="documents parquet")
+    parser.add_argument("--output", required=True)
+    parser.add_argument(
+        "--gate-sample",
+        type=int,
+        default=0,
+        help="cap the rows entering the per-doc gates (deterministic "
+        "doc_id-hash sample; 0 = every row)",
+    )
+    args = parser.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("crh-spark-report").getOrCreate()
+
+    from claude_readability_hook_spark.operators.textstats import (
+        c4_quality,
+        corpus_report,
+        gopher_quality,
+        line_repetition,
+    )
+
+    docs = spark.read.parquet(args.input)
+    body = docs.select("doc_id", "text", "source")
+    gated = body
+    if args.gate_sample > 0:
+        # deterministic hash sample — reruns report the same numbers
+        gated = body.filter(
+            F.abs(F.xxhash64("doc_id")) % 100 < args.gate_sample
+        )
+
+    volume = corpus_report(body).collect()[0].asDict()
+
+    def keep_rate(df, col="keep"):
+        row = df.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col(col).cast("long")).cast("long").alias("kept"),
+        ).collect()[0]
+        return {
+            "n": row["n"],
+            "kept": row["kept"],
+            "keep_rate": (row["kept"] / row["n"]) if row["n"] else None,
+        }
+
+    quality = {
+        "gopher": keep_rate(gopher_quality(gated)),
+        "c4": keep_rate(c4_quality(gated)),
+        "line_dup": keep_rate(
+            line_repetition(gated).select(
+                (F.col("dup_char_frac") <= 0.30).alias("keep")
+            )
+        ),
+    }
+
+    domains = None
+    if "host" in docs.columns:
+        from claude_readability_hook_spark.operators.domains import (
+            domain_signals,
+        )
+
+        sig = domain_signals(docs)
+        sig.write.mode("overwrite").parquet(f"{args.output}/domains")
+        domains = {
+            "n_domains": sig.count(),
+            "parquet": f"{args.output}/domains",
+        }
+
+    report = {"volume": volume, "quality": quality, "domains": domains}
+    payload = json.dumps(report, default=str)
+    spark.sparkContext.parallelize([payload], 1).saveAsTextFile(
+        f"{args.output}/report.json"
+    )
+    print(payload)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

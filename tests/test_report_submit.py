@@ -1,0 +1,60 @@
+"""End-to-end launch test for the corpus health report: package the
+library, run jobs/report_job.py through actual `spark-submit
+--py-files`, and verify the governance JSON."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from tests.test_spark_submit import _zip_package
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_report_job(tmp_path):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    out_dir = str(tmp_path / "out")
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", pkg_zip,
+            os.path.join(root, "jobs", "report_job.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_dir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["volume"]["n_docs"] == 500
+    assert report["volume"]["total_tokens"] > 0
+    for gate in ("gopher", "c4", "line_dup"):
+        q = report["quality"][gate]
+        assert q["n"] == 500
+        assert 0 <= q["kept"] <= 500
+    # word-soup: no required stopwords → gopher drops all; no terminal
+    # punctuation → c4 drops all; single-line docs → line_dup keeps all
+    assert report["quality"]["gopher"]["kept"] == 0
+    assert report["quality"]["c4"]["kept"] == 0
+    assert report["quality"]["line_dup"]["kept"] == 500
+    assert report["domains"] is None  # corpus has no host column
+    # the persisted governance document matches stdout
+    import glob
+
+    files = glob.glob(f"{out_dir}/report.json/part-*")
+    assert files
+    with open(files[0]) as fh:
+        assert json.loads(fh.read()) == report
