@@ -10,13 +10,17 @@ jobs/curate_job.py and jobs/media_job.py (north_rule mode:
         --output /path/to/out \
         [--n-fetchers 64] [--delay-ms 1000] [--host-budget 1000] \
         [--trim-salts 8] [--no-url-filter] [--robots robots.parquet] \
-        [--sitemaps sitemaps.parquet]
+        [--sitemaps sitemaps.parquet] [--fetch-log results.parquet]
 
 Pipeline (narrow columns only — never page bytes):
 
   sitemap ingest  optional: discovered URLs join the frontier with
                   their sitemap priorities (micro-units); duplicates
                   keep the max priority
+  fetch-log settle optional: the previous round's outcomes —
+                  done/permanent/exhausted URLs leave the frontier,
+                  transient failures land in retry_plan/ with their
+                  exponential backoff (plan_retries)
   robots gate     optional: parse per-host robots.txt wildcard
                   sections, drop disallowed URLs (Google longest-match
                   precedence) into rejected_robots/; per-host
@@ -78,6 +82,14 @@ def main() -> None:
         "join the frontier carrying their sitemap priorities "
         "(micro-units); duplicates keep the max priority",
     )
+    parser.add_argument(
+        "--fetch-log",
+        default=None,
+        help="fetch-result parquet (url, attempt, status) from the "
+        "previous crawl round: done/permanent/exhausted URLs leave "
+        "the frontier, retry verdicts land in retry_plan/ with their "
+        "backoff",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -89,6 +101,7 @@ def main() -> None:
         parse_crawl_delays,
         parse_robots,
         parse_sitemaps,
+        plan_retries,
         robots_gate,
         schedule_frontier,
         schedule_frontier_with_delays,
@@ -113,6 +126,22 @@ def main() -> None:
         )
     n_in = urls.count()
 
+    n_settled = 0
+    if args.fetch_log:
+        # previous round's outcomes: settled URLs (fetched OK, gone for
+        # good, or out of retries) leave the frontier; transient
+        # failures keep their slot and carry a backoff for the fetcher
+        verdicts = plan_retries(spark.read.parquet(args.fetch_log))
+        verdicts.filter(F.col("verdict") == "retry").write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/retry_plan")
+        settled = verdicts.filter(
+            F.col("verdict").isin("done", "permanent", "exhausted")
+        ).select("url")
+        before = urls.count()
+        urls = urls.join(settled, "url", "left_anti")
+        n_settled = before - urls.count()
+
     n_rejected = 0
     if not args.no_url_filter:
         feats = url_quality(urls.select("url"))
@@ -120,8 +149,9 @@ def main() -> None:
             f"{args.output}/rejected"
         )
         keepers = feats.filter(F.col("keep")).select("url")
+        before = urls.count()
         urls = urls.join(keepers, "url", "left_semi")
-        n_rejected = n_in - urls.count()
+        n_rejected = before - urls.count()
 
     n_disallowed = 0
     robots_df = None
@@ -172,6 +202,7 @@ def main() -> None:
             {
                 "urls_in": n_in,
                 "sitemap_discovered": n_discovered,
+                "settled": n_settled,
                 "url_rejected": n_rejected,
                 "robots_disallowed": n_disallowed,
                 "planned": n_planned,

@@ -59,6 +59,18 @@ def test_frontier_job_plan_and_gate(tmp_path):
     con.execute("CREATE TABLE sm (host VARCHAR, sitemap_xml VARCHAR)")
     con.execute("INSERT INTO sm VALUES ('h1.example.com', ?)", [xml])
     con.execute(f"COPY sm TO '{sitemaps}' (FORMAT PARQUET)")
+    # previous round's fetch log: two h2 URLs settled, one still flaky
+    fetch_log = str(tmp_path / "fetch_log.parquet")
+    con.execute("CREATE TABLE fl (url VARCHAR, attempt INT, status INT)")
+    con.executemany(
+        "INSERT INTO fl VALUES (?, ?, ?)",
+        [
+            ("https://h2.example.com/p/2", 1, 200),   # done
+            ("https://h2.example.com/p/5", 1, 404),   # permanent
+            ("https://h2.example.com/p/8", 1, 503),   # retry → stays
+        ],
+    )
+    con.execute(f"COPY fl TO '{fetch_log}' (FORMAT PARQUET)")
 
     proc = subprocess.run(
         [
@@ -74,6 +86,7 @@ def test_frontier_job_plan_and_gate(tmp_path):
             "--host-budget", "7",
             "--robots", robots,
             "--sitemaps", sitemaps,
+            "--fetch-log", fetch_log,
         ],
         capture_output=True,
         text=True,
@@ -84,12 +97,19 @@ def test_frontier_job_plan_and_gate(tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["urls_in"] == 42  # 39 seeds + 3 sitemap discoveries
     assert summary["sitemap_discovered"] == 3
+    assert summary["settled"] == 2  # h2's done + permanent URLs leave
     assert summary["url_rejected"] == 5  # the casino/poker URLs
     assert summary["robots_disallowed"] == 4  # h0's /private URLs
-    assert summary["planned"] == 33
+    assert summary["planned"] == 31
     assert summary["hosts"] == 3
-    # budget 7: h0/h2 have 10 URLs (3 over each), h1 has 13 (6 over)
-    assert summary["over_budget"] == 12
+    # budget 7: h0 has 10 (3 over), h1 13 (6 over), h2 8 (1 over)
+    assert summary["over_budget"] == 10
+    # the transient failure stays scheduled AND carries its backoff
+    retry = con.sql(
+        f"SELECT url, verdict, retry_after_ms "
+        f"FROM read_parquet('{out_dir}/retry_plan/*.parquet')"
+    ).fetchall()
+    assert retry == [("https://h2.example.com/p/8", "retry", 2000)]
 
     plan = con.sql(
         f"SELECT * FROM read_parquet('{out_dir}/plan/*.parquet')"
