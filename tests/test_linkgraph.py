@@ -1,0 +1,64 @@
+"""Domain PageRank (operators/linkgraph.py): analytic fixtures — a
+cycle (uniform by symmetry), a star (closed-form), dangling-mass
+conservation, and edge-collapsing rules."""
+
+from __future__ import annotations
+
+import pytest
+
+from claude_readability_hook_spark.operators.linkgraph import domain_pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _ranks(spark, pairs, **kw):
+    return {
+        r["domain"]: r["rank"]
+        for r in domain_pagerank(_edges(spark, pairs), **kw).collect()
+    }
+
+
+def test_cycle_is_uniform(spark):
+    r = _ranks(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert r["a"] == pytest.approx(1 / 3, abs=1e-12)
+    assert r["b"] == pytest.approx(1 / 3, abs=1e-12)
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_star_closed_form(spark):
+    # leaves a,b,c each link only to hub; hub links only to a.
+    # Exact fixed point (d=0.85, base=(1-d)/4): b and c have no
+    # in-edges → base; hub = base(1+3d)/(1-d²); a = base + d·hub.
+    # Power iteration converges at rate d^k → 0.85³⁰ ≈ 0.008 is the
+    # honest tolerance band for 30 iterations.
+    d, base = 0.85, 0.15 / 4
+    hub = base * (1 + 3 * d) / (1 - d * d)
+    a = base + d * hub
+    pairs = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")]
+    r = _ranks(spark, pairs, iterations=30)
+    assert r["hub"] == pytest.approx(hub, abs=0.01)
+    assert r["a"] == pytest.approx(a, abs=0.01)
+    assert r["b"] == pytest.approx(base, abs=1e-12)  # exact: no inflow
+    assert r["b"] == pytest.approx(r["c"], abs=1e-12)
+    assert r["hub"] > r["a"] > r["b"]
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dangling_mass_conserved(spark):
+    # 'sink' has no out-edges: without redistribution the vector
+    # leaks mass every iteration
+    r = _ranks(spark, [("a", "sink"), ("b", "sink"), ("a", "b")])
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+    assert r["sink"] > r["b"] > r["a"]
+
+
+def test_self_loops_and_duplicates_collapse(spark):
+    base = _ranks(spark, [("a", "b"), ("b", "a")])
+    noisy = _ranks(
+        spark,
+        [("a", "b"), ("a", "b"), ("a", "a"), ("b", "a")],
+    )
+    for k in base:
+        assert noisy[k] == pytest.approx(base[k], abs=1e-12)
