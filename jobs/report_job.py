@@ -42,6 +42,12 @@ def main() -> None:
         help="cap the rows entering the per-doc gates (deterministic "
         "doc_id-hash sample; 0 = every row)",
     )
+    parser.add_argument(
+        "--edges",
+        default=None,
+        help="domain link-edge parquet (src, dst): adds PageRank "
+        "authority (top-10 in the JSON, full table in authority/)",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -101,7 +107,27 @@ def main() -> None:
             "parquet": f"{args.output}/domains",
         }
 
-    report = {"volume": volume, "quality": quality, "domains": domains}
+    authority = None
+    if args.edges:
+        from claude_readability_hook_spark.operators.linkgraph import (
+            domain_pagerank,
+        )
+
+        ranks = domain_pagerank(spark.read.parquet(args.edges))
+        ranks.write.mode("overwrite").parquet(f"{args.output}/authority")
+        top = ranks.orderBy(F.col("rank").desc(), "domain").limit(10).collect()
+        authority = {
+            "n_domains": ranks.count(),
+            "top": [{"domain": r["domain"], "rank": r["rank"]} for r in top],
+            "parquet": f"{args.output}/authority",
+        }
+
+    report = {
+        "volume": volume,
+        "quality": quality,
+        "domains": domains,
+        "authority": authority,
+    }
     payload = json.dumps(report, default=str)
     spark.sparkContext.parallelize([payload], 1).saveAsTextFile(
         f"{args.output}/report.json"

@@ -21,6 +21,17 @@ def test_report_job(tmp_path):
     _zip_package(pkg_zip)
     out_dir = str(tmp_path / "out")
 
+    import duckdb
+
+    con = duckdb.connect()
+    edges = str(tmp_path / "edges.parquet")
+    con.execute("CREATE TABLE e (src VARCHAR, dst VARCHAR)")
+    con.executemany(
+        "INSERT INTO e VALUES (?, ?)",
+        [("a.com", "hub.com"), ("b.com", "hub.com"), ("hub.com", "a.com")],
+    )
+    con.execute(f"COPY e TO '{edges}' (FORMAT PARQUET)")
+
     proc = subprocess.run(
         [
             "spark-submit",
@@ -31,6 +42,7 @@ def test_report_job(tmp_path):
             os.path.join(root, "jobs", "report_job.py"),
             "--input", "/root/testdata/sf0.001/documents.parquet",
             "--output", out_dir,
+            "--edges", edges,
         ],
         capture_output=True,
         text=True,
@@ -51,6 +63,13 @@ def test_report_job(tmp_path):
     assert report["quality"]["c4"]["kept"] == 0
     assert report["quality"]["line_dup"]["kept"] == 500
     assert report["domains"] is None  # corpus has no host column
+    # link authority: hub and its sole target trade rank every power
+    # iteration (a near-2-cycle), so assert the oscillation-proof
+    # property — both dominate the inflow-less leaf
+    assert report["authority"]["n_domains"] == 3
+    top2 = {t["domain"] for t in report["authority"]["top"][:2]}
+    assert top2 == {"hub.com", "a.com"}
+    assert report["authority"]["top"][2]["domain"] == "b.com"
     # the persisted governance document matches stdout
     import glob
 
