@@ -114,3 +114,42 @@ def domain_pagerank(
     nodes.unpersist()
     contrib.unpersist()
     return ranks
+
+
+def extract_outlinks(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """(src, dst) domain-level link edges harvested from raw HTML —
+    the input domain_pagerank needs, extracted from the corpus the
+    engine already scans: absolute http(s) hrefs lifted with one
+    regexp_extract_all, reduced to their hosts, self-domain edges and
+    duplicates collapsed in-row BEFORE the explode (array_distinct on
+    the per-doc host list), then one distinct over narrow (src, dst)
+    rows. Relative links resolve to the source domain and carry no
+    cross-domain authority, so they are skipped by construction.
+
+    Scale shape: the HTML is read once in the same scan other per-doc
+    operators ride; only (src, dst) string pairs survive the explode.
+    Pure Column expressions — no parser, no Python."""
+    hrefs = F.regexp_extract_all(
+        F.col(text_col),
+        F.lit(r"""href\s*=\s*["'](https?://[^"'\s>]+)"""),
+        F.lit(1),
+    )
+    dst_hosts = F.array_distinct(
+        F.transform(
+            hrefs, lambda u: F.regexp_extract(u, r"^https?://([^/?#]+)", 1)
+        )
+    )
+    src = F.col(host_col)
+    return (
+        docs.select(
+            src.alias("src"),
+            F.explode(
+                F.filter(dst_hosts, lambda h: (F.length(h) > 0) & (h != src))
+            ).alias("dst"),
+        )
+        .distinct()
+    )

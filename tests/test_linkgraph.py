@@ -62,3 +62,48 @@ def test_self_loops_and_duplicates_collapse(spark):
     )
     for k in base:
         assert noisy[k] == pytest.approx(base[k], abs=1e-12)
+
+
+def test_extract_outlinks(spark):
+    from claude_readability_hook_spark.operators.linkgraph import (
+        extract_outlinks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                '<a href="https://b.com/x">b</a> '
+                "<a href='https://b.com/y'>b again</a> "  # same domain → 1 edge
+                '<a href="https://a.com/self">self</a> '  # self → dropped
+                '<a href="/relative">rel</a> '  # relative → skipped
+                '<a href="https://c.com?q=1">c</a>',
+            ),
+            ("d.com", "no links at all"),
+        ],
+        "host string, text string",
+    )
+    edges = {(r["src"], r["dst"]) for r in extract_outlinks(docs).collect()}
+    assert edges == {("a.com", "b.com"), ("a.com", "c.com")}
+
+
+def test_outlinks_feed_pagerank(spark):
+    from claude_readability_hook_spark.operators.linkgraph import (
+        domain_pagerank,
+        extract_outlinks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a.com", '<a href="https://hub.com/p">x</a>'),
+            ("b.com", '<a href="https://hub.com/q">y</a>'),
+            ("hub.com", '<a href="https://a.com/z">z</a>'),
+        ],
+        "host string, text string",
+    )
+    r = {
+        row["domain"]: row["rank"]
+        for row in domain_pagerank(extract_outlinks(docs), iterations=30).collect()
+    }
+    assert r["hub.com"] > r["b.com"]
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
