@@ -4854,8 +4854,8 @@ def _url_quality_oracle_sql() -> str:
         ),
         parts AS (
           SELECT url,
-                 regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
-                 regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                 regexp_extract(url, '(?i)^[a-z]+://([^/?#]+)', 1) AS host,
+                 regexp_extract(url, '(?i)^[a-z]+://[^/?#]+([^?#]*)', 1)
                    AS path
           FROM pop
         ),
@@ -4905,12 +4905,15 @@ def _url_quality_oracle_sql() -> str:
 
 def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted robots.txt corpus: 8 hosts, even hosts carry a decoy
-    'evil' agent section BEFORE the wildcard section plus an empty
-    Disallow (both must be ignored), odd hosts carry a trailing
-    'other' agent section AFTER it — section isolation is the thing
+    'evil' agent section BEFORE the wildcard section, an empty
+    Disallow (both must be ignored), and a REPEATED 'User-agent: evil'
+    section AFTER it (the repeated-agent-value shape that crashed the
+    value-lookup bound: next-section detection must be positional);
+    odd hosts declare the wildcard section with the no-space
+    'User-agent:*' variant (whitespace-tolerant matching) and carry a
+    trailing 'other' agent section — section isolation is the thing
     under test. Bodies are closed-form in the host number."""
     hn = (F.col("doc_id") % 8).cast("int")
-    nl = F.lit("\n")
     even_body = F.concat_ws(
         "\n",
         F.lit("User-agent: evil"),
@@ -4921,16 +4924,17 @@ def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Allow: /private/open"),
         F.lit("Disallow: /p"),
         F.lit("Disallow:"),
+        F.lit("User-agent: evil"),
+        F.lit("Disallow: /secret"),
     )
     odd_body = F.concat_ws(
         "\n",
-        F.lit("User-agent: *"),
+        F.lit("User-agent:*"),
         F.lit("Allow: /p"),
         F.lit("Disallow: /q"),
         F.lit("User-agent: other"),
         F.lit("Disallow: /"),
     )
-    _ = nl
     return (
         _docs(spark, sf_dir)
         .select(hn.alias("hn"))
@@ -4956,7 +4960,9 @@ _ROBOTS_BODY_SQL = """
                         || chr(10) || 'Allow: /private/open'
                         || chr(10) || 'Disallow: /p'
                         || chr(10) || 'Disallow:'
-                      ELSE 'User-agent: *' || chr(10) || 'Allow: /p'
+                        || chr(10) || 'User-agent: evil'
+                        || chr(10) || 'Disallow: /secret'
+                      ELSE 'User-agent:*' || chr(10) || 'Allow: /p'
                         || chr(10) || 'Disallow: /q'
                         || chr(10) || 'User-agent: other'
                         || chr(10) || 'Disallow: /'
@@ -4975,21 +4981,26 @@ _ROBOTS_RULES_SQL = f"""
         ),
         bounds AS (
           SELECT host, lower,
-                 COALESCE(list_position(lower, 'user-agent: *'), 0) AS ua_idx
+                 COALESCE(list_filter(
+                   list_transform(lower, (x, i) ->
+                     CASE WHEN regexp_matches(x, '^user-agent:\\s*\\*$')
+                          THEN i END),
+                   v -> v IS NOT NULL)[1], 0) AS ua_idx
           FROM arr
         ),
         nxt AS (
           SELECT host, lower, ua_idx,
-                 list_filter(lower, (x, i) ->
-                   starts_with(x, 'user-agent:') AND i > ua_idx) AS nexts
+                 COALESCE(list_filter(
+                   list_transform(lower, (x, i) ->
+                     CASE WHEN starts_with(x, 'user-agent:') AND i > ua_idx
+                          THEN i END),
+                   v -> v IS NOT NULL)[1], len(lower) + 1) AS next_idx
           FROM bounds
         ),
         sect AS (
           SELECT host,
                  CASE WHEN ua_idx > 0
-                      THEN lower[(ua_idx + 1):(CASE WHEN len(nexts) > 0
-                        THEN list_position(lower, nexts[1]) - 1
-                        ELSE len(lower) END)]
+                      THEN lower[(ua_idx + 1):(next_idx - 1)]
                       ELSE [] END AS section
           FROM nxt
         ),

@@ -42,13 +42,29 @@ from .dedup import h32_expr
 FRONTIER_FETCHERS = 64
 FRONTIER_DELAY_MS = 1000
 
+# URL component extraction, shared by url_quality / robots_gate /
+# jobs/frontier_job.py. The scheme match is case-insensitive ('HTTP://'
+# is a valid URL; a case-sensitive match would yield empty host+path
+# and silently bypass every gate). _URL_PATHQ_RE keeps the query
+# (robots rules like 'Disallow: /search?q=' match against path+query
+# per the Google spec); _URL_PATH_RE is path-only (depth features).
+_URL_HOST_RE = r"(?i)^[a-z]+://([^/?#]+)"
+_URL_PATH_RE = r"(?i)^[a-z]+://[^/?#]+([^?#]*)"
+_URL_PATHQ_RE = r"(?i)^[a-z]+://[^/?#]+([^#]*)"
+
+
+FRONTIER_HOT_HOST_ROWS = 1_000_000
+FRONTIER_AUTO_SALTS = 16
+
 
 def schedule_frontier(
     urls: DataFrame,
     n_fetchers: int = FRONTIER_FETCHERS,
     delay_ms: int = FRONTIER_DELAY_MS,
     host_budget: int | None = None,
-    trim_salts: int | None = None,
+    trim_salts: int | str | None = "auto",
+    hot_host_rows: int = FRONTIER_HOT_HOST_ROWS,
+    auto_salts: int = FRONTIER_AUTO_SALTS,
     url_col: str = "url",
     host_col: str = "host",
     priority_col: str = "priority",
@@ -61,12 +77,54 @@ def schedule_frontier(
     KEPT rows only — their (slot, fetcher, offset) are bit-equal to
     the direct plan's keep=true rows (differential-tested); the
     trimmed tail is exactly what a mega-host run doesn't want to
-    materialize."""
+    materialize.
+
+    **AUTO regime (default)** — the measured-then-pick discipline
+    (canonicalize_media_refs / _lm_broadcast_auto pattern): when
+    host_budget is set, one narrow map-side-combined count detects
+    hosts with > hot_host_rows candidate URLs; exactly those flow
+    through the salted two-phase plan (auto_salts stripes) while the
+    long tail keeps the direct single-window plan INCLUDING its
+    keep=false over-budget rows. A mega-host (a blogging platform with
+    10⁸ candidate URLs) can no longer straggle the round under the
+    default call — its window partition is split auto_salts ways and
+    its untrimmed tail (the 10⁸ − budget rows nobody wants
+    materialized) is dropped, which is the point of detecting it.
+    The hot-host set is bounded by total_rows / hot_host_rows, so the
+    routing semi/anti joins broadcast it. Pass trim_salts=None to
+    force the direct plan or an int to salt every host (both are the
+    pre-auto behaviors, kept as overrides)."""
     base = urls.select(
         F.col(url_col).alias("url"),
         F.col(host_col).alias("host"),
         F.col(priority_col).alias("priority"),
     )
+    if trim_salts == "auto":
+        if host_budget is None:
+            trim_salts = None  # nothing to trim to — direct plan
+        else:
+            hot_hosts = F.broadcast(
+                base.groupBy("host")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > hot_host_rows)
+                .select("host")
+            )
+            kwargs = dict(
+                n_fetchers=n_fetchers,
+                delay_ms=delay_ms,
+                host_budget=host_budget,
+            )
+            hot = schedule_frontier(
+                base.join(hot_hosts, "host", "left_semi"),
+                trim_salts=auto_salts,
+                **kwargs,
+            )
+            cold = schedule_frontier(
+                base.join(hot_hosts, "host", "left_anti"),
+                trim_salts=None,
+                **kwargs,
+            )
+            return hot.unionByName(cold)
     if trim_salts is not None:
         if host_budget is None:
             raise ValueError("trim_salts needs host_budget (it trims to it)")
@@ -145,8 +203,8 @@ def url_quality(
     the frontier scan, and dropping before scheduling shrinks the one
     rank shuffle schedule_frontier does pay for."""
     url = F.col(url_col)
-    host = F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1)
-    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    host = F.regexp_extract(url, _URL_HOST_RE, 1)
+    path = F.regexp_extract(url, _URL_PATH_RE, 1)
     host_digits = F.length(host) - F.length(
         F.regexp_replace(host, r"[0-9]", "")
     )
@@ -204,27 +262,52 @@ def url_quality(
     return feat.select("*", keep.alias("keep"))
 
 
+# whitespace-tolerant wildcard agent line: 'User-agent:*',
+# 'user-agent:   *' and the canonical 'User-agent: *' all declare the
+# same section (real robots.txt files use all three)
+_WILDCARD_UA_RE = r"^user-agent:\s*\*$"
+
+
 def _wildcard_section(body: Column) -> Column:
     """The `User-agent: *` section of a robots.txt body as an array of
-    trimmed lowercased lines — first `user-agent: *` line (exclusive)
-    to the next `user-agent:` line (exclusive), empty if absent."""
+    trimmed lowercased lines — first wildcard agent line (exclusive)
+    to the next `user-agent:` line (exclusive), empty if absent.
+
+    Both bounds are POSITIONAL (first index matching the predicate),
+    never value lookups: `array_position(lines, value)` returns the
+    value's FIRST occurrence in the whole file, so a robots.txt that
+    repeats an agent line before and after the wildcard section would
+    yield a bound BEFORE the section start and a negative slice length
+    (a runtime abort). The slice length is also clamped ≥ 0 as a
+    belt-and-braces guard."""
     lower = F.transform(
         F.split(body, F.lit("\n"), -1), lambda x: F.trim(F.lower(x))
     )
-    ua_idx = F.array_position(lower, "user-agent: *")  # 1-based, 0 = absent
-    next_uas = F.filter(
+    indexed = F.transform(
         lower,
-        lambda x, i: F.startswith(x, F.lit("user-agent:"))
-        & (i + 1 > ua_idx),
+        lambda x, i: F.struct(
+            x.alias("line"), (i + 1).cast("int").alias("idx")
+        ),
     )
-    # slice length to the next section (or the rest of the file)
+    ua_hits = F.filter(indexed, lambda r: r["line"].rlike(_WILDCARD_UA_RE))
+    ua_idx = F.when(
+        F.size(ua_hits) > 0, F.element_at(ua_hits, 1)["idx"]
+    ).otherwise(F.lit(0))  # 1-based, 0 = absent
+    next_hits = F.filter(
+        indexed,
+        lambda r: F.startswith(r["line"], F.lit("user-agent:"))
+        & (r["idx"] > ua_idx),
+    )
     next_idx = F.when(
-        F.size(next_uas) > 0,
-        F.array_position(lower, F.element_at(next_uas, 1)),
+        F.size(next_hits) > 0, F.element_at(next_hits, 1)["idx"]
     ).otherwise(F.size(lower) + 1)
     return F.when(
         ua_idx > 0,
-        F.slice(lower, (ua_idx + 1).cast("int"), (next_idx - ua_idx - 1).cast("int")),
+        F.slice(
+            lower,
+            (ua_idx + 1).cast("int"),
+            F.greatest(F.lit(0), next_idx - ua_idx - 1).cast("int"),
+        ),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -289,9 +372,13 @@ def robots_gate(
     for a shuffle-hash join when a pathological rule corpus outgrows
     the driver); the longest-match argmax is an in-row array reduce
     over each URL's OWN host's rules (collected per host first), so
-    no per-(url, rule) row set ever materializes past the join."""
-    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#]+)", 1)
-    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    no per-(url, rule) row set ever materializes past the join.
+
+    Rules match against PATH + QUERY (query-bearing prefixes like
+    'Disallow: /search?q=' are common and must match), and the scheme
+    match is case-insensitive — both per the shared _URL_* regexes."""
+    host = F.regexp_extract(F.col(url_col), _URL_HOST_RE, 1)
+    path = F.regexp_extract(F.col(url_col), _URL_PATHQ_RE, 1)
     per_host = rules.groupBy("host").agg(
         F.array_sort(
             F.collect_list(F.struct("path_prefix", "allow", "rule_order"))
@@ -370,7 +457,9 @@ def schedule_frontier_with_delays(
     n_fetchers: int = FRONTIER_FETCHERS,
     default_delay_ms: int = FRONTIER_DELAY_MS,
     host_budget: int | None = None,
-    trim_salts: int | None = None,
+    trim_salts: int | str | None = "auto",
+    hot_host_rows: int = FRONTIER_HOT_HOST_ROWS,
+    auto_salts: int = FRONTIER_AUTO_SALTS,
     url_col: str = "url",
     host_col: str = "host",
     priority_col: str = "priority",
@@ -391,6 +480,8 @@ def schedule_frontier_with_delays(
         delay_ms=0,  # offsets recomputed below from the joined delay
         host_budget=host_budget,
         trim_salts=trim_salts,
+        hot_host_rows=hot_host_rows,
+        auto_salts=auto_salts,
         url_col=url_col,
         host_col=host_col,
         priority_col=priority_col,

@@ -132,18 +132,30 @@ def extract_outlinks(
 
     Scale shape: the HTML is read once in the same scan other per-doc
     operators ride; only (src, dst) string pairs survive the explode.
-    Pure Column expressions — no parser, no Python."""
+    Pure Column expressions — no parser, no Python.
+
+    Hosts are DOMAIN-normalized on both sides: lowercased (hostnames
+    are case-insensitive — 'Example.COM' and 'example.com' must be one
+    PageRank node, and a case-differing self-link must not survive the
+    self-edge filter), userinfo ('user@') and port (':8080') stripped
+    (authority at domain granularity, not endpoint granularity). The
+    scheme match is case-insensitive ('HTTPS://...' links count)."""
     hrefs = F.regexp_extract_all(
         F.col(text_col),
-        F.lit(r"""href\s*=\s*["'](https?://[^"'\s>]+)"""),
+        F.lit(r"""(?i)href\s*=\s*["'](https?://[^"'\s>]+)"""),
         F.lit(1),
     )
     dst_hosts = F.array_distinct(
         F.transform(
-            hrefs, lambda u: F.regexp_extract(u, r"^https?://([^/?#]+)", 1)
+            hrefs,
+            lambda u: F.lower(
+                F.regexp_extract(
+                    u, r"(?i)^https?://(?:[^/?#@]*@)?([^/?#:]+)", 1
+                )
+            ),
         )
     )
-    src = F.col(host_col)
+    src = F.lower(F.col(host_col))
     return (
         docs.select(
             src.alias("src"),

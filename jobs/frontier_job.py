@@ -59,9 +59,19 @@ def main() -> None:
     parser.add_argument("--host-budget", type=int, default=None)
     parser.add_argument(
         "--trim-salts",
+        default="auto",
+        help="mega-host regime: 'auto' (default — hosts above "
+        "--hot-host-rows candidate URLs are detected and routed "
+        "through the salted two-phase plan), 'none' (direct "
+        "single-window plan for every host), or an integer (salt "
+        "every host that many ways; needs --host-budget)",
+    )
+    parser.add_argument(
+        "--hot-host-rows",
         type=int,
         default=None,
-        help="salted two-phase ranking for mega-hosts (needs --host-budget)",
+        help="auto-regime hot-host detection threshold (candidate "
+        "URLs per host; default 1000000)",
     )
     parser.add_argument(
         "--no-url-filter",
@@ -167,9 +177,26 @@ def main() -> None:
         urls = urls.join(allowed, "url", "left_semi")
         n_disallowed = before - urls.count()
 
+    from claude_readability_hook_spark.operators.frontier import (
+        _URL_HOST_RE,
+        FRONTIER_HOT_HOST_ROWS,
+    )
+
+    trim_salts: int | str | None
+    if args.trim_salts == "auto":
+        trim_salts = "auto"
+    elif args.trim_salts in ("none", "None"):
+        trim_salts = None
+    else:
+        trim_salts = int(args.trim_salts)
+    salt_kw = dict(
+        trim_salts=trim_salts,
+        hot_host_rows=args.hot_host_rows or FRONTIER_HOT_HOST_ROWS,
+    )
+
     candidates = urls.select(
         "url",
-        F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract("url", _URL_HOST_RE, 1).alias("host"),
         "priority",
     )
     if robots_df is not None:
@@ -181,7 +208,7 @@ def main() -> None:
             n_fetchers=args.n_fetchers,
             default_delay_ms=args.delay_ms,
             host_budget=args.host_budget,
-            trim_salts=args.trim_salts,
+            **salt_kw,
         )
     else:
         plan = schedule_frontier(
@@ -189,7 +216,7 @@ def main() -> None:
             n_fetchers=args.n_fetchers,
             delay_ms=args.delay_ms,
             host_budget=args.host_budget,
-            trim_salts=args.trim_salts,
+            **salt_kw,
         )
     plan.write.mode("overwrite").parquet(f"{args.output}/plan")
 

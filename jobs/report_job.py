@@ -7,7 +7,8 @@ governance dashboard polls per snapshot.
     cd /root/repo && zip -qr /tmp/crh_spark.zip claude_readability_hook_spark
     spark-submit --py-files /tmp/crh_spark.zip jobs/report_job.py \
         --input /path/to/documents.parquet --output /path/to/out \
-        [--gate-sample 0]   # cap rows entering the per-doc gates (0 = all)
+        [--gate-sample 0]   # PERCENT of rows entering the per-doc
+                            # gates, 0-100 (0 = all rows, no sampling)
 
 Sections (each reuses the audited batch operator — the report never
 reimplements a metric):
@@ -39,8 +40,9 @@ def main() -> None:
         "--gate-sample",
         type=int,
         default=0,
-        help="cap the rows entering the per-doc gates (deterministic "
-        "doc_id-hash sample; 0 = every row)",
+        help="PERCENT of rows entering the per-doc gates, in [0, 100] "
+        "(deterministic doc_id-hash sample — abs(xxhash64(doc_id)) %% "
+        "100 < N; 0 = every row, i.e. no sampling)",
     )
     parser.add_argument(
         "--edges",
@@ -49,6 +51,10 @@ def main() -> None:
         "authority (top-10 in the JSON, full table in authority/)",
     )
     args = parser.parse_args()
+    if not 0 <= args.gate_sample <= 100:
+        parser.error(
+            f"--gate-sample is a percent in [0, 100], got {args.gate_sample}"
+        )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

@@ -65,6 +65,55 @@ def test_trim_needs_budget(spark):
         schedule_frontier(df, trim_salts=4)
 
 
+def _mega_mix(spark):
+    rows = [(f"https://mega/p/{i:04d}", "mega", (i * 13) % 97) for i in range(200)]
+    rows += [(f"https://s{j}/p/{j}", f"s{j}", (j * 7) % 11) for j in range(6)]
+    rows += [(f"https://mid/p/{i}", "mid", i) for i in range(12)]
+    return _rows(spark, rows)
+
+
+def test_auto_regime_flips_on_hot_host(spark):
+    """Default call (trim_salts='auto'): a host above hot_host_rows is
+    detected and routed through the salted two-phase plan — its kept
+    rows are bit-equal to the direct plan's keep=true rows and its
+    over-budget tail is trimmed; cold hosts keep the direct plan's
+    full output INCLUDING the keep=false tail."""
+    df = _mega_mix(spark)
+    direct = schedule_frontier(df, host_budget=7, trim_salts=None)
+    auto = schedule_frontier(df, host_budget=7, hot_host_rows=50)
+    d = {r["url"]: tuple(r) for r in direct.collect()}
+    a = {r["url"]: tuple(r) for r in auto.collect()}
+    # mega (200 rows > 50) is hot: exactly its keep=true rows survive
+    mega_direct_kept = {u for u, t in d.items() if u.startswith("https://mega") and t[-1]}
+    mega_auto = {u for u in a if u.startswith("https://mega")}
+    assert mega_auto == mega_direct_kept
+    for u in mega_auto:
+        assert a[u] == d[u]
+    # cold hosts (mid=12, s*=1 rows ≤ 50): full direct output, tail included
+    for u, t in d.items():
+        if not u.startswith("https://mega"):
+            assert a[u] == t
+    assert any(not t[-1] for u, t in a.items() if u.startswith("https://mid"))
+
+
+def test_auto_regime_cold_path_is_direct(spark):
+    """Below the threshold the auto default reproduces the direct
+    plan exactly (the sf-scale guarantee the oracle pair rides on)."""
+    df = _mega_mix(spark)
+    direct = schedule_frontier(df, host_budget=7, trim_salts=None)
+    auto = schedule_frontier(df, host_budget=7)  # default 1M threshold
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, auto.collect())
+    )
+
+
+def test_auto_regime_no_budget_is_direct(spark):
+    df = _mega_mix(spark)
+    out = schedule_frontier(df)  # auto + no budget → plain direct plan
+    assert out.count() == df.count()
+    assert all(r["keep"] for r in out.collect())
+
+
 def test_plan_retries(spark):
     from claude_readability_hook_spark.operators.frontier import plan_retries
 

@@ -87,6 +87,30 @@ def test_extract_outlinks(spark):
     assert edges == {("a.com", "b.com"), ("a.com", "c.com")}
 
 
+def test_outlinks_domain_normalization(spark):
+    from claude_readability_hook_spark.operators.linkgraph import (
+        extract_outlinks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "A.com",  # src lowercased too
+                '<a href="https://Example.COM/x">1</a> '
+                '<a href="https://example.com/y">2</a> '  # same node
+                '<a href="HTTPS://EXAMPLE.com/z">3</a> '  # scheme case
+                '<a href="https://user:pw@example.com/u">4</a> '  # userinfo
+                '<a href="https://example.com:8080/p">5</a> '  # port
+                '<a href="https://A.COM/self">self, case-differing</a>',
+            ),
+        ],
+        "host string, text string",
+    )
+    edges = {(r["src"], r["dst"]) for r in extract_outlinks(docs).collect()}
+    # one node per domain, case-differing self-link dropped
+    assert edges == {("a.com", "example.com")}
+
+
 def test_outlinks_feed_pagerank(spark):
     from claude_readability_hook_spark.operators.linkgraph import (
         domain_pagerank,

@@ -43,6 +43,34 @@ def test_parse_no_wildcard_section(spark):
     assert out == []
 
 
+def test_parse_repeated_agent_value(spark):
+    """An agent line repeated BEFORE and AFTER the wildcard section —
+    the value-lookup bound resolved the next-section index to the
+    FIRST occurrence (before the section), producing a negative slice
+    length and a runtime abort. Positional bounds parse it cleanly."""
+    body = (
+        "User-agent: evil\nDisallow: /\n"
+        "User-agent: *\nDisallow: /private\nAllow: /open\n"
+        "User-agent: evil\nDisallow: /secret\n"
+    )
+    out = _rules(spark, [("h0", body)]).collect()
+    got = {(r["allow"], r["path_prefix"]) for r in out}
+    assert got == {(False, "/private"), (True, "/open")}
+
+
+def test_parse_wildcard_whitespace_variants(spark):
+    """'User-agent:*' (no space) and 'User-agent:   *' (multi-space)
+    declare the same wildcard section — the exact-string match treated
+    them as section-absent and silently dropped every rule."""
+    for ua in ("User-agent:*", "User-agent:   *", "user-agent:\t*"):
+        out = _rules(
+            spark, [("h0", f"{ua}\nDisallow: /private\nUser-agent: other\nAllow: /")]
+        ).collect()
+        assert {(r["allow"], r["path_prefix"]) for r in out} == {
+            (False, "/private")
+        }, ua
+
+
 def test_gate_precedence(spark):
     rules = _rules(spark, [("h0.example.com", BODY)])
     urls = spark.createDataFrame(
@@ -88,6 +116,35 @@ def test_gate_allow_wins_length_tie(spark):
     out = robots_gate(urls, rules2).collect()[0]
     assert out["allowed"] is True  # allow wins the tie
     _ = rules
+
+
+def test_gate_query_and_scheme_case(spark):
+    """Rules match path+QUERY ('Disallow: /search?q=' is a real
+    pattern) and the scheme match is case-insensitive — an uppercase
+    'HTTPS://' URL must not bypass the gate on an empty host/path."""
+    rules = _rules(
+        spark,
+        [("h0.example.com", "User-agent: *\nDisallow: /search?q=\nDisallow: /p")],
+    )
+    urls = spark.createDataFrame(
+        [(u,) for u in [
+            "https://h0.example.com/search?q=spam",
+            "https://h0.example.com/search",          # query rule: no match
+            "HTTPS://h0.example.com/p/1",             # uppercase scheme
+            "https://h0.example.com/a#frag",          # fragment excluded
+        ]],
+        "url string",
+    )
+    out = {r["url"]: r for r in robots_gate(urls, rules).collect()}
+    assert out["https://h0.example.com/search?q=spam"]["allowed"] is False
+    assert (
+        out["https://h0.example.com/search?q=spam"]["matched_prefix"]
+        == "/search?q="
+    )
+    assert out["https://h0.example.com/search"]["allowed"] is True
+    assert out["HTTPS://h0.example.com/p/1"]["allowed"] is False
+    assert out["HTTPS://h0.example.com/p/1"]["host"] == "h0.example.com"
+    assert out["https://h0.example.com/a#frag"]["allowed"] is True
 
 
 def test_gate_shuffle_regime_matches(spark):
