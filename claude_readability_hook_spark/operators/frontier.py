@@ -268,6 +268,115 @@ def url_quality(
 _WILDCARD_UA_RE = r"^user-agent:\s*\*$"
 
 
+def compose_frontier_priority(
+    urls: DataFrame,
+    authority: DataFrame | None = None,
+    domain_quality: DataFrame | None = None,
+    w_authority: int = 1,
+    w_quality: int = 1,
+    w_url: int = 1,
+    default_quality_micro: int = 500_000,
+    url_col: str = "url",
+    broadcast_signals: bool = True,
+) -> DataFrame:
+    """(url, host, domain, auth_micro, qual_micro, url_micro,
+    priority_micro) — the composed fetch priority that closes the
+    crawl loop on QUALITY: the signals the engine already computes
+    feed the next round's frontier ordering.
+
+      * auth_micro — the domain's PageRank (linkgraph.
+        domain_pagerank_micro: (domain, rank_micro)) normalized to
+        the corpus max as a half-up micro ratio; unknown domains get
+        0 (no earned authority, no boost);
+      * qual_micro — domains.domain_signals' quality_micro for the
+        URL's registrable domain; unknown domains get
+        default_quality_micro (unmeasured ≠ bad);
+      * url_micro — the RefinedWeb url_quality features folded to one
+        score: a keep=false URL scores 0, a keeper starts at 10⁶ and
+        pays 10⁴ per soft-ban point, 2·10⁴ per host hyphen and
+        5·10³ per path level;
+      * priority_micro = (wₐ·auth + w_q·qual + wᵤ·url) div Σw —
+        exact int64 end to end (authority scale 10¹² keeps
+        2·rank·10⁶ under the int64 ceiling).
+
+    Scale shape: both signal tables are domain-level (millions of
+    rows, not trillions) so they broadcast by default; the URL
+    features are the same zero-Exchange in-row expressions
+    url_quality computes — composing priority adds NO shuffle to the
+    frontier plan. The output drops straight into schedule_frontier
+    (priority_col='priority_micro')."""
+    from .domains import registrable_domain_expr
+
+    feats = url_quality(urls.select(url_col), url_col=url_col)
+    url_micro = F.when(
+        F.col("keep"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(1_000_000)
+            - 10_000 * F.col("softban_score")
+            - 20_000 * F.col("host_hyphens")
+            - 5_000 * F.col("path_depth"),
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    base = feats.select(
+        url_col,
+        "host",
+        registrable_domain_expr(F.col("host")).alias("domain"),
+        url_micro.alias("url_micro"),
+    )
+    if authority is not None:
+        auth = authority.select("domain", "rank_micro")
+        mx = auth.agg(F.max("rank_micro").alias("max_rank"))
+        if broadcast_signals:
+            auth, mx = F.broadcast(auth), F.broadcast(mx)
+        base = (
+            base.join(auth, "domain", "left")
+            .crossJoin(mx)
+            .withColumn(
+                "auth_micro",
+                F.when(
+                    F.col("rank_micro").isNotNull() & (F.col("max_rank") > 0),
+                    F.expr(
+                        "(2 * rank_micro * 1000000 + max_rank)"
+                        " div (2 * max_rank)"
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+            .drop("rank_micro", "max_rank")
+        )
+    else:
+        base = base.withColumn("auth_micro", F.lit(0).cast("long"))
+    if domain_quality is not None:
+        q = domain_quality.select("domain", "quality_micro")
+        if broadcast_signals:
+            q = F.broadcast(q)
+        base = base.join(q, "domain", "left").withColumn(
+            "qual_micro",
+            F.coalesce(
+                F.col("quality_micro"), F.lit(default_quality_micro)
+            ).cast("long"),
+        ).drop("quality_micro")
+    else:
+        base = base.withColumn(
+            "qual_micro", F.lit(default_quality_micro).cast("long")
+        )
+    wsum = w_authority + w_quality + w_url
+    return base.select(
+        url_col,
+        "host",
+        "domain",
+        "auth_micro",
+        "qual_micro",
+        "url_micro",
+        F.expr(
+            f"({w_authority} * auth_micro + {w_quality} * qual_micro"
+            f" + {w_url} * url_micro) div {wsum}"
+        ).cast("long").alias("priority_micro"),
+    )
+
+
 def _wildcard_section(body: Column) -> Column:
     """The `User-agent: *` section of a robots.txt body as an array of
     trimmed lowercased lines — first wildcard agent line (exclusive)

@@ -19,12 +19,14 @@ loop (operators/dedup.py):
     10+ chained joins otherwise build a plan Catalyst re-optimizes
     from scratch each action (the pointer-jumping lesson).
 
-Floating-point: ranks are doubles; the loop is deterministic given a
-fixed iteration count (sums are per-dst partial aggregates — order
-differences live below the 1e-12 band the tests assert at). No oracle
-pair: the contract window is at capacity and cross-engine float
-iteration is exactly the regime the integer-micro discipline exists
-to avoid; correctness is pinned by analytic fixtures instead.
+Floating-point: domain_pagerank's ranks are doubles; the loop is
+deterministic given a fixed iteration count (sums are per-dst partial
+aggregates — order differences live below the 1e-12 band the tests
+assert at), but cross-engine float iteration is exactly the regime
+the integer-micro discipline exists to avoid — so the ENGINE-EXACT
+check lives in domain_pagerank_micro, the int64 twin whose identical
+integer ops any engine replays (oracle pair `pagerank_micro`), with a
+differential test tying the two loops together within 1e-6.
 
 Reference counterpart: none (the reference serves single URLs); this
 is the crawl-governance feature set's authority leg.
@@ -113,6 +115,95 @@ def domain_pagerank(
         ranks = new_ranks
     nodes.unpersist()
     contrib.unpersist()
+    return ranks
+
+
+PAGERANK_MICRO_SCALE = 10**12
+
+
+def domain_pagerank_micro(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = PAGERANK_MICRO_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(domain, rank_micro) — the INTEGER twin of domain_pagerank:
+    every iteration replays the identical order-independent int64 ops
+    in any engine, so the float-iteration objection (module docstring)
+    does not apply and the loop is DuckDB-oracle-able at a fixed
+    iteration count:
+
+      share(e)   = rank_micro(src) div outdeg(src)        [int div]
+      inflow(d)  = Σ share(e) over in-edges                [exact sum]
+      dangling   = Σ rank_micro over no-out-edge nodes     [1 scalar]
+      rank'      = ((100−dp)·scale) div (100·n)
+                   + (dp · (inflow + dangling div n)) div 100
+
+    scale=10^12 keeps the truncation loss of the divs below 1e-6 of
+    the total mass per iteration (differential-tested against the
+    float loop). Same physical shape as domain_pagerank: edges
+    pre-shuffled by src once, narrow (node, rank) iterations, one
+    integer scalar per round, checkpointed lineage."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("domain"))
+        .unionByName(e.select(F.col("dst").alias("domain")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("domain", F.lit(0).cast("long").alias("rank_micro"))
+
+    outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    ed = e.join(outdeg, "src").repartition("src").persist()
+    ed.count()
+
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = nodes.select(
+        "domain", F.lit(scale // n).cast("long").alias("rank_micro")
+    ).persist()
+    has_out = outdeg.select(F.col("src").alias("domain"))
+    for i in range(iterations):
+        dangling = (
+            ranks.join(has_out, "domain", "left_anti")
+            .agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).cast("long"))
+            .collect()[0][0]
+        )
+        inflow = (
+            ed.join(ranks.withColumnRenamed("domain", "src"), "src")
+            .groupBy(F.col("dst").alias("domain"))
+            .agg(
+                F.sum(
+                    F.expr("rank_micro div outdeg")
+                ).cast("long").alias("inflow")
+            )
+        )
+        new_ranks = nodes.join(inflow, "domain", "left").select(
+            "domain",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({damping_pct} * (coalesce(inflow, 0)"
+                    f" + {dangling // n})) div 100"
+                ).cast("long")
+            ).alias("rank_micro"),
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            new_ranks = new_ranks.localCheckpoint()
+        else:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    nodes.unpersist()
+    ed.unpersist()
     return ranks
 
 

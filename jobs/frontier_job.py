@@ -93,6 +93,28 @@ def main() -> None:
         "(micro-units); duplicates keep the max priority",
     )
     parser.add_argument(
+        "--authority",
+        default=None,
+        help="domain PageRank parquet (domain, rank_micro — linkgraph."
+        "domain_pagerank_micro output): REPLACES the input priority "
+        "with the composed quality priority (authority + domain "
+        "quality + URL score, frontier.compose_frontier_priority)",
+    )
+    parser.add_argument(
+        "--domain-quality",
+        default=None,
+        help="domain signal parquet (domain, quality_micro — domains."
+        "domain_signals output): joins the composed priority",
+    )
+    parser.add_argument(
+        "--min-authority-micro",
+        type=int,
+        default=None,
+        help="with --authority: URLs whose registrable domain's "
+        "normalized authority falls below this micro threshold land "
+        "in rejected_authority/ and lose their fetch slots",
+    )
+    parser.add_argument(
         "--fetch-log",
         default=None,
         help="fetch-result parquet (url, attempt, status) from the "
@@ -177,6 +199,42 @@ def main() -> None:
         urls = urls.join(allowed, "url", "left_semi")
         n_disallowed = before - urls.count()
 
+    n_low_authority = 0
+    if args.authority or args.domain_quality:
+        from claude_readability_hook_spark.operators.frontier import (
+            compose_frontier_priority,
+        )
+
+        authority = (
+            spark.read.parquet(args.authority) if args.authority else None
+        )
+        dq = (
+            spark.read.parquet(args.domain_quality)
+            if args.domain_quality
+            else None
+        )
+        pri = compose_frontier_priority(
+            urls.select("url"), authority=authority, domain_quality=dq
+        )
+        if args.min_authority_micro is not None and authority is not None:
+            # only MEASURED-low domains lose their slots — an unknown
+            # domain (auth_micro 0 by composition) is unmeasured, not
+            # bad, and blocking it would starve discovery
+            low = pri.filter(
+                F.col("auth_micro") < args.min_authority_micro
+            ).join(
+                F.broadcast(authority.select("domain")), "domain", "left_semi"
+            )
+            low.write.mode("overwrite").parquet(
+                f"{args.output}/rejected_authority"
+            )
+            pri = pri.join(low.select("url"), "url", "left_anti")
+            n_low_authority = spark.read.parquet(
+                f"{args.output}/rejected_authority"
+            ).count()
+        # the composed quality priority replaces the seed priority
+        urls = pri.select("url", F.col("priority_micro").alias("priority"))
+
     from claude_readability_hook_spark.operators.frontier import (
         _URL_HOST_RE,
         FRONTIER_HOT_HOST_ROWS,
@@ -232,6 +290,7 @@ def main() -> None:
                 "settled": n_settled,
                 "url_rejected": n_rejected,
                 "robots_disallowed": n_disallowed,
+                "low_authority": n_low_authority,
                 "planned": n_planned,
                 "over_budget": n_over_budget,
                 "hosts": n_hosts,

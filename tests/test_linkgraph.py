@@ -111,6 +111,90 @@ def test_outlinks_domain_normalization(spark):
     assert edges == {("a.com", "example.com")}
 
 
+def test_pagerank_micro_matches_float_loop(spark):
+    """The int64 twin tracks the float loop within 1e-6 of total mass
+    at the same iteration count — the bound the 10^12 scale buys."""
+    from claude_readability_hook_spark.operators.linkgraph import (
+        PAGERANK_MICRO_SCALE,
+        domain_pagerank,
+        domain_pagerank_micro,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    fl = {r["domain"]: r["rank"] for r in domain_pagerank(edges, iterations=5).collect()}
+    mi = {
+        r["domain"]: r["rank_micro"] / PAGERANK_MICRO_SCALE
+        for r in domain_pagerank_micro(edges, iterations=5).collect()
+    }
+    assert set(fl) == set(mi)
+    for d in fl:
+        assert abs(fl[d] - mi[d]) < 1e-6, (d, fl[d], mi[d])
+    # integer mass is conserved up to the documented truncation loss
+    total = sum(
+        r["rank_micro"]
+        for r in domain_pagerank_micro(edges, iterations=5).collect()
+    )
+    assert 0 <= PAGERANK_MICRO_SCALE - total < 100 * len(fl)
+
+
+def test_pagerank_micro_dangling_mass(spark):
+    """A dangling node's mass is redistributed — without the scalar
+    correction the sink would keep everything it receives."""
+    from claude_readability_hook_spark.operators.linkgraph import (
+        domain_pagerank_micro,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "sink"), ("b", "a"), ("a", "b")], "src string, dst string"
+    )
+    out = {
+        r["domain"]: r["rank_micro"]
+        for r in domain_pagerank_micro(edges, iterations=8).collect()
+    }
+    # a feeds both b and the sink; the loop stays live (no mass drain)
+    assert out["a"] > out["sink"] > 0
+
+
+def test_compose_frontier_priority(spark):
+    from claude_readability_hook_spark.operators.frontier import (
+        compose_frontier_priority,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("https://www.known.com/a/1",),
+            ("https://www.unknown.org/a/1",),
+            ("https://1234567890.example.com/x",),  # fails the URL gate
+        ],
+        "url string",
+    )
+    authority = spark.createDataFrame(
+        [("known.com", 1_000_000_000_000)], "domain string, rank_micro long"
+    )
+    quality = spark.createDataFrame(
+        [("known.com", 900_000)], "domain string, quality_micro long"
+    )
+    out = {
+        r["url"]: r
+        for r in compose_frontier_priority(
+            urls, authority=authority, domain_quality=quality
+        ).collect()
+    }
+    known = out["https://www.known.com/a/1"]
+    assert known["auth_micro"] == 1_000_000  # corpus max → full score
+    assert known["qual_micro"] == 900_000
+    assert known["url_micro"] == 1_000_000 - 5_000 * 2  # two path levels
+    assert known["priority_micro"] == (1_000_000 + 900_000 + 990_000) // 3
+    unk = out["https://www.unknown.org/a/1"]
+    assert unk["auth_micro"] == 0 and unk["qual_micro"] == 500_000
+    spam = out["https://1234567890.example.com/x"]
+    assert spam["url_micro"] == 0
+    assert known["priority_micro"] > unk["priority_micro"] > spam["priority_micro"]
+
+
 def test_outlinks_feed_pagerank(spark):
     from claude_readability_hook_spark.operators.linkgraph import (
         domain_pagerank,
