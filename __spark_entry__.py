@@ -6036,6 +6036,118 @@ def _warc_oracle_text(j: int) -> str:
     return f"warc document {j} body " + "ab" * (j % 40)
 
 
+# (class_tag, encoding, declare_charset, text_template, expected_charset)
+# — one WARC segment per detection-ladder rung; texts stay inside the
+# cp1252∩latin-1 overlap so a byte means the same char either way
+_SNIFF_CLASSES = [
+    ("utf8", "utf-8", False, "sniff utf8 café {j}", "utf-8"),
+    ("hdr", "cp1252", True, "sniff hdr é {j} caffè", "cp1252"),
+    ("label", "iso-8859-1", True, "sniff label {j} née", "cp1252"),
+    (
+        "meta",
+        "cp1252",
+        False,
+        '<meta charset="windows-1252"> sniff meta {j} señor',
+        "cp1252",
+    ),
+    ("bom", "utf-8", False, "﻿ sniff bom {j}", "utf-8-sig"),
+    ("utf16", "utf-16", False, "sniff utf16 {j}", "utf-16"),
+    ("fallback", "cp1252", False, "sniff fallback {j} déjà vu", "cp1252"),
+]
+_SNIFF_DOCS_PER_SEG = 8
+
+
+def _warc_sniff_oracle_dir() -> str:
+    """Per-charset WARC segments for the charset-sniff oracle — one
+    segment per rung of the detection ladder (BOM, header charset,
+    WHATWG latin-1→cp1252 alias, <meta> tag, strict-utf-8 trial,
+    cp1252 fallback, utf-16). Same build-then-rename once-only
+    discipline as _warc_oracle_dir."""
+    import shutil
+    import uuid
+
+    d = "/tmp/crh_warc_sniff_oracle_v1"
+    if os.path.exists(os.path.join(d, "_READY")):
+        return d
+    from claude_readability_hook_spark.sources.warc import synthesize_warc
+
+    tmp = f"{d}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    for tag, enc, declare, tmpl, _ in _SNIFF_CLASSES:
+        docs = [
+            (f"https://sniff.example.com/{tag}/{j}", tmpl.format(j=j))
+            for j in range(_SNIFF_DOCS_PER_SEG)
+        ]
+        with open(os.path.join(tmp, f"seg-{tag}.warc"), "wb") as fh:
+            fh.write(
+                synthesize_warc(docs, encoding=enc, declare_charset=declare)
+            )
+    with open(os.path.join(tmp, "_READY"), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def q_warc_sniffed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-sniffed WARC ingestion (r7 post-cap:
+    warc_to_documents_sniffed + core/charset.py, oracle r8): the
+    WHATWG-subset detection ladder drives the decode and lands in the
+    `charset` lineage column; a cp1252 page arrives as its real
+    characters (the md5 would differ from utf-8/replace mojibake).
+    DuckDB recomputes every decoded text and codec label
+    arithmetically — no WARC parsing, no decoding."""
+    from claude_readability_hook_spark.sources.warc import (
+        warc_to_documents_sniffed,
+    )
+
+    docs = warc_to_documents_sniffed(spark, _warc_sniff_oracle_dir())
+    return docs.filter(F.col("_warc_error").isNull()).select(
+        "doc_id",
+        "url",
+        "source",
+        "charset",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def _warc_sniffed_oracle_sql() -> str:
+    rows = []
+    for tag, _, _, tmpl, charset in _SNIFF_CLASSES:
+        # the BOM is consumed by the utf-8-sig codec, never reaching
+        # the decoded text the oracle replays
+        decoded = tmpl.replace("﻿", "")
+        before, after = decoded.split("{j}")
+        b = before.replace("'", "''")
+        a = after.replace("'", "''")
+        rows.append(
+            f"{{'tag': '{tag}', 'before': '{b}', 'after': '{a}', "
+            f"'charset': '{charset}'}}"
+        )
+    classes = ",\n                 ".join(rows)
+    return f"""
+        WITH c AS (
+          SELECT unnest([{classes}]) AS r
+        ),
+        d AS (
+          SELECT r.tag AS tag, r.charset AS charset,
+                 r.before || j::VARCHAR || r.after AS text, j
+          FROM c, range(0, {_SNIFF_DOCS_PER_SEG}) t(j)
+        )
+        SELECT 'seg-' || tag || '.warc#' || (j + 1)::VARCHAR AS doc_id,
+               'https://sniff.example.com/' || tag || '/' || j::VARCHAR
+                 AS url,
+               'seg-' || tag || '.warc' AS source,
+               charset,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS text_md5
+        FROM d
+    """
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gate on the WARC record walk (r3 verdict item 8: the
     parser was e2e-tested but no oracle covered WARC-ingested
@@ -6235,7 +6347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,  # new r5: the trained vocab artifact
         "sequence_pack": q_sequence_pack,  # new r5: token-budget packing
         "sequence_pack_2level": q_sequence_pack_2level,  # new r6: bucketed cumsum
-        "sequence_pack_bounds": q_sequence_pack_bounds,  # new r5: pack metadata
         "sequence_pack_bpe": q_sequence_pack_bpe,  # new r5: tokenizer budget
         "sequence_pack_bpe_learned": q_sequence_pack_bpe_learned,  # new r6
         "bpe_pack_symbols": q_bpe_pack_symbols,  # new r6: materialized stream
@@ -6270,6 +6381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_outlinks": q_extract_outlinks,  # new r8: outlink harvest oracle
         "pagerank_micro": q_pagerank_micro,  # new r8: int64 PageRank twin
         "frontier_priority": q_frontier_priority,  # new r8: composed priority
+        "warc_sniffed": q_warc_sniffed,  # new r8: charset-sniff ladder
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
@@ -6315,6 +6427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # >=2 prior rounds, untouched this round; still covered every
         # run by test_oracle_parity
         "media_phash": q_media_phash,  # demoted r8: green r6+r7, untouched
+        "sequence_pack_bounds": q_sequence_pack_bounds,  # demoted r8: green r5-r7
         "ann_recall_eval": q_ann_recall_eval,  # demoted r8: green r6+r7, ann_index untouched
         "image_dedup_pairs": q_image_dedup_pairs,  # demoted r8: green r6+r7
         "cms_hot_keys": q_cms_hot_keys,  # demoted r8: green r5-r7, untouched
@@ -7417,6 +7530,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_outlinks": _EXTRACT_OUTLINKS_SQL,
         "pagerank_micro": _pagerank_micro_oracle_sql(),
         "frontier_priority": _frontier_priority_oracle_sql(),
+        "warc_sniffed": _warc_sniffed_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),
