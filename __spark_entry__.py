@@ -5589,6 +5589,180 @@ def _frontier_priority_oracle_sql() -> str:
     """
 
 
+# --- unigram-LM tokenizer (r8: operators/unigram.py) ------------------------
+
+_UNIGRAM_ITERS = 2
+_UNIGRAM_MAXP = 6
+
+
+def _unigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture corpus for the unigram pairs: the document text reduced
+    to its pure-alpha pretokens of ≤ 8 chars (lowercased,
+    space-joined) — keeps the oracle's 2^(len−1) segmentation
+    enumeration bounded (the production DP encoder has no such limit;
+    this bounds the REPLAY, not the operator)."""
+    ws = F.filter(
+        F.transform(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")),
+            lambda t: F.lower(t),
+        ),
+        lambda w: w.rlike(r"^[a-z]{1,8}$"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(ws, " ").alias("text")
+    )
+
+
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (r8: unigram.train_unigram) —
+    substring seed counts, 2 EM rounds (canonical (cost, n_pieces,
+    mask) Viterbi E-step, usage M-step), final inverse-probability
+    micro costs. DuckDB replays the seed arithmetic and BOTH EM rounds
+    by enumerating every boundary mask and taking the identical
+    integer argmin — any drift in the objective, the tie-break or the
+    half-up cost division breaks the hash."""
+    from claude_readability_hook_spark.operators.unigram import train_unigram
+
+    return train_unigram(
+        _unigram_docs(spark, sf_dir),
+        iterations=_UNIGRAM_ITERS,
+        max_piece_len=_UNIGRAM_MAXP,
+    )
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram encode (r8: unigram.unigram_encode_counts) — per-doc
+    token counts + the md5 of the space-joined piece stream in doc
+    word order, under the 2-round trained vocabulary."""
+    from claude_readability_hook_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode_counts,
+    )
+
+    docs = _unigram_docs(spark, sf_dir)
+    vocab = train_unigram(
+        docs, iterations=_UNIGRAM_ITERS, max_piece_len=_UNIGRAM_MAXP
+    )
+    return unigram_encode_counts(docs, vocab, max_piece_len=_UNIGRAM_MAXP)
+
+
+def _unigram_base_ctes(iterations: int = _UNIGRAM_ITERS) -> str:
+    """ud → pre → v0 (seed) → segp (mask enumeration) → per-round
+    (t/c → s → b → v) chain — shared by both unigram oracles. The
+    final vocab CTE is v{iterations}; b{iterations+1} is the best
+    mask under it (the encode segmentation)."""
+    L = _UNIGRAM_MAXP
+    parts = [f"""ud AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(list_transform({_TOKS_SQL}, t -> lower(t)),
+                             w -> regexp_matches(w, '^[a-z]{{1,8}}$')) AS ws
+          FROM documents
+        ),
+        pre AS MATERIALIZED (
+          SELECT w AS pretoken, COUNT(*)::BIGINT AS n
+          FROM (SELECT unnest(ws) AS w FROM ud) GROUP BY w
+        ),
+        v0 AS MATERIALIZED (
+          SELECT piece, SUM(n)::BIGINT AS count FROM (
+            SELECT n,
+                   unnest(list_filter(
+                     list_transform(range(0, {L} * length(pretoken)),
+                       x -> CASE WHEN (x % {L}) + 1
+                                      <= length(pretoken) - (x // {L})
+                            THEN substr(pretoken,
+                                        (x // {L})::INTEGER + 1,
+                                        (x % {L})::INTEGER + 1) END),
+                     p -> p IS NOT NULL)) AS piece
+            FROM pre)
+          GROUP BY piece
+        ),
+        segp AS MATERIALIZED (
+          SELECT pretoken, n, mask,
+                 list_transform(range(2, len(bounds) + 1),
+                   k -> substr(pretoken,
+                               (bounds[k-1] + 1)::INTEGER,
+                               (bounds[k] - bounds[k-1])::INTEGER)) AS pieces
+          FROM (
+            SELECT pretoken, n, mask,
+                   [0] || list_filter(range(1, length(pretoken)),
+                            j -> ((mask >> (j - 1)::INTEGER) & 1) = 1)
+                       || [length(pretoken)] AS bounds
+            FROM (SELECT pretoken, n,
+                         unnest(range(0, 1 << greatest(
+                           length(pretoken) - 1, 0)::INTEGER)) AS mask
+                  FROM pre))
+        )"""]
+    for k in range(1, iterations + 2):
+        last = k == iterations + 1
+        parts.append(f"""t{k} AS (SELECT SUM(count)::BIGINT AS total FROM v{k - 1}),
+        c{k} AS MATERIALIZED (
+          SELECT piece,
+                 (2 * t{k}.total * 1000000 + count) // (2 * count) AS cost
+          FROM v{k - 1}, t{k}
+        ),
+        s{k} AS MATERIALIZED (
+          SELECT sp.pretoken, sp.n, sp.mask,
+                 COUNT(*) AS np, SUM(c.cost) AS cost, COUNT(c.piece) AS nf
+          FROM (SELECT pretoken, n, mask, unnest(pieces) AS piece
+                FROM segp) sp
+          LEFT JOIN c{k} c USING (piece)
+          GROUP BY sp.pretoken, sp.n, sp.mask
+        ),
+        b{k} AS MATERIALIZED (
+          SELECT pretoken, n, mask FROM (
+            SELECT pretoken, n, mask,
+                   ROW_NUMBER() OVER (PARTITION BY pretoken
+                                      ORDER BY cost, np, mask) AS rn
+            FROM s{k} WHERE nf = np) WHERE rn = 1
+        )""")
+        if not last:
+            parts.append(f"""v{k} AS MATERIALIZED (
+          SELECT piece, SUM(n)::BIGINT AS count FROM (
+            SELECT b.n, unnest(sp.pieces) AS piece
+            FROM b{k} b JOIN segp sp
+              ON b.pretoken = sp.pretoken AND b.mask = sp.mask)
+          GROUP BY piece
+        )""")
+    return ",\n        ".join(parts)
+
+
+def _unigram_vocab_oracle_sql() -> str:
+    k = _UNIGRAM_ITERS
+    # the chain builds b{k+1} too; harmless for the vocab output
+    return f"""
+        WITH {_unigram_base_ctes()},
+        tf AS (SELECT SUM(count)::BIGINT AS total FROM v{k})
+        SELECT piece, count,
+               CAST((2 * tf.total * 1000000 + count) // (2 * count)
+                    AS BIGINT) AS cost_micro
+        FROM v{k}, tf
+    """
+
+
+def _unigram_encode_oracle_sql() -> str:
+    k = _UNIGRAM_ITERS + 1
+    return f"""
+        WITH {_unigram_base_ctes()},
+        segstr AS MATERIALIZED (
+          SELECT b.pretoken,
+                 array_to_string(sp.pieces, ' ') AS piece_str,
+                 len(sp.pieces)::BIGINT AS n_pieces
+          FROM b{k} b JOIN segp sp
+            ON b.pretoken = sp.pretoken AND b.mask = sp.mask
+        ),
+        docw AS (
+          SELECT doc_id, unnest(ws) AS w,
+                 unnest(range(1, len(ws) + 1)) AS ord
+          FROM ud
+        )
+        SELECT d.doc_id,
+               SUM(s.n_pieces)::BIGINT AS n_tokens,
+               md5(string_agg(s.piece_str, ' ' ORDER BY d.ord)) AS pieces_md5
+        FROM docw d JOIN segstr s ON d.w = s.pretoken
+        GROUP BY d.doc_id
+    """
+
+
 # --- domain-level curation signals (r7: operators/domains.py) ---------------
 
 FRONTIER_BUDGET = 40
@@ -6345,8 +6519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,  # r6 fix: distinct-word encode + bc join
         "bpe_encode_trie": q_bpe_encode_trie,  # new r6: heap encoder, real k
         "bpe_vocab": q_bpe_vocab,  # new r5: the trained vocab artifact
-        "sequence_pack": q_sequence_pack,  # new r5: token-budget packing
-        "sequence_pack_2level": q_sequence_pack_2level,  # new r6: bucketed cumsum
         "sequence_pack_bpe": q_sequence_pack_bpe,  # new r5: tokenizer budget
         "sequence_pack_bpe_learned": q_sequence_pack_bpe_learned,  # new r6
         "bpe_pack_symbols": q_bpe_pack_symbols,  # new r6: materialized stream
@@ -6382,6 +6554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_micro": q_pagerank_micro,  # new r8: int64 PageRank twin
         "frontier_priority": q_frontier_priority,  # new r8: composed priority
         "warc_sniffed": q_warc_sniffed,  # new r8: charset-sniff ladder
+        "unigram_vocab": q_unigram_vocab,  # new r8: unigram-LM training
+        "unigram_encode": q_unigram_encode,  # new r8: unigram encode
         "domain_quality": q_domain_quality,  # new r7: domain curation signals
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
@@ -6427,6 +6601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # >=2 prior rounds, untouched this round; still covered every
         # run by test_oracle_parity
         "media_phash": q_media_phash,  # demoted r8: green r6+r7, untouched
+        "sequence_pack_2level": q_sequence_pack_2level,  # demoted r8: green r6+r7
+        "sequence_pack": q_sequence_pack,  # demoted r8: green r5-r7
         "sequence_pack_bounds": q_sequence_pack_bounds,  # demoted r8: green r5-r7
         "ann_recall_eval": q_ann_recall_eval,  # demoted r8: green r6+r7, ann_index untouched
         "image_dedup_pairs": q_image_dedup_pairs,  # demoted r8: green r6+r7
@@ -7531,6 +7707,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_micro": _pagerank_micro_oracle_sql(),
         "frontier_priority": _frontier_priority_oracle_sql(),
         "warc_sniffed": _warc_sniffed_oracle_sql(),
+        "unigram_vocab": _unigram_vocab_oracle_sql(),
+        "unigram_encode": _unigram_encode_oracle_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "domain_gate": _domain_gate_oracle_sql(),
         "image_dedup_pairs": _image_dedup_pairs_oracle_sql(),

@@ -1,0 +1,79 @@
+"""Unigram-LM tokenizer (operators/unigram.py): seed counts, the
+canonical (cost, n_pieces, mask) Viterbi objective, EM training, and
+the encode surfaces."""
+
+from __future__ import annotations
+
+from claude_readability_hook_spark.operators.unigram import (
+    piece_cost_micro,
+    seed_piece_counts,
+    train_unigram,
+    unigram_encode_counts,
+    unigram_token_counts,
+    viterbi_segment,
+)
+
+
+def test_viterbi_prefers_cheap_long_piece():
+    costs = {"a": 100, "b": 100, "ab": 50, "abc": 500, "c": 100}
+    # ab+c = 150 beats a+b+c = 300 and abc = 500
+    assert viterbi_segment("abc", costs) == ["ab", "c"]
+
+
+def test_viterbi_tiebreak_is_mask_ascending():
+    # "abab": ab+ab vs a+bab … craft an exact cost tie between
+    # ab|ab (mask 0b10) and aba|b (mask 0b100): both 2 pieces, cost 200
+    costs = {"ab": 100, "aba": 100, "b": 100, "a": 999, "abab": 999}
+    assert viterbi_segment("abab", costs) == ["ab", "ab"]  # smaller mask
+
+
+def test_viterbi_unknown_char_fallback():
+    costs = {"ab": 10}
+    # 'x' is not in the vocab: single-char unk fallback keeps it total
+    assert viterbi_segment("abx", costs) == ["ab", "x"]
+
+
+def test_viterbi_long_pretoken_char_split():
+    costs = {"a": 1}
+    out = viterbi_segment("a" * 70, costs)
+    assert out == ["a"] * 70
+
+
+def test_seed_counts_overlap(spark):
+    df = spark.createDataFrame([("aaa", 2)], "pretoken string, n long")
+    got = {r["piece"]: r["count"] for r in seed_piece_counts(df).collect()}
+    assert got == {"a": 6, "aa": 4, "aaa": 2}
+
+
+def test_train_and_encode_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(i, "spark spark stream sparkstream") for i in range(4)],
+        "doc_id long, text string",
+    )
+    vocab = train_unigram(docs, iterations=2)
+    rows = {r["piece"]: r for r in vocab.collect()}
+    assert rows  # non-empty, every count positive, costs consistent
+    total = sum(r["count"] for r in rows.values())
+    for r in rows.values():
+        assert r["count"] > 0
+        assert r["cost_micro"] == piece_cost_micro(r["count"], total)
+    enc = unigram_encode_counts(docs, vocab).collect()
+    assert len(enc) == 4
+    # identical docs → identical streams and counts
+    assert len({(r["n_tokens"], r["pieces_md5"]) for r in enc}) == 1
+    cnt = unigram_token_counts(docs, vocab).collect()
+    assert {r["n_tokens"] for r in cnt} == {enc[0]["n_tokens"]}
+
+
+def test_top_k_keeps_single_chars(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd x")], "doc_id long, text string"
+    )
+    vocab = train_unigram(docs, iterations=1, top_k=1)
+    pieces = {r["piece"] for r in vocab.collect()}
+    # top-1 by count is 'ab'; the used single char 'x' survives the
+    # prune (coverage guarantee), 'cd' is cut
+    assert "ab" in pieces and "x" in pieces and "cd" not in pieces
+    # encode still totals: the pruned word falls back to unk chars
+    enc = unigram_encode_counts(docs, vocab).collect()
+    assert enc[0]["n_tokens"] == 1 + 1 + 2 + 1
