@@ -430,6 +430,69 @@ def dsir_domain_mixture(
     )
 
 
+def fertility_token_mixture(
+    mixture: DataFrame,
+    fertility: DataFrame,
+    domain_col: str = "domain",
+    group_col: str = "lang",
+) -> DataFrame:
+    """(domain, n_docs, mixture_share, tokens_per_doc, token_share) —
+    the DoReMi DOC-mass mixture (dsir_domain_mixture) converted to the
+    TOKEN budget a training run actually spends: token_share ∝
+    mixture_share × the domain's tokens-per-doc from the tokenizer
+    fertility table (bpetrain.tokenizer_fertility or
+    unigram.unigram_fertility, grouped by the same key). A verbose
+    language whose tokenizer charges more pieces per document eats
+    proportionally more of the token budget than its doc share
+    suggests — the merge-budget / data-mixture decision the fertility
+    docstring promises. Domains missing a fertility row fall back to
+    the table's GLOBAL tokens-per-doc (unmeasured ≠ zero-cost).
+
+    Scale shape: both inputs are domain-cardinality tables; the two
+    totals come from unpartitioned windows over those tiny frames
+    (the dsir_domain_mixture discipline), so nothing rescans the
+    corpus. Shares are reporting doubles rounded to 6dp."""
+    from pyspark.sql import Window as W
+
+    everything = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    f = fertility.select(
+        F.col(group_col).alias(domain_col),
+        F.col("total_tokens").cast("double").alias("ft"),
+        F.col("n_docs").cast("double").alias("fd"),
+    ).withColumn(
+        "global_tpd",
+        F.sum("ft").over(everything) / F.sum("fd").over(everything),
+    )
+    j = mixture.join(
+        f.select(domain_col, (F.col("ft") / F.col("fd")).alias("tpd"),
+                 "global_tpd"),
+        domain_col,
+        "left",
+    ).withColumn(
+        "tokens_per_doc",
+        F.coalesce(
+            F.col("tpd"),
+            F.first("global_tpd", ignorenulls=True).over(everything),
+        ),
+    )
+    mass = F.col("mixture_share") * F.col("tokens_per_doc")
+    return (
+        j.withColumn("token_mass", mass)
+        .withColumn("total_mass", F.sum("token_mass").over(everything))
+        .select(
+            domain_col,
+            "n_docs",
+            "mixture_share",
+            F.round(F.col("tokens_per_doc"), 6).alias("tokens_per_doc"),
+            F.round(F.col("token_mass") / F.col("total_mass"), 6).alias(
+                "token_share"
+            ),
+        )
+    )
+
+
 def dsir_resample_expr(weight_col: str = "dsir_weight", scale: int = 1) -> F.Column:
     """Deterministic importance-RESAMPLING keep predicate: accept doc
     i with probability min(1, weight_i / scale), decided by the

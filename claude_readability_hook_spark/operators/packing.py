@@ -190,6 +190,30 @@ def pack_assignments_learned_bpe(
     return _boundaries(_with_stream_cum(t, bucket_span), seq_len)
 
 
+def pack_assignments_unigram(
+    df: DataFrame,
+    vocab: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    bucket_span: int | None = None,
+) -> DataFrame:
+    """Packing budgeted by the UNIGRAM-LM tokenizer's true piece
+    counts (operators/unigram.py) — the fourth budget source next to
+    whitespace, BPE-regex and learned-BPE. Per-doc counts come from
+    unigram.unigram_token_counts (distinct-pretoken Viterbi, counts
+    broadcast-join back); only a narrow (doc_id, n) stream reaches
+    the packing window. Same boundary arithmetic, same two-level
+    bucket_span option."""
+    from .unigram import unigram_token_counts
+
+    counts = unigram_token_counts(df, vocab, text_col=text_col)
+    t = df.select("doc_id", F.col(shard_col).alias("shard")).join(
+        counts.select("doc_id", "n_tokens"), "doc_id"
+    )
+    return _boundaries(_with_stream_cum(t, bucket_span), seq_len)
+
+
 def pack_token_sequences(
     df: DataFrame,
     seq_len: int = 512,

@@ -289,6 +289,50 @@ def unigram_encode_counts(
     )
 
 
+def unigram_fertility(
+    df: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    max_piece_len: int = MAX_PIECE_LEN,
+) -> DataFrame:
+    """(group, n_docs, total_bytes, total_tokens,
+    bytes_per_token_micro) — the unigram twin of
+    bpetrain.tokenizer_fertility, same exact half-up micro ratio, so
+    the two tokenizer families compare row-for-row on the same corpus
+    (the merge-budget / data-mixture decision input)."""
+    counts = unigram_token_counts(df, vocab, max_piece_len, text_col)
+    tagged = df.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.octet_length(F.col(text_col)).cast("long").alias("nb"),
+    ).join(counts, "doc_id")
+    return (
+        tagged.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "total_bytes",
+            "total_tokens",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.expr(
+                    "(2 * total_bytes * 1000000 + total_tokens)"
+                    " div (2 * total_tokens)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bytes_per_token_micro"),
+        )
+    )
+
+
 def unigram_token_counts(
     df: DataFrame,
     vocab: DataFrame,

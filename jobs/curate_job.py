@@ -115,6 +115,16 @@ def main() -> None:
         help="DSIR acceptance normalizer (weight/scale capped at 1)",
     )
     parser.add_argument(
+        "--mixture-report",
+        action="store_true",
+        help="with --dsir-target-lang: write mixture/ parquet — the "
+        "per-language DoReMi doc-mass mixture (dsir_domain_mixture) "
+        "converted to the TOKEN budget via byte-BPE tokenizer "
+        "fertility (fertility_token_mixture): the data-mixture "
+        "decision table (domain, n_docs, mixture_share, "
+        "tokens_per_doc, token_share)",
+    )
+    parser.add_argument(
         "--pack",
         type=int,
         metavar="SEQ_LEN",
@@ -302,6 +312,28 @@ def main() -> None:
         before = manifest.count()
         manifest = manifest.join(kept_ids, "doc_id", "left_semi")
         n_dsir_dropped = before - manifest.count()
+        if args.mixture_report:
+            # the token-budget view of the mixture: DoReMi doc-mass
+            # shares × byte-BPE tokens-per-doc (fertility), normalized
+            from claude_readability_hook_spark.operators.bpetrain import (
+                learn_byte_bpe_merges,
+                tokenizer_fertility,
+            )
+            from claude_readability_hook_spark.operators.lmfilter import (
+                dsir_domain_mixture,
+                fertility_token_mixture,
+            )
+
+            mix = dsir_domain_mixture(
+                docs.select("doc_id", "lang", "text"),
+                docs.filter(F.col("lang") == args.dsir_target_lang),
+                domain_col="lang",
+            )
+            merges = learn_byte_bpe_merges(docs, k=args.bpe_merges)
+            fert = tokenizer_fertility(docs, merges, group_col="lang")
+            fertility_token_mixture(mix, fert).write.mode(
+                "overwrite"
+            ).parquet(f"{args.output}/mixture")
     if args.decontaminate:
         # benchmark side broadcasts; contaminated docs leave the
         # manifest entirely (the conservative policy)

@@ -283,3 +283,48 @@ def test_curate_job_gopher_and_c4_gates(tmp_path):
     assert summary["gopher_dropped"] == 10
     assert summary["c4_dropped"] == 10
     assert summary["manifest_rows"] == 10
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_curate_job_mixture_report(tmp_path):
+    """--mixture-report with --dsir-target-lang: the mixture/ parquet
+    carries the token-budget view — DoReMi doc-mass shares × byte-BPE
+    tokens-per-doc, token_share summing to 1."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    out_dir = str(tmp_path / "out")
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", pkg_zip,
+            os.path.join(root, "jobs", "curate_job.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_dir,
+            "--manifest-only",
+            "--dsir-target-lang", "en",
+            "--mixture-report",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT domain, n_docs, mixture_share, tokens_per_doc, token_share "
+        f"FROM read_parquet('{out_dir}/mixture/*.parquet')"
+    ).fetchall()
+    assert rows
+    assert all(r[3] > 0 for r in rows)  # every lang has tokens/doc
+    assert abs(sum(r[4] for r in rows) - 1.0) < 1e-4
+    # a language whose tokenizer charges more pieces per doc gains
+    # token budget relative to its doc-mass share — so the two share
+    # columns must actually differ somewhere (the adjustment is real)
+    assert any(abs(r[2] - r[4]) > 1e-6 for r in rows)

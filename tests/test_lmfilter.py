@@ -390,3 +390,46 @@ def test_kn_broadcast_knob_equal(spark):
         map(tuple, lm_kn_surprise_scores(df, sample_mod=None, broadcast_lm=False).collect())
     )
     assert a == b
+
+
+def test_fertility_token_mixture(spark):
+    from claude_readability_hook_spark.operators.lmfilter import (
+        fertility_token_mixture,
+    )
+
+    mixture = spark.createDataFrame(
+        [("en", 80, 1.0, 0.8), ("de", 20, 1.0, 0.2)],
+        "domain string, n_docs long, mean_weight double, mixture_share double",
+    )
+    fert = spark.createDataFrame(
+        # de charges 3x the pieces per doc
+        [("en", 80, 8000, 800, 10_000_000), ("de", 20, 6000, 600, 10_000_000)],
+        "lang string, n_docs long, total_bytes long, total_tokens long,"
+        " bytes_per_token_micro long",
+    )
+    out = {r["domain"]: r for r in fertility_token_mixture(mixture, fert).collect()}
+    # tokens_per_doc: en 10, de 30 → token mass 8 vs 6 → shares 4/7, 3/7
+    assert out["en"]["tokens_per_doc"] == 10.0
+    assert out["de"]["tokens_per_doc"] == 30.0
+    assert abs(out["en"]["token_share"] - 8 / 14) < 1e-6
+    assert abs(out["de"]["token_share"] - 6 / 14) < 1e-6
+
+
+def test_fertility_token_mixture_missing_domain_default(spark):
+    from claude_readability_hook_spark.operators.lmfilter import (
+        fertility_token_mixture,
+    )
+
+    mixture = spark.createDataFrame(
+        [("en", 10, 1.0, 0.5), ("xx", 10, 1.0, 0.5)],
+        "domain string, n_docs long, mean_weight double, mixture_share double",
+    )
+    fert = spark.createDataFrame(
+        [("en", 10, 1000, 100, 10_000_000)],
+        "lang string, n_docs long, total_bytes long, total_tokens long,"
+        " bytes_per_token_micro long",
+    )
+    out = {r["domain"]: r for r in fertility_token_mixture(mixture, fert).collect()}
+    # xx has no fertility row → global tokens/doc (= en's 10) → equal shares
+    assert out["xx"]["tokens_per_doc"] == 10.0
+    assert abs(out["xx"]["token_share"] - 0.5) < 1e-6

@@ -77,3 +77,65 @@ def test_top_k_keeps_single_chars(spark):
     # encode still totals: the pruned word falls back to unk chars
     enc = unigram_encode_counts(docs, vocab).collect()
     assert enc[0]["n_tokens"] == 1 + 1 + 2 + 1
+
+
+def test_pack_assignments_unigram(spark):
+    from claude_readability_hook_spark.operators.packing import (
+        pack_assignments,
+        pack_assignments_unigram,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "s0", "alpha beta gamma alphabeta") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    vocab = train_unigram(docs, iterations=2)
+    got = pack_assignments_unigram(docs, vocab, seq_len=16).collect()
+    assert len(got) == 20
+    # differential: identical to the generic path fed the same counts
+    counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in unigram_token_counts(docs, vocab).collect()
+    }
+    assert len(set(counts.values())) == 1  # identical docs
+    n = next(iter(counts.values()))
+    ref = pack_assignments(docs, seq_len=16, count_expr=F.lit(n)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    # two-level prefix sum is bit-identical
+    two = pack_assignments_unigram(docs, vocab, seq_len=16, bucket_span=4)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, two.collect()))
+
+
+def test_unigram_fertility_vs_byte_bpe(spark):
+    """The two tokenizer families report fertility on the SAME corpus
+    with the SAME schema — the merge-budget comparison the fertility
+    docstring promises."""
+    from claude_readability_hook_spark.operators.bpetrain import (
+        learn_byte_bpe_merges,
+        tokenizer_fertility,
+    )
+    from claude_readability_hook_spark.operators.unigram import (
+        unigram_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "the table the table scan"),
+            (1, "en", "the scan table"),
+            (2, "de", "der tisch der tisch"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    merges = learn_byte_bpe_merges(docs, k=4)
+    bpe = {r["lang"]: r for r in tokenizer_fertility(docs, merges).collect()}
+    vocab = train_unigram(docs, iterations=2)
+    uni = {r["lang"]: r for r in unigram_fertility(docs, vocab).collect()}
+    assert set(bpe) == set(uni) == {"en", "de"}
+    for lang in ("en", "de"):
+        assert bpe[lang]["total_bytes"] == uni[lang]["total_bytes"]
+        assert uni[lang]["bytes_per_token_micro"] > 0
+        assert bpe[lang]["bytes_per_token_micro"] > 0
+        # a 2-round unigram vocab keeps whole words → fewer tokens
+        # than a 4-merge byte BPE on this corpus
+        assert uni[lang]["total_tokens"] <= bpe[lang]["total_tokens"]
