@@ -10,7 +10,9 @@ jobs/curate_job.py and jobs/media_job.py (north_rule mode:
         --output /path/to/out \
         [--n-fetchers 64] [--delay-ms 1000] [--host-budget 1000] \
         [--trim-salts 8] [--no-url-filter] [--robots robots.parquet] \
-        [--sitemaps sitemaps.parquet] [--fetch-log results.parquet]
+        [--sitemaps sitemaps.parquet] [--fetch-log results.parquet] \
+        [--authority ranks.parquet --min-authority-micro 1000] \
+        [--stream [--checkpoint DIR]]   # streaming gate mode
 
 Pipeline (narrow columns only — never page bytes):
 
@@ -115,6 +117,23 @@ def main() -> None:
         "in rejected_authority/ and lose their fetch slots",
     )
     parser.add_argument(
+        "--stream",
+        action="store_true",
+        help="STREAMING mode: treat --input as a watched directory of "
+        "(url, priority) parquet discovery drops and run the "
+        "replay-idempotent streaming frontier gate "
+        "(streaming/frontier_stream.py) — in-batch dedup, stored "
+        "seen-set anti-join, URL quality gate — emitting "
+        "scheduled/batch_id=N, rejected/batch_id=N and the "
+        "bucket-partitioned seen/ store under --output "
+        "(availableNow trigger: drains what is there, then exits)",
+    )
+    parser.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming checkpoint dir (default: <output>/checkpoint)",
+    )
+    parser.add_argument(
         "--fetch-log",
         default=None,
         help="fetch-result parquet (url, attempt, status) from the "
@@ -128,6 +147,41 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("crh-spark-frontier").getOrCreate()
+
+    if args.stream:
+        from claude_readability_hook_spark.streaming.frontier_stream import (
+            gate_frontier_stream,
+        )
+
+        q = gate_frontier_stream(
+            spark.readStream.schema("url string, priority long").parquet(
+                args.input
+            ),
+            seen_root=f"{args.output}/seen",
+            scheduled_dir=f"{args.output}/scheduled",
+            rejected_dir=f"{args.output}/rejected",
+            checkpoint_dir=args.checkpoint or f"{args.output}/checkpoint",
+        )
+        q.awaitTermination()
+        scheduled = spark.read.parquet(f"{args.output}/scheduled")
+        rejected = spark.read.parquet(f"{args.output}/rejected")
+        seen = spark.read.parquet(f"{args.output}/seen")
+        print(
+            json.dumps(
+                {
+                    "mode": "stream",
+                    "scheduled": scheduled.count(),
+                    "rejected": rejected.count(),
+                    "seen": seen.count(),
+                    "batches": scheduled.select("batch_id")
+                    .union(rejected.select("batch_id"))
+                    .distinct()
+                    .count(),
+                }
+            )
+        )
+        spark.stop()
+        return
 
     from claude_readability_hook_spark.operators.frontier import (
         parse_crawl_delays,

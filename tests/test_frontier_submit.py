@@ -224,3 +224,95 @@ def test_frontier_job_authority_priority(tmp_path):
         f"SELECT COUNT(*) FROM read_parquet('{out_dir}/plan/*.parquet') "
         f"WHERE NOT keep"
     ).fetchone()[0] == 10  # budget 5 over 10 URLs per surviving host
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_frontier_job_stream_mode_replay_idempotent(tmp_path):
+    """--stream drains the discovery directory through the streaming
+    gate; wiping ONLY the checkpoint and re-running replays the same
+    micro-batch, and the per-batch overwrite discipline leaves every
+    sink content-equal with the seen-set un-doubled."""
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    out_dir = str(tmp_path / "out")
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (url VARCHAR, priority BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [
+            ("https://a.example.com/page", 3),
+            ("https://a.example.com/page", 9),   # in-batch dup → max
+            ("https://b.example.com/casino/poker", 99),  # spam → reject
+            ("https://c.example.com/fresh", 1),
+        ],
+    )
+    os.makedirs(in_dir, exist_ok=True)
+    con.execute(f"COPY t TO '{in_dir}/drop0.parquet' (FORMAT PARQUET)")
+
+    def run():
+        proc = subprocess.run(
+            [
+                "spark-submit",
+                "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--py-files", pkg_zip,
+                os.path.join(root, "jobs", "frontier_job.py"),
+                "--input", in_dir,
+                "--output", out_dir,
+                "--stream",
+                "--checkpoint", ckpt,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=480,
+            cwd=str(tmp_path),
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    def snapshot():
+        sched = sorted(
+            con.sql(
+                f"SELECT url, priority, batch_id FROM "
+                f"read_parquet('{out_dir}/scheduled/*/*.parquet', "
+                f"hive_partitioning=1)"
+            ).fetchall()
+        )
+        rej = sorted(
+            con.sql(
+                f"SELECT url FROM read_parquet("
+                f"'{out_dir}/rejected/*/*.parquet', hive_partitioning=1)"
+            ).fetchall()
+        )
+        seen = sorted(
+            con.sql(
+                f"SELECT url, bucket, batch_id FROM read_parquet("
+                f"'{out_dir}/seen/*/*/*.parquet', hive_partitioning=1)"
+            ).fetchall()
+        )
+        return sched, rej, seen
+
+    s1 = run()
+    assert s1["mode"] == "stream"
+    assert s1["scheduled"] == 2  # deduped good URL + fresh URL
+    assert s1["rejected"] == 1
+    assert s1["seen"] == 3
+    snap1 = snapshot()
+    assert {(u, p) for u, p, _ in snap1[0]} == {
+        ("https://a.example.com/page", 9),
+        ("https://c.example.com/fresh", 1),
+    }
+
+    # wipe ONLY the checkpoint → the same files replay as a fresh
+    # batch 0; sinks must come back content-equal, seen-set unchanged
+    shutil.rmtree(ckpt)
+    s2 = run()
+    assert snapshot() == snap1
+    assert (s2["scheduled"], s2["rejected"], s2["seen"]) == (2, 1, 3)
