@@ -171,6 +171,15 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "robots_rules",
         "robots_gate",
         "frontier_delays",
+        # round 8
+        "parse_sitemaps",
+        "plan_retries",
+        "extract_outlinks",
+        "pagerank_micro",
+        "frontier_priority",
+        "warc_sniffed",
+        "unigram_vocab",
+        "unigram_encode",
     ]
     # driver-coordinated iterative jobs (8 BPE merge rounds, or the
     # connected-components pointer-jump loop): one rep — the round
@@ -186,6 +195,11 @@ def run_bench(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
         "bpe_bytes_merges",
         "bpe_bytes_encode",
         "sequence_pack_bytes",
+        # driver-coordinated loops too: 5 integer PageRank rounds /
+        # 2 EM rounds with a vocab collect each
+        "pagerank_micro",
+        "unigram_vocab",
+        "unigram_encode",
     }
 
     times: dict[str, float] = {}

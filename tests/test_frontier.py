@@ -107,6 +107,28 @@ def test_auto_regime_cold_path_is_direct(spark):
     )
 
 
+def test_auto_regime_plan_shape(spark):
+    """Regime-flip plan evidence: the auto default builds the
+    two-regime union with a broadcast hot-host routing join and the
+    detection aggregate; trim_salts=None stays a single-window plan
+    with no union."""
+    import contextlib
+    import io
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    df = _mega_mix(spark)
+    auto = plan(schedule_frontier(df, host_budget=7, hot_host_rows=50))
+    direct = plan(schedule_frontier(df, host_budget=7, trim_salts=None))
+    assert "Union" in auto and "BroadcastHashJoin" in auto
+    assert "HashAggregate" in auto  # the hot-host count detection
+    assert "Union" not in direct and "BroadcastHashJoin" not in direct
+
+
 def test_auto_regime_no_budget_is_direct(spark):
     df = _mega_mix(spark)
     out = schedule_frontier(df)  # auto + no budget → plain direct plan
