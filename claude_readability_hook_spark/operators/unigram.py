@@ -235,6 +235,51 @@ def train_unigram(
     return spark.createDataFrame(rows, UNIGRAM_VOCAB_SCHEMA)
 
 
+def save_unigram_artifact(
+    vocab: DataFrame, root: str, retain_snapshots: int = 1
+) -> int:
+    """Publish the trained unigram vocabulary as a versioned tokenizer
+    artifact — same manifest-snapshot protocol as save_bpe_artifact
+    (exclusive-create publish, prior versions readable until expiry),
+    kind='unigram' so a loader can tell the families apart. Returns
+    the published version."""
+    import posixpath
+
+    from .ann_index import (
+        _gc_previous_snapshots,
+        _new_data_dir,
+        _publish_manifest,
+    )
+
+    ddir = _new_data_dir()
+    vocab.coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(root, ddir)
+    )
+    published = dict(kind="unigram", dirs=[ddir])
+    published["version"] = _publish_manifest(root, published)
+    _gc_previous_snapshots(root, published, retain=retain_snapshots)
+    return published["version"]
+
+
+def load_unigram_artifact(
+    spark, root: str, version: int | None = None
+) -> DataFrame:
+    """Load a published unigram vocabulary (current snapshot, or
+    `version` for time travel). Raises FileNotFoundError if nothing is
+    published; ValueError if the artifact at `root` is a different
+    tokenizer family (a BPE merge table is not a piece vocabulary)."""
+    from .ann_index import current_manifest, read_index
+
+    m = current_manifest(root, version)
+    if m is None:
+        raise FileNotFoundError(f"no published tokenizer artifact under {root}")
+    if m.get("kind") != "unigram":
+        raise ValueError(
+            f"artifact under {root} is kind={m.get('kind')!r}, not 'unigram'"
+        )
+    return read_index(spark, root, m)
+
+
 def unigram_encode_counts(
     df: DataFrame,
     vocab: DataFrame,

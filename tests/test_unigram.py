@@ -139,3 +139,36 @@ def test_unigram_fertility_vs_byte_bpe(spark):
         # a 2-round unigram vocab keeps whole words → fewer tokens
         # than a 4-merge byte BPE on this corpus
         assert uni[lang]["total_tokens"] <= bpe[lang]["total_tokens"]
+
+
+def test_unigram_artifact_roundtrip(spark, tmp_path):
+    import pytest
+
+    from claude_readability_hook_spark.operators.unigram import (
+        load_unigram_artifact,
+        save_unigram_artifact,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha")], "doc_id long, text string"
+    )
+    vocab = train_unigram(docs, iterations=1)
+    root = str(tmp_path / "tok")
+    v1 = save_unigram_artifact(vocab, root)
+    loaded = load_unigram_artifact(spark, root)
+    assert sorted(map(tuple, loaded.collect())) == sorted(
+        map(tuple, vocab.collect())
+    )
+    # retrain publishes the next version; old version stays readable
+    v2 = save_unigram_artifact(vocab, root, retain_snapshots=2)
+    assert v2 == v1 + 1
+    assert load_unigram_artifact(spark, root, version=v1).count() == vocab.count()
+    # family mismatch is an explicit error, not a silent mis-decode
+    from claude_readability_hook_spark.operators.bpetrain import (
+        save_bpe_artifact,
+    )
+
+    broot = str(tmp_path / "bpe")
+    save_bpe_artifact(vocab, broot)
+    with pytest.raises(ValueError):
+        load_unigram_artifact(spark, broot)
