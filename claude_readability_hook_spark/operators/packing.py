@@ -393,6 +393,16 @@ def pack_bpe_symbol_records(
             F.size("syms").cast("long").alias("n_sym"),
         )
     )
+    return _symbol_stream_to_packs(wrows, seq_len, bucket_span)
+
+
+def _symbol_stream_to_packs(
+    wrows: DataFrame, seq_len: int, bucket_span: int | None
+) -> DataFrame:
+    """The shared position arithmetic from a (doc_id, shard, widx,
+    syms, n_sym) word-row frame to packed (shard, pack_id, n, tokens)
+    records — every position is a sum of three exact integers (doc
+    begin / word begin / symbol index); tokenizer-family-agnostic."""
     # word begin WITHIN its doc: window bounded by one doc's word count
     in_doc = wrows.withColumn(
         "wbegin",
@@ -451,6 +461,74 @@ def pack_bpe_records(
     bounds = _doc_boundaries_from_assignments(
         pack_assignments_learned_bpe(
             df, merges, seq_len, shard_col, text_col, bucket_span
+        ),
+        seq_len,
+    )
+    return seqs.join(bounds, ["shard", "pack_id"])
+
+
+def pack_unigram_symbol_records(
+    df: DataFrame,
+    vocab: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    bucket_span: int | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """pack_bpe_symbol_records with the UNIGRAM tokenizer's pieces:
+    distinct words Viterbi-segment once (unigram.segment_words), the
+    piece arrays broadcast-join back, and the identical three-integer
+    position arithmetic materializes the packed streams. Counts,
+    boundaries and stream agree by construction because both derive
+    from the same segmentations."""
+    from .unigram import segment_words
+
+    toks = F.transform(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")),
+        F.lower,
+    )
+    words = df.select(
+        "doc_id", F.col(shard_col).alias("shard"), toks.alias("ws")
+    )
+    word_syms = segment_words(
+        words.select(F.explode("ws").alias("w")).distinct(), vocab
+    )
+    if broadcast_vocab:
+        word_syms = F.broadcast(word_syms)
+    wrows = (
+        words.select(
+            "doc_id", "shard", F.posexplode("ws").alias("widx", "w")
+        )
+        .join(word_syms, "w")
+        .select(
+            "doc_id",
+            "shard",
+            "widx",
+            "syms",
+            F.size("syms").cast("long").alias("n_sym"),
+        )
+    )
+    return _symbol_stream_to_packs(wrows, seq_len, bucket_span)
+
+
+def pack_unigram_records(
+    df: DataFrame,
+    vocab: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    bucket_span: int | None = None,
+) -> DataFrame:
+    """(shard, pack_id, n, tokens, docs) — the full unigram packed
+    record: materialized piece sequences + doc-boundary metadata,
+    both from the same segmentations (the pack_bpe_records shape)."""
+    seqs = pack_unigram_symbol_records(
+        df, vocab, seq_len, shard_col, text_col, bucket_span
+    )
+    bounds = _doc_boundaries_from_assignments(
+        pack_assignments_unigram(
+            df, vocab, seq_len, shard_col, text_col, bucket_span
         ),
         seq_len,
     )

@@ -378,6 +378,23 @@ def unigram_fertility(
     )
 
 
+def segment_words(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = MAX_PIECE_LEN,
+    word_col: str = "w",
+) -> DataFrame:
+    """(w, syms array<string>): Viterbi segmentations for a distinct
+    word table under `vocab` — the unigram analog of
+    bpetrain.trie_encode_word_symbol_arrays, feeding the packed
+    symbol-stream exporter."""
+    costs = _costs_from_counts(_collect_vocab(vocab.select("piece", "count")))
+    pre = words.select(F.col(word_col).alias("pretoken"), F.lit(0).alias("n"))
+    return _segment_pretokens(pre, costs, max_piece_len).select(
+        F.col("pretoken").alias(word_col), F.col("pieces").alias("syms")
+    )
+
+
 def unigram_token_counts(
     df: DataFrame,
     vocab: DataFrame,

@@ -148,3 +148,23 @@ def export_bpe_packed_shards(
     n_packs = recs.count()
     _write_shard_files(recs, path, compression)
     return n_packs
+
+
+def export_unigram_packed_shards(
+    docs: DataFrame,
+    vocab: DataFrame,
+    path: str,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    compression: str = "gzip",
+) -> int:
+    """export_bpe_packed_shards with the UNIGRAM tokenizer's pieces
+    (operators/packing.pack_unigram_records) — same record shape,
+    same per-shard-file layout."""
+    from ..operators.packing import pack_unigram_records
+
+    recs = pack_unigram_records(docs, vocab, seq_len, shard_col, text_col)
+    n_packs = recs.count()
+    _write_shard_files(recs, path, compression)
+    return n_packs

@@ -145,6 +145,14 @@ def main() -> None:
     )
     parser.add_argument("--bpe-merges", type=int, default=8, metavar="K")
     parser.add_argument(
+        "--tokenizer-family",
+        choices=("bpe", "unigram"),
+        default="bpe",
+        help="with --tokenizer-root: which tokenizer family to "
+        "train/load/pack with (word-level BPE merges or the "
+        "unigram-LM piece vocabulary)",
+    )
+    parser.add_argument(
         "--domain-filter",
         action="store_true",
         help="apply the per-registrable-domain governance gate "
@@ -385,7 +393,29 @@ def main() -> None:
                 .select("doc_id", "source")
                 .join(doc_texts, "doc_id")
             )
-            if args.tokenizer_root:
+            if args.tokenizer_root and args.tokenizer_family == "unigram":
+                # unigram-family packing: same train-once-publish
+                # lifecycle, pieces instead of merge symbols
+                from claude_readability_hook_spark.operators.unigram import (
+                    load_unigram_artifact,
+                    save_unigram_artifact,
+                    train_unigram,
+                )
+                from claude_readability_hook_spark.sources.export import (
+                    export_unigram_packed_shards,
+                )
+
+                try:
+                    vocab = load_unigram_artifact(spark, args.tokenizer_root)
+                except FileNotFoundError:
+                    vocab = train_unigram(docs.select("doc_id", "text"))
+                    save_unigram_artifact(vocab, args.tokenizer_root)
+                    vocab = load_unigram_artifact(spark, args.tokenizer_root)
+                n_shards = export_unigram_packed_shards(
+                    train_texts, vocab, f"{args.output}/packed",
+                    seq_len=args.pack,
+                )
+            elif args.tokenizer_root:
                 # learned-tokenizer packing: load the published merge
                 # artifact, or train-and-publish on first run
                 from claude_readability_hook_spark.operators.bpetrain import (

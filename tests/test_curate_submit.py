@@ -328,3 +328,50 @@ def test_curate_job_mixture_report(tmp_path):
     # token budget relative to its doc-mass share — so the two share
     # columns must actually differ somewhere (the adjustment is real)
     assert any(abs(r[2] - r[4]) > 1e-6 for r in rows)
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_curate_job_unigram_pack(tmp_path):
+    """--tokenizer-family unigram trains + publishes the unigram
+    artifact on first run and exports piece-stream packed shards."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    out_dir = str(tmp_path / "out")
+    tok_root = str(tmp_path / "tok")
+
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", pkg_zip,
+            os.path.join(root, "jobs", "curate_job.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_dir,
+            "--cap-per-source", "30",
+            "--pack", "64",
+            "--tokenizer-root", tok_root,
+            "--tokenizer-family", "unigram",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=480,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["packed_sequences"] >= 1
+    # the artifact was published under the manifest protocol
+    assert glob.glob(f"{tok_root}/manifest-*.json")
+    # packs are JSONL with 64-piece streams + doc boundaries
+    rows = 0
+    for path in glob.glob(f"{out_dir}/packed/*/part-*.json.gz"):
+        with gzip.open(path, "rt") as fh:
+            for line in fh:
+                rec = json.loads(line)
+                assert len(rec["tokens"]) == rec["n"] <= 64
+                assert rec["docs"]
+                rows += 1
+    assert rows == summary["packed_sequences"]

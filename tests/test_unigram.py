@@ -172,3 +172,36 @@ def test_unigram_artifact_roundtrip(spark, tmp_path):
     save_bpe_artifact(vocab, broot)
     with pytest.raises(ValueError):
         load_unigram_artifact(spark, broot)
+
+
+def test_pack_unigram_records_stream(spark):
+    from claude_readability_hook_spark.operators.packing import (
+        pack_unigram_records,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s0", "alpha beta gamma") for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    vocab = train_unigram(docs, iterations=2)
+    per_doc = unigram_token_counts(docs, vocab).collect()[0]["n_tokens"]
+    recs = pack_unigram_records(docs, vocab, seq_len=7).collect()
+    total = 6 * per_doc
+    assert sum(r["n"] for r in recs) == total
+    # every pack but the shard's last is exactly full and gap-free
+    full = [r for r in recs if r["pack_id"] < (total - 1) // 7]
+    assert all(r["n"] == 7 and len(r["tokens"]) == 7 for r in full)
+    # boundaries metadata rides every record
+    assert all(r["docs"] is not None for r in recs)
+    # the stream replays the per-doc segmentation end to end
+    stream = []
+    for r in sorted(recs, key=lambda r: r["pack_id"]):
+        stream.extend(r["tokens"])
+    enc = unigram_encode_counts(docs, vocab).collect()[0]
+    import hashlib
+
+    one_doc = stream[:per_doc]
+    assert (
+        hashlib.md5(" ".join(one_doc).encode()).hexdigest()
+        == enc["pieces_md5"]
+    )
