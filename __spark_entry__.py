@@ -6560,8 +6560,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_gate": q_domain_gate,  # new r7: domain governance gate
         "image_index_dedup": q_image_index_dedup,  # new r6: stored-index gate
         "canonical_media_refs": q_canonical_media_refs,  # new r6: span rewrite
-        # ann_index.py untouched this round; only the two youngest ann
-        # pairs (1-round green) stay inside the window
+        # ---- THE WINDOW BOUNDARY: canonical_media_refs above is
+        # position 50; everything below is position 51+ (driver
+        # unchecked, re-hash-verified by test_oracle_parity). The ann
+        # family is fully demoted as of r8 (ann_index.py untouched
+        # since r6, every pair >=2-round driver-green).
         "ivf_pq_topk": q_ivf_pq_topk,  # demoted r7: green r5+r6, untouched
         "ivf_ann_topk": q_ivf_ann_topk,  # demoted r7: green r2-r6, untouched
         "ivf_ann_topk_q8": q_ivf_ann_topk_q8,  # demoted r7: green r4-r6, untouched

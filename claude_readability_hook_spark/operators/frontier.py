@@ -22,14 +22,18 @@ Three invariants, each engine-portable:
 
 Scale shape: ONE narrow shuffle (the per-host rank window) carrying
 (url, host, priority) rows — never page bytes. For mega-hosts whose
-row sets would make a single window partition uncomfortable, pass
-``trim_salts``: phase 1 ranks within (host, salt=h32(url)%trim_salts)
-and keeps each salt's top-budget (a superset of the true top-budget,
-by the standard distributed top-k argument), phase 2 re-ranks the
-≤ trim_salts·budget survivors exactly — the kept rows' slots are
-bit-equal to the direct plan's (differential-tested), with the heavy
-partition split ``trim_salts`` ways. The same two-regime pattern as
-skew.hot_key_salted_repartition.
+row sets would make a single window partition uncomfortable, the
+salted two-phase plan (``trim_salts``): phase 1 ranks within (host,
+salt=h32(url)%trim_salts) and keeps each salt's top-budget (a
+superset of the true top-budget, by the standard distributed top-k
+argument), phase 2 re-ranks the ≤ trim_salts·budget survivors
+exactly — the kept rows' slots are bit-equal to the direct plan's
+(differential-tested), with the heavy partition split ``trim_salts``
+ways. Since r8 the DEFAULT is the counted AUTO regime: one narrow
+count detects hosts above ``hot_host_rows`` and routes exactly those
+through the salted plan while the long tail keeps the direct plan —
+the same measure-then-pick pattern as skew.hot_key_salted_repartition
+and canonicalize_media_refs.
 """
 
 from __future__ import annotations
