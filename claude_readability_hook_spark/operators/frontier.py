@@ -538,6 +538,33 @@ def robots_gate(
     )
 
 
+def parse_sitemap_urls(
+    robots: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url) from `Sitemap:` directives — per the robots
+    spec these are GLOBAL (valid anywhere in the file, outside any
+    agent section), so the scan covers every line, not just the
+    wildcard section. One row per directive with a non-empty http(s)
+    URL; the output is the sitemap FETCH list for the next crawl round
+    (fetched bodies then feed parse_sitemaps). Pure in-row array
+    expressions, per-host row counts — a rounding error at corpus
+    scale."""
+    lower = F.transform(
+        F.split(F.col(body_col), F.lit("\n"), -1), lambda x: F.trim(x)
+    )
+    urls = F.filter(
+        F.transform(
+            F.filter(
+                lower,
+                lambda x: F.lower(x).rlike(r"^sitemap\s*:"),
+            ),
+            lambda x: F.trim(F.regexp_replace(x, r"(?i)^sitemap\s*:", "")),
+        ),
+        lambda u: u.rlike(r"(?i)^https?://"),
+    )
+    return robots.select(host_col, F.explode(urls).alias("sitemap_url"))
+
+
 def parse_crawl_delays(
     robots: DataFrame,
     host_col: str = "host",

@@ -240,9 +240,23 @@ def main() -> None:
         n_rejected = before - urls.count()
 
     n_disallowed = 0
+    n_sitemap_urls = 0
     robots_df = None
     if args.robots:
+        from claude_readability_hook_spark.operators.frontier import (
+            parse_sitemap_urls,
+        )
+
         robots_df = spark.read.parquet(args.robots)
+        # `Sitemap:` directives are the next round's sitemap FETCH
+        # list (their bodies come back through --sitemaps)
+        sm_urls = parse_sitemap_urls(robots_df)
+        sm_urls.write.mode("overwrite").parquet(
+            f"{args.output}/sitemap_urls"
+        )
+        n_sitemap_urls = spark.read.parquet(
+            f"{args.output}/sitemap_urls"
+        ).count()
         rules = parse_robots(robots_df)
         verdicts = robots_gate(urls.select("url"), rules)
         verdicts.filter(~F.col("allowed")).write.mode("overwrite").parquet(
@@ -330,7 +344,13 @@ def main() -> None:
             host_budget=args.host_budget,
             **salt_kw,
         )
-    plan.write.mode("overwrite").parquet(f"{args.output}/plan")
+    # partition the plan by fetcher: each of the n_fetchers workers
+    # reads exactly its own directory (partition pruning on the
+    # fetcher_id filter) instead of scanning the whole plan — the
+    # layout that matters at 10^12 URLs over a 1000-fetcher fleet
+    plan.write.mode("overwrite").partitionBy("fetcher_id").parquet(
+        f"{args.output}/plan"
+    )
 
     planned = spark.read.parquet(f"{args.output}/plan")
     n_planned = planned.count()
@@ -344,6 +364,7 @@ def main() -> None:
                 "settled": n_settled,
                 "url_rejected": n_rejected,
                 "robots_disallowed": n_disallowed,
+                "sitemap_urls_discovered": n_sitemap_urls,
                 "low_authority": n_low_authority,
                 "planned": n_planned,
                 "over_budget": n_over_budget,

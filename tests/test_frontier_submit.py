@@ -45,7 +45,8 @@ def test_frontier_job_plan_and_gate(tmp_path):
     )
     con.execute(
         "INSERT INTO rb VALUES ('h0.example.com', "
-        "'User-agent: *' || chr(10) || 'Crawl-delay: 2' || chr(10) "
+        "'Sitemap: https://h0.example.com/sitemap.xml' || chr(10) "
+        "|| 'User-agent: *' || chr(10) || 'Crawl-delay: 2' || chr(10) "
         "|| 'Disallow: /private')"
     )
     con.execute(f"COPY rb TO '{robots}' (FORMAT PARQUET)")
@@ -100,6 +101,7 @@ def test_frontier_job_plan_and_gate(tmp_path):
     assert summary["settled"] == 2  # h2's done + permanent URLs leave
     assert summary["url_rejected"] == 5  # the casino/poker URLs
     assert summary["robots_disallowed"] == 4  # h0's /private URLs
+    assert summary["sitemap_urls_discovered"] == 1
     assert summary["planned"] == 31
     assert summary["hosts"] == 3
     # budget 7: h0 has 10 (3 over), h1 13 (6 over), h2 8 (1 over)
@@ -112,10 +114,10 @@ def test_frontier_job_plan_and_gate(tmp_path):
     assert retry == [("https://h2.example.com/p/8", "retry", 2000)]
 
     plan = con.sql(
-        f"SELECT * FROM read_parquet('{out_dir}/plan/*.parquet')"
+        f"SELECT * FROM read_parquet('{out_dir}/plan/*/*.parquet', hive_partitioning=1)"
     ).fetchall()
     cols = [d[0] for d in con.sql(
-        f"SELECT * FROM read_parquet('{out_dir}/plan/*.parquet') LIMIT 0"
+        f"SELECT * FROM read_parquet('{out_dir}/plan/*/*.parquet', hive_partitioning=1) LIMIT 0"
     ).description]
     by = lambda r: dict(zip(cols, r))  # noqa: E731
     # host affinity: one fetcher per host
@@ -205,7 +207,7 @@ def test_frontier_job_authority_priority(tmp_path):
     plan_hosts = {
         r[0]
         for r in con.sql(
-            f"SELECT DISTINCT host FROM read_parquet('{out_dir}/plan/*.parquet')"
+            f"SELECT DISTINCT host FROM read_parquet('{out_dir}/plan/*/*.parquet', hive_partitioning=1)"
         ).fetchall()
     }
     assert plan_hosts == {"www.good.com", "www.fresh.org"}
@@ -221,7 +223,7 @@ def test_frontier_job_authority_priority(tmp_path):
     # fresh.org rows in the plan input (slot 0 of each host is its
     # best URL; cross-host comparison happens in the priority parquet)
     assert con.sql(
-        f"SELECT COUNT(*) FROM read_parquet('{out_dir}/plan/*.parquet') "
+        f"SELECT COUNT(*) FROM read_parquet('{out_dir}/plan/*/*.parquet', hive_partitioning=1) "
         f"WHERE NOT keep"
     ).fetchone()[0] == 10  # budget 5 over 10 URLs per surviving host
 

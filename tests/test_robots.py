@@ -258,3 +258,30 @@ def test_delays_compose_with_trim_salts(spark):
     keep_trim = sorted(map(tuple, trimmed.collect()))
     assert keep_trim == keep_direct  # bit-equal kept rows, per-host delay
     assert all(r[4] == r[3] * 3000 for r in keep_trim)  # offset = slot×3s
+
+
+def test_parse_sitemap_urls(spark):
+    from claude_readability_hook_spark.operators.frontier import (
+        parse_sitemap_urls,
+    )
+
+    body = (
+        "Sitemap: https://h0/sitemap.xml\n"      # global, before any section
+        "User-agent: bot\nDisallow: /\n"
+        "sitemap:https://h0/sm2.xml\n"           # case + no space
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: HTTP://h0/SM3.xml\n"           # inside wildcard section
+        "Sitemap: /relative/ignored.xml\n"       # not absolute → dropped
+        "Sitemap:\n"                             # empty → dropped
+    )
+    out = {
+        r["sitemap_url"]
+        for r in parse_sitemap_urls(
+            spark.createDataFrame([("h0", body)], "host string, robots_txt string")
+        ).collect()
+    }
+    assert out == {
+        "https://h0/sitemap.xml",
+        "https://h0/sm2.xml",
+        "HTTP://h0/SM3.xml",
+    }
