@@ -475,6 +475,9 @@ def fertility_token_mixture(
         F.coalesce(
             F.col("tpd"),
             F.first("global_tpd", ignorenulls=True).over(everything),
+            # an EMPTY fertility table degrades to uniform cost —
+            # token_share == mixture_share, not a null cascade
+            F.lit(1.0),
         ),
     )
     mass = F.col("mixture_share") * F.col("tokens_per_doc")

@@ -64,17 +64,27 @@ def pretoken_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+SEED_MAX_PRETOKEN_LEN = 64
+
+
 def seed_piece_counts(
-    pretokens: DataFrame, max_piece_len: int = MAX_PIECE_LEN
+    pretokens: DataFrame,
+    max_piece_len: int = MAX_PIECE_LEN,
+    seed_max_pretoken_len: int = SEED_MAX_PRETOKEN_LEN,
 ) -> DataFrame:
     """(piece, count): every substring of length 1..max_piece_len of
     every pretoken, counted with OVERLAP and weighted by the
     pretoken's corpus count — the standard unigram seed inventory.
     One in-row expansion + one hash agg; the expansion factor is
     ≤ len·max_piece_len per distinct pretoken, so the intermediate is
-    still vocabulary-bounded."""
+    still vocabulary-bounded. Pretokens longer than
+    seed_max_pretoken_len are excluded from SEEDING (a 100 KB
+    base64 'word' in a crawl would otherwise expand to a
+    600k-element in-row array); they still encode later through
+    piece composition and the single-char fallback."""
     tok = F.col("pretoken")
     n = F.length(tok)
+    pretokens = pretokens.filter(n <= seed_max_pretoken_len)
     pieces = F.filter(
         F.transform(
             F.sequence(F.lit(0), n * max_piece_len - 1),

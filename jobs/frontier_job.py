@@ -163,20 +163,22 @@ def main() -> None:
             checkpoint_dir=args.checkpoint or f"{args.output}/checkpoint",
         )
         q.awaitTermination()
-        scheduled = spark.read.parquet(f"{args.output}/scheduled")
-        rejected = spark.read.parquet(f"{args.output}/rejected")
-        seen = spark.read.parquet(f"{args.output}/seen")
+
+        def _count(path: str) -> int:
+            # an empty discovery directory drains zero batches and
+            # writes no sinks — report zeros, don't crash the summary
+            try:
+                return spark.read.parquet(path).count()
+            except Exception:  # noqa: BLE001 — AnalysisException: no files
+                return 0
+
         print(
             json.dumps(
                 {
                     "mode": "stream",
-                    "scheduled": scheduled.count(),
-                    "rejected": rejected.count(),
-                    "seen": seen.count(),
-                    "batches": scheduled.select("batch_id")
-                    .union(rejected.select("batch_id"))
-                    .distinct()
-                    .count(),
+                    "scheduled": _count(f"{args.output}/scheduled"),
+                    "rejected": _count(f"{args.output}/rejected"),
+                    "seen": _count(f"{args.output}/seen"),
                 }
             )
         )

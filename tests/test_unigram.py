@@ -205,3 +205,12 @@ def test_pack_unigram_records_stream(spark):
         hashlib.md5(" ".join(one_doc).encode()).hexdigest()
         == enc["pieces_md5"]
     )
+
+
+def test_seed_counts_skip_absurd_pretokens(spark):
+    df = spark.createDataFrame(
+        [("ab", 1), ("x" * 200, 5)], "pretoken string, n long"
+    )
+    got = {r["piece"] for r in seed_piece_counts(df).collect()}
+    # the 200-char monster contributes nothing to seeding
+    assert got == {"a", "b", "ab"}
