@@ -50,6 +50,14 @@ def main() -> None:
         help="domain link-edge parquet (src, dst): adds PageRank "
         "authority (top-10 in the JSON, full table in authority/)",
     )
+    parser.add_argument(
+        "--frontier",
+        default=None,
+        help="a frontier_job --output directory: adds crawl-health "
+        "metrics from plan/ (slot utilization, keep rate, host/"
+        "fetcher spread) and retry_plan/ when present (verdict mix, "
+        "backoff p50/max)",
+    )
     args = parser.parse_args()
     if not 0 <= args.gate_sample <= 100:
         parser.error(
@@ -128,11 +136,53 @@ def main() -> None:
             "parquet": f"{args.output}/authority",
         }
 
+    frontier = None
+    if args.frontier:
+        plan = spark.read.parquet(f"{args.frontier}/plan")
+        row = plan.agg(
+            F.count("*").cast("long").alias("planned"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("kept"),
+            F.countDistinct("host").cast("long").alias("hosts"),
+            F.countDistinct("fetcher_id").cast("long").alias("fetchers"),
+            F.max("slot").cast("long").alias("max_slot"),
+            F.expr("percentile_approx(slot, 0.99)").cast("long").alias(
+                "slot_p99"
+            ),
+        ).collect()[0]
+        frontier = {
+            "planned": row["planned"],
+            "kept": row["kept"],
+            "keep_rate": (
+                row["kept"] / row["planned"] if row["planned"] else None
+            ),
+            "hosts": row["hosts"],
+            "fetchers": row["fetchers"],
+            "max_slot": row["max_slot"],
+            "slot_p99": row["slot_p99"],
+        }
+        try:
+            retries = spark.read.parquet(f"{args.frontier}/retry_plan")
+            r = retries.agg(
+                F.count("*").cast("long").alias("n"),
+                F.expr("percentile_approx(retry_after_ms, 0.5)")
+                .cast("long")
+                .alias("backoff_p50"),
+                F.max("retry_after_ms").cast("long").alias("backoff_max"),
+            ).collect()[0]
+            frontier["retry"] = {
+                "n": r["n"],
+                "backoff_p50_ms": r["backoff_p50"],
+                "backoff_max_ms": r["backoff_max"],
+            }
+        except Exception:  # noqa: BLE001 — no retry_plan/ written
+            frontier["retry"] = None
+
     report = {
         "volume": volume,
         "quality": quality,
         "domains": domains,
         "authority": authority,
+        "frontier": frontier,
     }
     payload = json.dumps(report, default=str)
     spark.sparkContext.parallelize([payload], 1).saveAsTextFile(

@@ -31,6 +31,31 @@ def test_report_job(tmp_path):
         [("a.com", "hub.com"), ("b.com", "hub.com"), ("hub.com", "a.com")],
     )
     con.execute(f"COPY e TO '{edges}' (FORMAT PARQUET)")
+    # a synthesized frontier_job output: fetcher-partitioned plan +
+    # a retry plan (the layouts frontier_job writes)
+    fr = str(tmp_path / "frontier")
+    os.makedirs(f"{fr}/plan/fetcher_id=0", exist_ok=True)
+    os.makedirs(f"{fr}/plan/fetcher_id=3", exist_ok=True)
+    con.execute("CREATE TABLE p0 (url VARCHAR, host VARCHAR, slot BIGINT, fetch_offset_ms BIGINT, keep BOOLEAN)")
+    con.executemany(
+        "INSERT INTO p0 VALUES (?, ?, ?, ?, ?)",
+        [(f"https://a/{i}", "a", i, i * 1000, i < 8) for i in range(10)],
+    )
+    con.execute(f"COPY p0 TO '{fr}/plan/fetcher_id=0/part.parquet' (FORMAT PARQUET)")
+    con.execute("CREATE TABLE p3 (url VARCHAR, host VARCHAR, slot BIGINT, fetch_offset_ms BIGINT, keep BOOLEAN)")
+    con.executemany(
+        "INSERT INTO p3 VALUES (?, ?, ?, ?, ?)",
+        [(f"https://b/{i}", "b", i, i * 2000, True) for i in range(5)],
+    )
+    con.execute(f"COPY p3 TO '{fr}/plan/fetcher_id=3/part.parquet' (FORMAT PARQUET)")
+    os.makedirs(f"{fr}/retry_plan", exist_ok=True)
+    con.execute("CREATE TABLE rt (url VARCHAR, attempts BIGINT, last_status BIGINT, verdict VARCHAR, retry_after_ms BIGINT)")
+    con.executemany(
+        "INSERT INTO rt VALUES (?, ?, ?, ?, ?)",
+        [("https://a/r1", 1, 503, "retry", 2000),
+         ("https://a/r2", 2, 500, "retry", 4000)],
+    )
+    con.execute(f"COPY rt TO '{fr}/retry_plan/part.parquet' (FORMAT PARQUET)")
 
     proc = subprocess.run(
         [
@@ -43,6 +68,7 @@ def test_report_job(tmp_path):
             "--input", "/root/testdata/sf0.001/documents.parquet",
             "--output", out_dir,
             "--edges", edges,
+            "--frontier", fr,
         ],
         capture_output=True,
         text=True,
@@ -70,6 +96,13 @@ def test_report_job(tmp_path):
     top2 = {t["domain"] for t in report["authority"]["top"][:2]}
     assert top2 == {"hub.com", "a.com"}
     assert report["authority"]["top"][2]["domain"] == "b.com"
+    fr_rep = report["frontier"]
+    assert fr_rep["planned"] == 15 and fr_rep["kept"] == 13
+    assert fr_rep["hosts"] == 2 and fr_rep["fetchers"] == 2
+    assert fr_rep["max_slot"] == 9
+    assert fr_rep["retry"]["n"] == 2
+    assert fr_rep["retry"]["backoff_p50_ms"] in (2000, 4000)
+    assert fr_rep["retry"]["backoff_max_ms"] == 4000
     # the persisted governance document matches stdout
     import glob
 
