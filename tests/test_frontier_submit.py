@@ -318,3 +318,99 @@ def test_frontier_job_stream_mode_replay_idempotent(tmp_path):
     s2 = run()
     assert snapshot() == snap1
     assert (s2["scheduled"], s2["rejected"], s2["seen"]) == (2, 1, 3)
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_frontier_job_two_round_loop(tmp_path):
+    """The closed crawl loop, CHAINED: round 1 plans (robots with a
+    Sitemap: directive + sitemap bodies + URL gate); the fetch log is
+    derived FROM round 1's plan parquet (the output schema feeds the
+    input contract); round 2 settles fetched URLs, keeps the
+    transient failure with its backoff, and re-plans the remainder."""
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "crh_spark.zip")
+    _zip_package(pkg_zip)
+    con = duckdb.connect()
+
+    # --- round 1 inputs
+    inp = str(tmp_path / "urls.parquet")
+    con.execute("CREATE TABLE t (url VARCHAR, priority BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(f"https://h0.example.com/p/{i}", i) for i in range(12)],
+    )
+    con.execute(f"COPY t TO '{inp}' (FORMAT PARQUET)")
+    robots = str(tmp_path / "robots.parquet")
+    con.execute("CREATE TABLE rb (host VARCHAR, robots_txt VARCHAR)")
+    con.execute(
+        "INSERT INTO rb VALUES ('h0.example.com', "
+        "'Sitemap: https://h0.example.com/sm.xml' || chr(10) || "
+        "'User-agent:*' || chr(10) || 'Disallow: /p/11')"
+    )
+    con.execute(f"COPY rb TO '{robots}' (FORMAT PARQUET)")
+    sitemaps = str(tmp_path / "sitemaps.parquet")
+    con.execute("CREATE TABLE sm (host VARCHAR, sitemap_xml VARCHAR)")
+    con.execute(
+        "INSERT INTO sm VALUES ('h0.example.com', "
+        "'<urlset><url><loc>https://h0.example.com/new/1</loc>"
+        "<priority>0.9</priority></url></urlset>')"
+    )
+    con.execute(f"COPY sm TO '{sitemaps}' (FORMAT PARQUET)")
+
+    def run(out, extra):
+        proc = subprocess.run(
+            [
+                "spark-submit", "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--py-files", pkg_zip,
+                os.path.join(root, "jobs", "frontier_job.py"),
+                "--input", inp, "--output", out,
+            ] + extra,
+            capture_output=True, text=True, timeout=480, cwd=str(tmp_path),
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    out1 = str(tmp_path / "r1")
+    s1 = run(out1, ["--robots", robots, "--sitemaps", sitemaps])
+    assert s1["sitemap_urls_discovered"] == 1  # the robots Sitemap: line
+    assert s1["sitemap_discovered"] == 1       # the XML body's URL
+    assert s1["robots_disallowed"] == 1        # /p/11
+    assert s1["planned"] == 12                 # 12 seeds + 1 new - 1 blocked
+
+    # --- the fetch fleet "runs" round 1's plan: derive the log FROM it
+    fetch_log = str(tmp_path / "fetch_log.parquet")
+    con.execute(f"""
+        COPY (
+          SELECT url, 1 AS attempt,
+                 CASE WHEN slot = 0 THEN 503        -- flaky best URL
+                      WHEN slot = 1 THEN 404        -- gone
+                      ELSE 200 END AS status
+          FROM read_parquet('{out1}/plan/*/*.parquet', hive_partitioning=1)
+          WHERE host = 'h0.example.com'
+        ) TO '{fetch_log}' (FORMAT PARQUET)
+    """)
+
+    out2 = str(tmp_path / "r2")
+    s2 = run(out2, ["--robots", robots, "--sitemaps", sitemaps,
+                    "--fetch-log", fetch_log])
+    # 10 × 200 done + 1 × 404 permanent leave; the 503 stays (retry)
+    assert s2["settled"] == 11
+    assert s2["planned"] == 1
+    retry = con.sql(
+        f"SELECT verdict, retry_after_ms FROM "
+        f"read_parquet('{out2}/retry_plan/*.parquet')"
+    ).fetchall()
+    assert retry == [("retry", 2000)]
+    # the survivor is exactly the flaky URL, re-planned at slot 0
+    plan2 = con.sql(
+        f"SELECT url, slot FROM read_parquet('{out2}/plan/*/*.parquet', "
+        f"hive_partitioning=1)"
+    ).fetchall()
+    flaky = con.sql(
+        f"SELECT url FROM read_parquet('{fetch_log}') WHERE status = 503"
+    ).fetchone()[0]
+    assert plan2 == [(flaky, 0)]
