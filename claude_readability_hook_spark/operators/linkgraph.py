@@ -171,10 +171,15 @@ def domain_pagerank_micro(
     ).persist()
     has_out = outdeg.select(F.col("src").alias("domain"))
     for i in range(iterations):
-        dangling = (
-            ranks.join(has_out, "domain", "left_anti")
-            .agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).cast("long"))
-            .collect()[0][0]
+        # the dangling scalar stays IN the plan as a broadcast 1-row
+        # frame — one action per iteration (the persist/checkpoint
+        # materialization), not a separate driver collect per round
+        dang = F.broadcast(
+            ranks.join(has_out, "domain", "left_anti").agg(
+                F.coalesce(F.sum("rank_micro"), F.lit(0))
+                .cast("long")
+                .alias("dang")
+            )
         )
         inflow = (
             ed.join(ranks.withColumnRenamed("domain", "src"), "src")
@@ -185,15 +190,19 @@ def domain_pagerank_micro(
                 ).cast("long").alias("inflow")
             )
         )
-        new_ranks = nodes.join(inflow, "domain", "left").select(
-            "domain",
-            (
-                F.lit(base).cast("long")
-                + F.expr(
-                    f"({damping_pct} * (coalesce(inflow, 0)"
-                    f" + {dangling // n})) div 100"
-                ).cast("long")
-            ).alias("rank_micro"),
+        new_ranks = (
+            nodes.join(inflow, "domain", "left")
+            .crossJoin(dang)
+            .select(
+                "domain",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(inflow, 0)"
+                        f" + dang div {n})) div 100"
+                    ).cast("long")
+                ).alias("rank_micro"),
+            )
         )
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             new_ranks = new_ranks.localCheckpoint()
