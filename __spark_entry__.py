@@ -815,7 +815,17 @@ def q_cms_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(tokens_expr(F.col("text")), F.lower)
         ).alias("key")
     )
-    return cms_hot_keys(keyed, threshold=CMS_HOT_THRESHOLD)
+    # aggregate before you hash: one vocabulary-bounded count pass,
+    # materialized once (build AND candidate probe reuse it), so the
+    # d seeded hashes run per DISTINCT token instead of per occurrence
+    # and the corpus is scanned once instead of twice — cell sums and
+    # the candidate set are identical to the raw-occurrence feed
+    counted = (
+        keyed.groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    return cms_hot_keys(counted, threshold=CMS_HOT_THRESHOLD, weight_col="n")
 
 
 def _cms_hot_keys_oracle_sql() -> str:
@@ -4134,7 +4144,11 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         F.explode(F.transform(tokens_expr(F.col("text")), F.lower)).alias("w")
     )
-    return hll_distinct(toks, "w")
+    # registers are per-bucket MAX(rho): duplicate keys cannot move
+    # them, so dedup first — the md5/rho arithmetic then runs per
+    # DISTINCT token (vocabulary-bounded) instead of per occurrence,
+    # and the map-side partial dedup shrinks the one shuffle too
+    return hll_distinct(toks.distinct(), "w")
 
 
 def _hll_oracle_sql() -> str:
@@ -5635,15 +5649,26 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts + the md5 of the space-joined piece stream in doc
     word order, under the 2-round trained vocabulary."""
     from claude_readability_hook_spark.operators.unigram import (
+        pretoken_table,
         train_unigram,
         unigram_encode_counts,
     )
 
     docs = _unigram_docs(spark, sf_dir)
+    # one distinct-pretoken pass shared by training and encode (the
+    # two stages otherwise each re-derive the identical table from the
+    # corpus); persisted for the EM rounds, released by session GC
+    # after the encode materializes
+    pre = pretoken_table(docs).persist()
     vocab = train_unigram(
-        docs, iterations=_UNIGRAM_ITERS, max_piece_len=_UNIGRAM_MAXP
+        docs,
+        iterations=_UNIGRAM_ITERS,
+        max_piece_len=_UNIGRAM_MAXP,
+        pretokens=pre,
     )
-    return unigram_encode_counts(docs, vocab, max_piece_len=_UNIGRAM_MAXP)
+    return unigram_encode_counts(
+        docs, vocab, max_piece_len=_UNIGRAM_MAXP, pretokens=pre
+    )
 
 
 def _unigram_base_ctes(iterations: int = _UNIGRAM_ITERS) -> str:

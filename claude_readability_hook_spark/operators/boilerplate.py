@@ -157,7 +157,13 @@ def boilerplate_scores(
     side never shuffles; the escape hatch exists for a pathological
     table (same discipline as lmfilter._lm_broadcast_auto)."""
     if bp is None:
-        bp = boilerplate_ngrams(df, n, min_docs, frac_micro, text_col, source_col)
+        # materialize detection ONCE: the auto-regime count below and
+        # the broadcast build would otherwise each re-run the full
+        # shingle-hash + df-count pipeline (a second corpus-sized pass
+        # for a table that is small by construction)
+        bp = boilerplate_ngrams(
+            df, n, min_docs, frac_micro, text_col, source_col
+        ).localCheckpoint(eager=True)
     if broadcast_bp is None:
         broadcast_bp = bp.count() <= BOILER_BROADCAST_MAX_ROWS
     if broadcast_bp:

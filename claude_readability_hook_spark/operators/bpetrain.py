@@ -110,6 +110,12 @@ def _learn_merges_loop(
     the loop never looks inside a symbol, so the same pair-count /
     top-1 / literal-replace rounds train either alphabet."""
     merges: list[tuple[int, str, str, str, int]] = []
+    # materialize the initial symbol table ONCE before round 1: without
+    # this, every pre-checkpoint round's collect replays the corpus
+    # tokenize + vocabulary agg that derives it (3-4 full corpus scans
+    # for the default checkpoint_every=3) — the round loop itself is
+    # vocabulary-bounded and should never re-touch the corpus
+    syms = syms.localCheckpoint(eager=True)
     for rank in range(1, k + 1):
         pair_counts = (
             syms.select(

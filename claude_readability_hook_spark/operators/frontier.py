@@ -107,6 +107,14 @@ def schedule_frontier(
         if host_budget is None:
             trim_salts = None  # nothing to trim to — direct plan
         else:
+            # the auto regime references `base` three times (detection
+            # count, hot left_semi branch, cold left_anti branch) —
+            # cache the narrow (url, host, priority) projection so an
+            # expensive upstream lineage (url_quality + composed-
+            # priority joins in frontier_job) is not replayed per
+            # branch; lazy persist piggybacks on the detection count's
+            # job (an eager checkpoint would pay its own extra job)
+            base = base.persist()
             hot_hosts = F.broadcast(
                 base.groupBy("host")
                 .agg(F.count("*").alias("n"))

@@ -83,10 +83,13 @@ def domain_pagerank(
     has_out = outdeg.select(F.col("src").alias("domain"))
     base = (1.0 - damping) / n
     for i in range(iterations):
-        dangling = (
-            ranks.join(has_out, "domain", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # the dangling scalar rides the plan as a broadcast 1-row
+        # frame (the micro twin's pattern): one materialization action
+        # per iteration instead of a separate driver collect per round
+        dang = F.broadcast(
+            ranks.join(has_out, "domain", "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+            )
         )
         inflow = (
             contrib.join(
@@ -97,12 +100,16 @@ def domain_pagerank(
         )
         new_ranks = (
             nodes.join(inflow, "domain", "left")
+            .crossJoin(dang)
             .select(
                 "domain",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dangling / n)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
         )

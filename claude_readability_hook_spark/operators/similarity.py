@@ -141,14 +141,23 @@ def quantize_embeddings(
     zeros with scale 0."""
     levels = float(2 ** (bits - 1) - 1)
     vec = F.col(vec_col)
-    amax = F.aggregate(
+    amax_expr = F.aggregate(
         F.transform(vec, lambda x: F.abs(x.cast("double"))),
         F.lit(0.0),
         lambda acc, v: F.greatest(acc, v),
     )
-    q = F.when(amax > 0, F.transform(
-        vec, lambda x: F.round(x.cast("double") * levels / amax).cast("int")
-    )).otherwise(F.transform(vec, lambda x: F.lit(0)))
+
+    # let-bind amax via the array+transform trick (the shingles_expr
+    # discipline): embedded directly in the per-element lambda it is
+    # re-evaluated for EVERY element — an O(dims) reduction run dims
+    # times per row, all interpreted (higher-order functions are
+    # CodegenFallback)
+    def q_of(amax):
+        return F.when(amax > 0, F.transform(
+            vec, lambda x: F.round(x.cast("double") * levels / amax).cast("int")
+        )).otherwise(F.transform(vec, lambda x: F.lit(0)))
+
+    q = F.element_at(F.transform(F.array(amax_expr), q_of), 1)
     return df.select(
         "vec_id",
         q.alias("q_embedding"),
@@ -156,7 +165,7 @@ def quantize_embeddings(
         F.md5(F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))).alias(
             "q_md5"
         ),
-        F.round(amax, 6).alias("scale"),
+        F.round(amax_expr, 6).alias("scale"),
     )
 
 

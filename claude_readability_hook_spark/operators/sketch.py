@@ -114,6 +114,7 @@ def cms_hot_keys(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     candidates: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Keys whose CMS estimate clears `threshold` — the hot-key
     candidate set the skew-salting pass consumes
@@ -127,8 +128,13 @@ def cms_hot_keys(
     the probe never touches key cardinality. The convenience default
     distincts the input keys — bounded by key cardinality, which is
     exactly what the sketch's build side avoids; fine when distinct
-    keys are vocabulary-sized, wrong when keys are near-unique."""
-    sketch = cms_build(keyed, key_col, depth=depth, width=width)
+    keys are vocabulary-sized, wrong when keys are near-unique.
+
+    `weight_col` marks `keyed` as an already-counted (key, weight)
+    table: the sketch adds the weights (cell sums identical to
+    feeding raw occurrences) but pays depth hashes per DISTINCT key
+    instead of per occurrence — aggregate before you hash."""
+    sketch = cms_build(keyed, key_col, weight_col=weight_col, depth=depth, width=width)
     cands = (
         candidates.select(F.col(key_col).alias("key")).distinct()
         if candidates is not None

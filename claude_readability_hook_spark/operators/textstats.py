@@ -25,7 +25,10 @@ STOPWORDS = {
 
 
 def token_count_expr(text: Column) -> Column:
-    return F.size(tokens_expr(text))
+    # count of non-whitespace runs == size of the \s+ split with
+    # empties dropped, without allocating the token array (regexp_count
+    # is codegen'd; filter/size on the split is interpreted)
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def corpus_report(df: DataFrame, short_tokens: int = 20, text_col: str = "text") -> DataFrame:
@@ -57,11 +60,13 @@ def corpus_report(df: DataFrame, short_tokens: int = 20, text_col: str = "text")
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_chars_actual, mean_token_len)."""
-    tokens = tokens_expr(F.col(text_col))
-    n_tokens = F.size(tokens)
-    total_token_chars = F.aggregate(
-        tokens, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
+    # token count = non-whitespace runs; summed token length = chars
+    # left after deleting all whitespace — both single codegen'd regex
+    # passes, no token array, no interpreted fold
+    n_tokens = token_count_expr(F.col(text_col))
+    total_token_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"\s+", "")
+    ).cast("long")
     return df.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -78,14 +83,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     DuckDB twin uses identical arithmetic; ratios rounded to 6dp."""
     text = F.col(text_col)
-    tokens = tokens_expr(text)
-    n_tokens = F.size(tokens)
+    n_tokens = token_count_expr(text)
     n_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
     punct_chars = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     mean_wl = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
-    en_stops = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(tokens, lambda t: F.array_contains(en_stops, F.lower(t))))
+    stop_hits = _stop_hits_expr(_padded_norm_expr(text), STOPWORDS["en"])
     # the gate is the single shared definition — curate() applies the
     # same expression, so threshold tuning can't diverge
     keep = quality_keep_expr(text)
@@ -104,9 +107,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _lang_hits(tokens: Column, lang: str) -> Column:
-    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens, lambda t: F.array_contains(stops, F.lower(t))))
+def _padded_norm_expr(text: Column) -> Column:
+    """lower + whitespace-normalize + single-space pad: every token
+    boundary becomes exactly one space, so a stopword occurrence is
+    the regex ' word(?= )' (lookahead keeps the trailing space
+    available to the next token — consecutive stopwords all count)."""
+    return F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(text), r"\s+", " "), F.lit(" ")
+    )
+
+
+def _stop_hits_expr(padded: Column, words: tuple[str, ...]) -> Column:
+    """Token-membership hit count as ONE codegen'd regex pass.
+    Equivalent to size(filter(tokens, t -> lower(t) IN words)) — the
+    padded form anchors whole-token matches — but without the
+    interpreted per-token lambda (higher-order functions are
+    CodegenFallback) or the token-array allocation."""
+    return F.regexp_count(padded, F.lit(f" ({'|'.join(words)})(?= )"))
 
 
 def lang_pred_expr(text: Column) -> Column:
@@ -114,11 +131,11 @@ def lang_pred_expr(text: Column) -> Column:
     all-zero; ties break by fixed language order en>de>fr>es
     (greatest-with-struct trick; oracle mirrors it). Pure Column expr —
     a free rider on any scan."""
-    tokens = tokens_expr(text)
+    padded = _padded_norm_expr(text)
     scored = F.greatest(
         *[
             F.struct(
-                _lang_hits(tokens, lang).alias("hits"),
+                _stop_hits_expr(padded, STOPWORDS[lang]).alias("hits"),
                 F.lit(rank).alias("rank"),
                 F.lit(lang).alias("lang"),
             )
@@ -131,8 +148,7 @@ def lang_pred_expr(text: Column) -> Column:
 def quality_keep_expr(text: Column) -> Column:
     """The Gopher-style keep gate as a standalone Column expr (same
     arithmetic as quality_features)."""
-    tokens = tokens_expr(text)
-    n_tokens = F.size(tokens)
+    n_tokens = token_count_expr(text)
     n_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
     mean_wl = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
@@ -382,14 +398,20 @@ def gopher_quality(
     Exchange; at 100 TB this rides the extraction-output pass for
     free, exactly like line_repetition."""
     text = F.col(text_col)
-    tokens = tokens_expr(text)
-    lower_toks = F.transform(tokens, lambda t: F.lower(t))
     lines = F.filter(
         F.transform(F.split(text, F.lit(delim), -1), lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
     )
-    word_chars = F.aggregate(
-        tokens, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    # word-level signals as codegen'd regex passes over the text (the
+    # token-array + interpreted-lambda forms they replace are
+    # CodegenFallback): count of \S+ runs, chars left after deleting
+    # whitespace, count of tokens carrying a letter, and whole-token
+    # stopword presence over the space-normalized padded text
+    padded = _padded_norm_expr(text)
+    word_chars = F.length(F.regexp_replace(text, r"\s+", "")).cast("long")
+    alpha_words = F.regexp_count(
+        F.concat(F.lit(" "), F.regexp_replace(text, r"\s+", " "), F.lit(" ")),
+        F.lit(" [^ ]*[A-Za-z][^ ]*(?= )"),
     )
     # '#' / '...' occurrence counts by length delta under non-overlapping
     # leftmost replace — identical semantics in Spark and DuckDB.
@@ -399,21 +421,19 @@ def gopher_quality(
     ) / F.lit(3)
     stop_hits = sum(
         (
-            F.array_contains(lower_toks, w).cast("int")
+            F.contains(padded, F.lit(f" {w} ")).cast("int")
             for w in GOPHER_REQUIRED_STOPWORDS
         ),
         F.lit(0),
     )
     base = df.select(
         "doc_id",
-        F.size(tokens).cast("long").alias("n_words"),
+        token_count_expr(text).cast("long").alias("n_words"),
         F.size(lines).cast("long").alias("n_lines"),
         word_chars.alias("word_chars"),
         n_hash.cast("long").alias("n_hash"),
         n_ellipsis.cast("long").alias("n_ellipsis"),
-        F.size(F.filter(tokens, lambda t: t.rlike("[A-Za-z]")))
-        .cast("long")
-        .alias("alpha_words"),
+        alpha_words.cast("long").alias("alpha_words"),
         F.size(
             F.filter(
                 lines,
@@ -497,9 +517,10 @@ def c4_quality(
         | F.endswith(x, F.lit("!"))
         | F.endswith(x, F.lit("?"))
     )
-    n_words = lambda x: F.size(  # noqa: E731
-        F.filter(F.split(x, r"\s+"), lambda t: t != F.lit(""))
-    )
+    # per-line word count as a native regex count (the split+filter
+    # form allocates a token array per line inside an interpreted
+    # lambda; regexp_count evaluates as one native regex pass)
+    n_words = lambda x: F.regexp_count(x, F.lit(r"\S+"))  # noqa: E731
     kept = F.filter(
         lines,
         lambda x: terminal(x)
@@ -543,7 +564,7 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     DuckDB twin: len(regexp_extract_all(text, pattern))."""
     return df.select(
         "doc_id",
-        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+        token_count_expr(F.col(text_col)).cast("long").alias("n_ws_tokens"),
         F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
         .cast("long")
         .alias("n_bpe_tokens"),
@@ -562,53 +583,68 @@ _POWS = [pow(WINNOW_BASE, WINNOW_K - 1 - j, WINNOW_MOD) for j in range(WINNOW_K)
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Rolling-hash document fingerprints via winnowing:
     h(i) = Σ_j code(c_{i+j})·B^{k-1-j} mod M over k-gram windows of the
-    normalized text, then the min of each w-hash window, deduplicated →
+    normalized text, then the min of each w-hash window (windows
+    truncate at the text end), deduplicated in first-appearance order →
     (doc_id, fp) rows.
 
-    Plan: explode k-gram start positions (narrow ints), codegen'd hash
-    arithmetic, sliding-window min via a ROWS BETWEEN frame, distinct.
-    At 10^12 docs the explode is the cost — in production you'd fuse
-    this into the extraction UDF; the relational form here doubles as
-    the cross-engine oracle.
+    Plan: normalization stays a codegen'd projection; the per-char
+    hash/min pipeline runs as ONE mapInArrow stage over (doc_id, nt)
+    with NumPy doing the rolling hash and sliding minima as shifted
+    whole-array ops. The former all-Column form spent its time in
+    interpreted higher-order lambdas (transform/slice/array_min are
+    CodegenFallback — ~O(len·k + len·w) interpreted steps per doc);
+    the vectorized batch path is the guide §4.2 shape and still has
+    NO shuffle — fingerprints are emitted where the text is read.
 
-    DuckDB twin mirrors each stage (unicode() == ascii() on ASCII)."""
+    DuckDB twin mirrors the hash spec (unicode() == ascii() on ASCII;
+    UTF-32 code units here == code points on both sides)."""
     norm = norm_text_expr(F.col(text_col))
     base = df.select("doc_id", norm.alias("nt")).filter(F.length("nt") >= WINNOW_K)
+    k, w, mod = WINNOW_K, WINNOW_WINDOW, WINNOW_MOD
+    pows = list(_POWS)
 
-    # Everything in-row (zero shuffles before the final explode): codes
-    # array → rolling hashes → sliding minima → distinct. The codes
-    # array is let-bound via the array+transform trick so CollapseProject
-    # cannot inline the char-split into every per-position lambda.
-    def hashes_from(codes):
-        def hash_at(i):
-            h = None
-            for j in range(WINNOW_K):
-                term = (F.element_at(codes, i + j) * F.lit(_POWS[j])) % WINNOW_MOD
-                h = term if h is None else (h + term) % WINNOW_MOD
-            return h
+    def fps_batches(batches):
+        import numpy as np
+        import pyarrow as pa
 
-        return F.transform(
-            F.sequence(F.lit(1), F.size(codes) - (WINNOW_K - 1)), hash_at
-        )
-
-    codes_expr = F.transform(
-        F.filter(F.split(F.col("nt"), ""), lambda c: c != F.lit("")),
-        lambda c: F.ascii(c).cast("long"),
-    )
-    hashes = F.flatten(F.transform(F.array(codes_expr), hashes_from)).alias("hs")
-
-    def minima(hs):
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(hs)),
-                lambda i: F.array_min(F.slice(hs, i, WINNOW_WINDOW)),
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("nt").to_pylist()
+            out_ids: list[int] = []
+            out_fps: list["np.ndarray"] = []
+            for did, nt in zip(ids, texts):
+                # UTF-32-LE units are exactly the code points Spark's
+                # ascii()/length() see (and Python's ord())
+                codes = np.frombuffer(
+                    nt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = codes.size - (k - 1)
+                acc = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    acc = (acc + codes[j : j + n] * pows[j]) % mod
+                # truncated-window sliding minima: m[i] = min(h[i:i+w])
+                m = acc.copy()
+                for off in range(1, w):
+                    np.minimum(m[: n - off], acc[off:], out=m[: n - off])
+                # dedup preserving first appearance (array_distinct
+                # semantics)
+                _, first = np.unique(m, return_index=True)
+                fps = m[np.sort(first)]
+                out_ids.extend([did] * fps.size)
+                out_fps.append(fps)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.int64()),
+                    pa.array(
+                        np.concatenate(out_fps)
+                        if out_fps
+                        else np.empty(0, dtype=np.int64)
+                    ),
+                ],
+                names=["doc_id", "fp"],
             )
-        )
 
-    fps = F.flatten(F.transform(F.array(hashes), minima))
-    # per-doc dedup already happened in-row (array_distinct) and doc_ids
-    # are unique, so no row-level distinct — the plan has NO shuffle.
-    return base.select("doc_id", F.explode(fps).alias("fp"))
+    return base.mapInArrow(fps_batches, schema="doc_id long, fp long")
 
 
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:

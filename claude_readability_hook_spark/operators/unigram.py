@@ -204,12 +204,19 @@ def _costs_from_counts(counts: dict[str, int]) -> dict[str, int]:
     return {p: piece_cost_micro(c, total) for p, c in counts.items()}
 
 
+SEED_TOP_K = 2_000_000  # seed-inventory cap: keeps the pre-EM collect
+# genuinely vocabulary-bounded (real SentencePiece caps its seed the
+# same way); single characters are always retained for coverage
+
+
 def train_unigram(
     df: DataFrame,
     iterations: int = 2,
     max_piece_len: int = MAX_PIECE_LEN,
     top_k: int | None = None,
     text_col: str = "text",
+    seed_top_k: int | None = SEED_TOP_K,
+    pretokens: DataFrame | None = None,
 ) -> DataFrame:
     """(piece, count, cost_micro) — the trained unigram vocabulary:
     substring seed → `iterations` EM rounds (distributed Viterbi
@@ -217,11 +224,41 @@ def train_unigram(
     pieces with zero usage drop out, which cannot strand a pretoken —
     its round-k segmentation only uses surviving pieces). top_k
     prunes to the k highest-count pieces by (count DESC, piece ASC)
-    while ALWAYS retaining used single characters (coverage)."""
+    while ALWAYS retaining used single characters (coverage).
+
+    seed_top_k caps the SEED collect (the one driver-unbounded spot
+    the r8 audit flagged): the seed inventory keeps only the
+    seed_top_k highest-count pieces (count DESC, piece ASC — a
+    distributed TakeOrdered, never a single-task sort) plus ALL
+    single characters, BEFORE anything reaches the driver. At crawl
+    scale the uncapped inventory is every ≤max_piece_len substring of
+    every distinct pretoken — 10⁸⁺ rows; with the cap the collect is
+    ≤ seed_top_k + |alphabet| no matter the corpus. None disables.
+
+    `pretokens` lets a caller that already materialized the distinct
+    (pretoken, n) table (e.g. an encode pass over the same corpus)
+    share it; ownership of its lifecycle stays with the caller."""
     spark = df.sparkSession
-    pre = pretoken_table(df, text_col=text_col).persist()
-    pre.count()
-    counts = _collect_vocab(seed_piece_counts(pre, max_piece_len))
+    own_pre = pretokens is None
+    if own_pre:
+        pre = pretoken_table(df, text_col=text_col).persist()
+        pre.count()
+    else:
+        pre = pretokens
+    seeds_df = seed_piece_counts(pre, max_piece_len)
+    if seed_top_k is None:
+        counts = _collect_vocab(seeds_df)
+    else:
+        counts = _collect_vocab(
+            seeds_df.orderBy(F.col("count").desc(), "piece").limit(seed_top_k)
+        )
+        if len(counts) >= seed_top_k:
+            # the cap actually bound — backfill ALL single characters
+            # (coverage guarantee); when it did not bind, the top-k IS
+            # the full inventory and the singles job is skipped
+            counts.update(
+                _collect_vocab(seeds_df.filter(F.length("piece") == 1))
+            )
     for _ in range(iterations):
         usage_df = (
             _segment_pretokens(pre, _costs_from_counts(counts), max_piece_len)
@@ -237,7 +274,8 @@ def train_unigram(
             {p: c for p, c in counts.items() if len(p) == 1}
         )
         counts = kept
-    pre.unpersist()
+    if own_pre:
+        pre.unpersist()
     total = sum(counts.values())
     rows = [
         (p, c, piece_cost_micro(c, total)) for p, c in sorted(counts.items())
@@ -296,6 +334,7 @@ def unigram_encode_counts(
     max_piece_len: int = MAX_PIECE_LEN,
     text_col: str = "text",
     broadcast_segments: bool = True,
+    pretokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, pieces_md5): each document's unigram token
     count and the md5 of its space-joined piece stream in document
@@ -305,9 +344,16 @@ def unigram_encode_counts(
     vocab in the closure), broadcast-join the segmentations back to
     the posexploded word stream, and fold per doc with an
     order-preserving sort_array — ONE doc_id shuffle carrying narrow
-    (doc_id, pos, piece_str) rows, text scanned once."""
+    (doc_id, pos, piece_str) rows, text scanned once. A caller that
+    already holds the distinct (pretoken, n) table (e.g. right after
+    training on the same corpus) passes it via `pretokens` to skip
+    re-deriving it."""
     costs = _costs_from_counts(_collect_vocab(vocab.select("piece", "count")))
-    pre = pretoken_table(df, text_col=text_col)
+    pre = (
+        pretokens
+        if pretokens is not None
+        else pretoken_table(df, text_col=text_col)
+    )
     seg = _segment_pretokens(pre, costs, max_piece_len).select(
         F.col("pretoken").alias("w"),
         F.array_join("pieces", " ").alias("piece_str"),
