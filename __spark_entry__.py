@@ -47,8 +47,32 @@ EMBED_DIMS = 64
 # ---------------------------------------------------------------------------
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Input-layout guard (optimization guide §2.5, 'input skew: one
+    huge unsplittable file'): the sf fixtures are single-row-group
+    parquet files, so the scan is at most ONE task and every per-doc
+    expression/mapInArrow stage serializes on one core. Round-robin
+    to the session's core count when the scan is narrower than that —
+    measured 3-5× on the per-doc-compute queries for one ~0.4 s
+    exchange. At production scale inputs carry ≥ cores scan
+    partitions and this is a no-op (no exchange added); the floor is
+    derived from defaultParallelism, never a local constant."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """spread=True (default) routes through the input-layout guard —
+    right for every query whose scan stage does per-doc compute
+    (tokenize/hash/regex/mapInArrow). Pass spread=False for the
+    window- or shuffle-bound consumers that only project narrow
+    columns before their exchange: for those the round-robin (and its
+    sort-before-repartition pass) is pure cost."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread_input(df) if spread else df
 
 
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,7 +796,7 @@ def q_dsir_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    return _spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         "doc_id", "text", "lang", "source"
     )
 
@@ -1561,7 +1585,7 @@ def q_url_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/amp?print=1&q="),
         F.col("doc_id").cast("string"),
     )
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, spread=False).select(
         "doc_id", transform_url_expr(url).alias("clean_url")
     )
 
@@ -1588,7 +1612,7 @@ def q_ssrf_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0,
         F.concat(F.lit("https://example.com:3306/x/"), F.col("doc_id").cast("string")),
     ).otherwise(F.concat(F.lit("https://example.com/x/"), F.col("doc_id").cast("string")))
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, spread=False).select(
         "doc_id",
         is_valid_url_expr(url).alias("valid_url"),
         host_is_private_expr(host).alias("host_private"),
@@ -1627,8 +1651,8 @@ def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (doc_id % 10 < 3)."""
     from claude_readability_hook_spark.operators.resume import remaining_documents
 
-    src = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    done = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    src = _docs(spark, sf_dir, spread=False).select("doc_id", "n_chars")
+    done = _docs(spark, sf_dir, spread=False).filter(F.col("doc_id") % 10 < 3).select("doc_id")
     return remaining_documents(src, done)
 
 
@@ -1697,7 +1721,7 @@ def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_grouped.py."""
     from claude_readability_hook_spark.operators.grouped import per_source_stats
 
-    return per_source_stats(_docs(spark, sf_dir))
+    return per_source_stats(_docs(spark, sf_dir, spread=False))
 
 
 def q_filter_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1880,7 +1904,7 @@ def q_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (§2.7): INTERSECT and EXCEPT between the
     long-doc and high-quality doc_id sets, tagged and unioned so one
     result covers both operators."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     long_docs = docs.filter(F.col("n_chars") > 400).select("doc_id")
     early = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
     both = long_docs.intersect(early).select(F.lit("both").alias("tag"), "doc_id")
@@ -1893,7 +1917,7 @@ def q_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return cosine_topk(emb, query_vec_id=0, k=ANN_K)
 
 
@@ -1902,7 +1926,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed_projection_lsh_buckets,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return signed_projection_lsh_buckets(emb, num_planes=LSH_PLANES, dims=EMBED_DIMS)
 
 
@@ -1950,7 +1974,7 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> str:
     _publish_index(
         path,
         lambda tmp: build_lsh_index(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
             tmp,
             num_planes=LSH_PLANES,
             dims=EMBED_DIMS,
@@ -1960,7 +1984,7 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _query_embedding(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return [
         float(v)
         for v in emb.filter(F.col("vec_id") == vec_id).collect()[0]["embedding"]
@@ -1975,7 +1999,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import lsh_bucket_expr
 
     path = _lsh_index(spark, sf_dir)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     qb = (
         emb.filter(F.col("vec_id") == 0)
         .select(lsh_bucket_expr(F.col("embedding"), LSH_PLANES, EMBED_DIMS).alias("b"))
@@ -1991,7 +2015,7 @@ ANN_N_PROBE = 2
 def q_ann_lsh_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import lsh_query_probes
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return lsh_query_probes(
         emb, query_vec_id=0, n_probe=ANN_N_PROBE, num_planes=LSH_PLANES, dims=EMBED_DIMS
     )
@@ -2005,7 +2029,7 @@ def q_ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import lsh_query_probes
 
     path = _lsh_index(spark, sf_dir)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     probes = [
         r["probe_bucket"]
         for r in lsh_query_probes(
@@ -2029,7 +2053,7 @@ IVF_SAMPLE_MOD = 4
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import quantize_embeddings
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     # compare the digest, not the raw int array (array formatting is
     # engine-specific in the driver's value hash)
     return quantize_embeddings(emb).select("vec_id", "q_md5", "scale")
@@ -2040,7 +2064,7 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG) — assignment still covers every vector."""
     from claude_readability_hook_spark.operators.similarity import ivf_assign
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return ivf_assign(
         emb, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
         sample_mod=IVF_SAMPLE_MOD,
@@ -2066,7 +2090,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish_index(
         path,
         lambda tmp: build_ivf_index(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
             tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
             sample_mod=IVF_SAMPLE_MOD,
         ),
@@ -2098,7 +2122,7 @@ def q_ivf_ann_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish_index(
         path,
         lambda tmp: build_ivf_index_q8(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
             tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
             sample_mod=IVF_SAMPLE_MOD,
         ),
@@ -2189,7 +2213,7 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish_index(
         path,
         lambda tmp: build_ivf_pq_index(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
             tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
             sample_mod=IVF_SAMPLE_MOD,
         ),
@@ -2346,12 +2370,12 @@ def q_ann_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish_index(
         path,
         lambda tmp: build_ivf_pq_index(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
             tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
             sample_mod=IVF_SAMPLE_MOD,
         ),
     )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2450,7 +2474,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, "ivf",
         f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
     )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     _publish_index(
         path,
         lambda tmp: build_ivf_index(
@@ -2515,7 +2539,7 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, "ivf",
         f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
     )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     _publish_index(
         path,
         lambda tmp: build_ivf_index(
@@ -2546,7 +2570,7 @@ def q_ann_knn_join_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, "ivfq8",
         f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
     )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     _publish_index(
         path,
         lambda tmp: build_ivf_index_q8(
@@ -2629,7 +2653,7 @@ def q_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.ann_index import lsh_knn_join
 
     path = _lsh_index(spark, sf_dir)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2645,7 +2669,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded, not pair-expanded)."""
     from claude_readability_hook_spark.operators.similarity import semantic_dedup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return semantic_dedup_pairs(
         emb,
         threshold=0.35,
@@ -2672,13 +2696,13 @@ def q_dedup_semantic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.sampling import train_val_split
 
-    return train_val_split(_docs(spark, sf_dir), val_fraction=0.1)
+    return train_val_split(_docs(spark, sf_dir, spread=False), val_fraction=0.1)
 
 
 def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.sampling import cap_per_source
 
-    return cap_per_source(_docs(spark, sf_dir), max_docs=15)
+    return cap_per_source(_docs(spark, sf_dir, spread=False), max_docs=15)
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2694,7 +2718,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source") == "src1", F.lit(0.2))
         .otherwise(F.lit(0.5))
     )
-    return source_weighted_sample(_docs(spark, sf_dir), frac).select(
+    return source_weighted_sample(_docs(spark, sf_dir, spread=False), frac).select(
         "doc_id", "source"
     )
 
@@ -2715,7 +2739,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("https://www.example.com/articles/"), page, F.lit("?print=1")))
     )
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select("doc_id", transform_url_expr(url).alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
@@ -2737,27 +2761,52 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-pipeline composition — the manifest a user materializes
     before tokenizing: curation gate (lang ∧ quality ∧ not-dup-loser)
-    ∧ deterministic train split ∧ per-source cap, joined on the narrow
-    doc_id key (text never travels past the gate)."""
-    from claude_readability_hook_spark.operators.curation import curate
-    from claude_readability_hook_spark.operators.sampling import (
-        cap_per_source,
-        train_val_split,
+    ∧ deterministic train split ∧ per-source cap (text never travels
+    past the gate).
+
+    Fused single-scan form: the three legs all key on the unique
+    doc_id, so their inner joins are set intersection — equivalently,
+    one narrow base projection (lang, quality, dup hash, split
+    bucket) with the dup-loser and per-source-cap ranks as two
+    chained windows and ONE conjunctive filter. The former
+    three-frame join read the corpus four times; this reads it once
+    and shuffles only narrow columns (plan: 2 Exchange, both on
+    (hash/source) + int rows)."""
+    from pyspark.sql import Window
+
+    from claude_readability_hook_spark.operators.dedup import h32_expr
+    from claude_readability_hook_spark.operators.textcommon import (
+        norm_text_expr,
+    )
+    from claude_readability_hook_spark.operators.textstats import (
+        lang_pred_expr,
+        quality_keep_expr,
     )
 
     docs = _docs(spark, sf_dir)
-    kept = (
-        curate(docs.select("doc_id", "text"))
-        .filter(F.col("keep"))
-        .select("doc_id", "lang_pred")
+    text = F.col("text")
+    id_hash = h32_expr(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        lang_pred_expr(text).alias("lang_pred"),
+        quality_keep_expr(text).alias("quality_keep"),
+        F.md5(norm_text_expr(text)).alias("dup_hash"),
+        (id_hash % 10_000).alias("bucket"),
+        id_hash.alias("id_hash"),
     )
-    train = train_val_split(docs).filter(F.col("split") == "train").select("doc_id")
-    capped = cap_per_source(docs, max_docs=15)
-    return (
-        kept.join(train, "doc_id")
-        .join(capped, "doc_id")
-        .select("doc_id", "source", "lang_pred")
-    )
+    w_dup = Window.partitionBy("dup_hash").orderBy("doc_id")
+    w_cap = Window.partitionBy("source").orderBy("id_hash", "doc_id")
+    ranked = base.withColumn(
+        "_dup_rn", F.row_number().over(w_dup)
+    ).withColumn("_cap_rn", F.row_number().over(w_cap))
+    return ranked.filter(
+        F.col("quality_keep")
+        & (F.col("lang_pred") == "en")
+        & (F.col("_dup_rn") == 1)  # curate: not an exact-dup loser
+        & (F.col("bucket") >= 1_000)  # train_val_split: train at 10%
+        & (F.col("_cap_rn") <= 15)  # cap_per_source(max_docs=15)
+    ).select("doc_id", "source", "lang_pred")
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4950,7 +4999,7 @@ def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Disallow: /"),
     )
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select(hn.alias("hn"))
         .distinct()
         .select(
@@ -5068,7 +5117,7 @@ def _robots_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 3, F.concat(F.lit("/q/"), did))
         .otherwise(F.concat(F.lit("/p/"), did))
     )
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, spread=False).select(
         F.concat(F.lit("https://"), host, path).alias("url")
     )
 
@@ -5209,7 +5258,7 @@ def _sitemap_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</urlset>"),
     )
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select((F.col("doc_id") % 8).cast("int").alias("hn"))
         .distinct()
         .select(hs.alias("host"), body.alias("sitemap_xml"))
@@ -5277,7 +5326,7 @@ def _retry_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]))
     )
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select(
             F.concat(
                 F.lit("https://r.example.com/"), F.col("doc_id").cast("string")
@@ -5799,7 +5848,7 @@ def _frontier_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     priorities all closed-form in doc_id."""
     hosts = F.array(*[F.lit(h) for h in DOMAIN_HOSTS])
     host = F.element_at(hosts, (F.col("doc_id") % 8 + 1).cast("int"))
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, spread=False).select(
         F.concat(
             F.lit("https://"), host, F.lit("/p/"),
             F.col("doc_id").cast("string"),

@@ -13,10 +13,10 @@ recomputation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import exact_dup_losers
+from .textcommon import norm_text_expr
 from .textstats import lang_pred_expr, quality_keep_expr
 
 
@@ -28,22 +28,32 @@ def curate(
     """(doc_id, lang_pred, quality_keep, is_dup_loser, keep).
 
     keep = quality gate AND language gate AND not an exact-duplicate
-    loser (the group keeper survives, so dedup never empties a group)."""
+    loser (the group keeper survives, so dedup never empties a group).
+
+    ONE corpus scan: language, quality and the dedup hash ride the
+    same projection, and the loser flag is the dup_hash window rank
+    computed in place (rank ≥ 2 ⟺ exact_dup_losers membership). The
+    former two-frame join read the corpus twice and broadcast the
+    loser set — a corpus-sized broadcast hazard on a duplicate-heavy
+    crawl; here the one exchange carries only (doc_id, lang, flag,
+    16-byte hash) rows."""
     text = F.col(text_col)
-    gated = df.select(
+    base = df.select(
         "doc_id",
         lang_pred_expr(text).alias("lang_pred"),
         quality_keep_expr(text).alias("quality_keep"),
+        F.md5(norm_text_expr(text)).alias("dup_hash"),
     )
-    losers = exact_dup_losers(df, text_col).withColumn("is_dup_loser", F.lit(True))
-    return gated.join(losers, "doc_id", "left").select(
+    w = Window.partitionBy("dup_hash").orderBy("doc_id")
+    is_loser = F.row_number().over(w) >= 2
+    return base.withColumn("is_dup_loser", is_loser).select(
         "doc_id",
         "lang_pred",
         "quality_keep",
-        F.coalesce(F.col("is_dup_loser"), F.lit(False)).alias("is_dup_loser"),
+        "is_dup_loser",
         (
             F.col("quality_keep")
             & F.col("lang_pred").isin(*keep_langs)
-            & ~F.coalesce(F.col("is_dup_loser"), F.lit(False))
+            & ~F.col("is_dup_loser")
         ).alias("keep"),
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textcommon import norm_text_expr, shingles_expr, tokens_expr
+from .textcommon import norm_text_expr
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -77,9 +77,46 @@ def exact_dedup_keepers(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingles array<string>) — shared by the near-dup family."""
-    return df.select(
-        "doc_id", shingles_expr(tokens_expr(F.col(text_col)), n).alias("shingles")
+    """(doc_id, shingles array<string>) — shared by the near-dup
+    family. Distinct n-grams in first-appearance order (array_distinct
+    semantics), built in ONE mapInArrow stage instead of the
+    interpreted shingles_expr lambda chain (CodegenFallback); the
+    tokenizer is the exact Java-\\s clone, so arrays are identical."""
+    base = df.select("doc_id", F.col(text_col).alias("t"))
+
+    def sh_batches(batches):
+        import re
+
+        import pyarrow as pa
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("t").to_pylist()
+            out: list[list[str]] = []
+            for txt in texts:
+                toks = [t for t in ws.split(txt) if t]
+                if len(toks) < n:
+                    out.append([])
+                    continue
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        )
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(out, pa.list_(pa.string())),
+                ],
+                names=["doc_id", "shingles"],
+            )
+
+    return base.mapInArrow(
+        sh_batches, schema="doc_id long, shingles array<string>"
     )
 
 
@@ -131,24 +168,68 @@ def _expand_pairs(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
 def minhash_signature(
     df: DataFrame, num_hashes: int = 12, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Minhash signature as num_hashes columns s0..s{k-1}.
+    """Minhash signature as num_hashes columns s0..s{k-1}; docs with
+    no shingle (< n tokens) are absent, matching the shingle-set
+    semantics.
 
-    Plan: explode shingles → ONE md5 per (doc, shingle) → k affine
-    hashes (codegen arithmetic) → groupBy(doc_id) min-agg. The partial
-    (map-side) min makes the shuffle one tiny row per doc — at 10^12
-    docs the shuffled payload is signatures, never text."""
+    ONE mapInArrow stage: tokenize, shingle, md5-prefix hash and the
+    k affine minima all happen where the text is read — hashlib md5
+    matches Spark md5() byte-for-byte and the affine arithmetic is
+    exact int64 (A < 2^30 keeps A·h32+B < 2^62), so signatures are
+    bit-identical to the former explode → groupBy(doc_id) min-agg
+    plan while skipping its interpreted shingle lambdas AND its
+    per-shingle shuffle rows entirely — at 10^12 docs NOTHING
+    shuffles here; signatures emerge in the scan stage."""
     A, B = minhash_params(num_hashes)
-    shingled = doc_shingles(df, text_col, n).filter(F.size("shingles") > 0)
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", h32_expr(F.col("s")).alias("h32")
+    prime = MINHASH_PRIME
+    base = df.select("doc_id", F.col(text_col).alias("t"))
+
+    def sig_batches(batches):
+        import re
+        from hashlib import md5
+
+        import numpy as np
+        import pyarrow as pa
+
+        # Java regex \s == [ \t\n\x0b\f\r] (ASCII-only) — match
+        # tokens_expr exactly
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        Aa = np.array(A, dtype=np.int64)[:, None]
+        Bb = np.array(B, dtype=np.int64)[:, None]
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("t").to_pylist()
+            out_ids: list[int] = []
+            sigs: list[np.ndarray] = []
+            for did, txt in zip(ids, texts):
+                toks = [t for t in ws.split(txt) if t]
+                if len(toks) < n:
+                    continue
+                sh = {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                hs = np.array(
+                    [int(md5(s.encode()).hexdigest()[:8], 16) for s in sh],
+                    dtype=np.int64,
+                )
+                out_ids.append(did)
+                sigs.append(((Aa * hs + Bb) % prime).min(axis=1))
+            mat = (
+                np.stack(sigs)
+                if sigs
+                else np.empty((0, num_hashes), dtype=np.int64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.int64())]
+                + [pa.array(mat[:, i]) for i in range(num_hashes)],
+                names=["doc_id"] + [f"s{i}" for i in range(num_hashes)],
+            )
+
+    schema = ", ".join(
+        ["doc_id long"] + [f"s{i} long" for i in range(num_hashes)]
     )
-    mins = [
-        F.min((F.lit(A[i]) * F.col("h32") + F.lit(B[i])) % F.lit(MINHASH_PRIME)).alias(
-            f"s{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    return exploded.groupBy("doc_id").agg(*mins)
+    return base.mapInArrow(sig_batches, schema=schema)
 
 
 def minhash_band_buckets(
@@ -358,39 +439,54 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
 
     Token bit b is bit (3 − b%4) of hex char b//4 of md5(token) —
     arithmetic only, so the identical formula runs in DuckDB.
-    Signature bit b is the sign of the ±1 vote sum.
+    Signature bit b is the sign of the ±1 vote sum (every OCCURRENCE
+    votes); tokenless docs carry simhash 0.
 
-    Plan: explode tokens → ONE md5 per (doc, token) → `bits` vote sums
-    in a codegen'd hash aggregate (map-side partial ⇒ the shuffle is one
-    short row per doc). Tokenless docs are restored with simhash 0 via
-    the left join."""
-    tokens = tokens_expr(F.col(text_col))
-    exploded = df.select("doc_id", F.explode(tokens).alias("tok")).select(
-        "doc_id", F.md5(F.col("tok")).alias("h")
-    )
+    ONE mapInArrow stage, no shuffle at all: per batch, token counts
+    fold into the vote sums with one md5 per DISTINCT token per doc
+    (a repeated token multiplies its vote instead of re-hashing — the
+    former explode plan hashed every occurrence), and every doc row
+    is emitted directly so the tokenless-restore join disappears.
+    Exact integer votes, hashlib md5 == Spark md5 — signatures are
+    bit-identical."""
+    base = df.select("doc_id", F.col(text_col).alias("t"))
+    nhex = (bits + 3) // 4
 
-    def bit(b):
-        c = F.substring(F.col("h"), b // 4 + 1, 1)
-        val = F.instr(F.lit("0123456789abcdef"), c) - 1
-        shift = 3 - (b % 4)
-        return F.floor(val / F.lit(2**shift)).cast("long") % 2
+    def sim_batches(batches):
+        import re
+        from collections import Counter
+        from hashlib import md5
 
-    votes = [
-        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}") for b in range(bits)
-    ]
-    agg = exploded.groupBy("doc_id").agg(*votes)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    agg = agg.select("doc_id", sig.alias("simhash"))
-    return (
-        df.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select("doc_id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
-    )
+        import pyarrow as pa
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("t").to_pylist()
+            out: list[int] = []
+            for txt in texts:
+                votes = [0] * bits
+                for tok, c in Counter(
+                    t for t in ws.split(txt) if t
+                ).items():
+                    hv = int(md5(tok.encode()).hexdigest()[:nhex], 16)
+                    top = nhex * 4 - 1
+                    for b in range(bits):
+                        if (hv >> (top - b)) & 1:
+                            votes[b] += c
+                        else:
+                            votes[b] -= c
+                sig = 0
+                for b in range(bits):
+                    if votes[b] > 0:
+                        sig |= 1 << b
+                out.append(sig)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(out, pa.int64())],
+                names=["doc_id", "simhash"],
+            )
+
+    return base.mapInArrow(sim_batches, schema="doc_id long, simhash long")
 
 
 def ngram_jaccard_pairs(

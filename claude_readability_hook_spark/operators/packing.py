@@ -402,7 +402,13 @@ def _symbol_stream_to_packs(
     """The shared position arithmetic from a (doc_id, shard, widx,
     syms, n_sym) word-row frame to packed (shard, pack_id, n, tokens)
     records — every position is a sum of three exact integers (doc
-    begin / word begin / symbol index); tokenizer-family-agnostic."""
+    begin / word begin / symbol index); tokenizer-family-agnostic.
+
+    Deliberately NOT checkpointed: the frame is referenced by the
+    in-doc window, the count agg and the final explode, but its rows
+    carry the symbol arrays — materializing the full stream once was
+    measured 2.5× SLOWER than letting the two cheap narrow references
+    recompute their scan+broadcast-join lineage (r9)."""
     # word begin WITHIN its doc: window bounded by one doc's word count
     in_doc = wrows.withColumn(
         "wbegin",
