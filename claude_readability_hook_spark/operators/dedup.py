@@ -143,26 +143,34 @@ def h32_expr(s):
 
 def _expand_pairs(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
     """Bucket rows (… , ids: sorted array) → distinct (doc_a, doc_b)
-    pairs, expanded in-row (no self-join, so the bucket pipeline is
-    computed exactly once)."""
-    m = F.size(F.col(ids_col))
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), m - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, m),
-                lambda j: F.struct(
-                    F.element_at(F.col(ids_col), i).alias("doc_a"),
-                    F.element_at(F.col(ids_col), j).alias("doc_b"),
-                ),
-            ),
-        )
-    )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    pairs, expanded where the bucket row lives (no self-join, so the
+    bucket pipeline is computed exactly once). The m² expansion runs
+    as a mapInArrow batch loop — the nested sequence/transform/struct
+    Column form it replaces is interpreted per element
+    (CodegenFallback); the distinct stays a JVM hash agg."""
+    buckets = grouped.select(F.col(ids_col).alias("ids"))
+
+    def expand(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            a: list[int] = []
+            b: list[int] = []
+            for ids in batch.column("ids").to_pylist():
+                m = len(ids)
+                for i in range(m - 1):
+                    x = ids[i]
+                    for j in range(i + 1, m):
+                        a.append(x)
+                        b.append(ids[j])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+                names=["doc_a", "doc_b"],
+            )
+
+    return buckets.mapInArrow(
+        expand, schema="doc_a long, doc_b long"
+    ).distinct()
 
 
 def minhash_signature(
@@ -524,25 +532,30 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list("dk")).alias("ks"))
         .filter((F.size("ks") >= 2) & (F.size("ks") <= max_shingle_df))
     )
-    m = F.size("ks")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), m - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, m),
-                lambda j: F.struct(
-                    F.element_at(F.col("ks"), i).alias("a"),
-                    F.element_at(F.col("ks"), j).alias("b"),
-                ),
-            ),
-        )
-    )
-    # project struct fields to flat columns BEFORE the groupBy: struct
-    # field access used directly as grouping keys defeats codegen and
-    # re-evaluates the expansion expression (measured 4×).
+    # m² bucket expansion as a mapInArrow batch loop (the nested
+    # sequence/transform/struct Column form is interpreted per
+    # element — CodegenFallback); the shared-count hash agg stays JVM
+    def expand(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            a: list[int] = []
+            b: list[int] = []
+            for ks in batch.column("ks").to_pylist():
+                m = len(ks)
+                for i in range(m - 1):
+                    x = ks[i]
+                    for j in range(i + 1, m):
+                        a.append(x)
+                        b.append(ks[j])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+                names=["ka", "kb"],
+            )
+
     shared = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.a").alias("ka"), F.col("p.b").alias("kb"))
+        grouped.select("ks")
+        .mapInArrow(expand, schema="ka long, kb long")
         .groupBy("ka", "kb")
         .agg(F.count("*").alias("shared"))
     )

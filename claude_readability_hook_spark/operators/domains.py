@@ -149,13 +149,20 @@ def domain_signals(
         F.sum("nc").cast("long").alias("n_chars"),
     )
 
-    # when we own the LM, train WITHOUT persist: each count table is
-    # referenced once here and ships as a broadcast, so a cache would
-    # only outlive the call as driver-session residue (the r6 ADVICE
-    # ownership rule — callers passing `lm` own their own release)
-    bg, ctx, vocab = lm if lm is not None else train_bigram_lm(
-        docs, sample_mod, text_col, persist=False
-    )
+    # when we own the LM, train WITHOUT persist (the r6 ADVICE
+    # ownership rule — callers passing `lm` own their own release),
+    # but materialize the vocab-bounded bigram table once: the
+    # broadcast-auto count below is an extra reference, and without
+    # a checkpoint it would replay the whole sample scan + pair agg
+    # that derives bg (and ctx would replay it a third time)
+    if lm is not None:
+        bg, ctx, vocab = lm
+    else:
+        bg, _ctx, vocab = train_bigram_lm(
+            docs, sample_mod, text_col, persist=False
+        )
+        bg = bg.localCheckpoint(eager=True)
+        ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     pairs = docs.select(
         registrable_domain_expr(F.col(host_col)).alias("domain"),
         F.explode(_pairs_expr(_lower_tokens(text_col))).alias("p"),
