@@ -388,6 +388,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
     )
     converged = False
+    stale: list[DataFrame] = []
     for round_idx in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -406,7 +407,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             # here without ever paying the jump self-join
             updated = hop.select(
                 "node", F.col("hop_label").alias("new_label"), "label"
-            ).localCheckpoint(eager=True)
+            )
         else:
             # pointer jump: follow the adopted label one more step. A
             # label is always the id of a node in the table (min over
@@ -425,8 +426,20 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                     ).alias("new_label"),
                     "label",
                 )
-            ).localCheckpoint(eager=True)  # break the per-round lineage chain
+            )
+        # ONE driver barrier per round: the convergence count's job
+        # doubles as the cache materialization (the former eager
+        # checkpoint + count paid two). Lineage still truncates every
+        # few rounds so the iterative plan stays bounded; superseded
+        # caches release once the new generation is materialized.
+        if (round_idx + 1) % 4 == 0:
+            updated = updated.localCheckpoint(eager=True)
+        else:
+            updated = updated.persist()
         changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        for s in stale:
+            s.unpersist()
+        stale = [updated]
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             converged = True

@@ -70,18 +70,20 @@ def domain_pagerank(
 
     outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
     # contribution edges: (src, dst, 1/outdeg) — built once, reused
-    # co-partitioned by src every iteration
+    # co-partitioned by src every iteration; lazy persist — the first
+    # iteration's job materializes it (an eager count here would be
+    # one more driver barrier for nothing)
     contrib = (
         e.join(outdeg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("share"))
         .repartition("src")
         .persist()
     )
-    contrib.count()
 
     ranks = nodes.select("domain", F.lit(1.0 / n).alias("rank")).persist()
     has_out = outdeg.select(F.col("src").alias("domain"))
     base = (1.0 - damping) / n
+    stale: list[DataFrame] = []
     for i in range(iterations):
         # the dangling scalar rides the plan as a broadcast 1-row
         # frame (the micro twin's pattern): one materialization action
@@ -113,13 +115,24 @@ def domain_pagerank(
                 ).alias("rank"),
             )
         )
+        # one driver barrier per CHECKPOINT, not per round: off-
+        # checkpoint rounds persist LAZILY (the next round's dangling
+        # scan — or the checkpoint/final barrier — materializes the
+        # cache), and superseded generations are released only after
+        # a downstream materialization no longer needs them
         if (i + 1) % _CHECKPOINT_EVERY == 0:
-            new_ranks = new_ranks.localCheckpoint()
+            new_ranks = new_ranks.localCheckpoint()  # eager barrier
+            stale.append(ranks)
+            for s in stale:
+                s.unpersist()
+            stale = []
         else:
             new_ranks = new_ranks.persist()
-            new_ranks.count()
-        ranks.unpersist()
+            stale.append(ranks)
         ranks = new_ranks
+    ranks.count()  # materialize the tail rounds before releasing them
+    for s in stale:
+        s.unpersist()
     nodes.unpersist()
     contrib.unpersist()
     return ranks
@@ -169,14 +182,16 @@ def domain_pagerank_micro(
         return nodes.select("domain", F.lit(0).cast("long").alias("rank_micro"))
 
     outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    # lazy persist — the first iteration materializes it (the former
+    # eager count was one more driver barrier for nothing)
     ed = e.join(outdeg, "src").repartition("src").persist()
-    ed.count()
 
     base = ((100 - damping_pct) * scale) // (100 * n)
     ranks = nodes.select(
         "domain", F.lit(scale // n).cast("long").alias("rank_micro")
     ).persist()
     has_out = outdeg.select(F.col("src").alias("domain"))
+    stale: list[DataFrame] = []
     for i in range(iterations):
         # the dangling scalar stays IN the plan as a broadcast 1-row
         # frame — one action per iteration (the persist/checkpoint
@@ -211,13 +226,22 @@ def domain_pagerank_micro(
                 ).alias("rank_micro"),
             )
         )
+        # same barrier discipline as the float loop: lazy persist on
+        # off-checkpoint rounds, release superseded generations only
+        # after a downstream materialization
         if (i + 1) % _CHECKPOINT_EVERY == 0:
-            new_ranks = new_ranks.localCheckpoint()
+            new_ranks = new_ranks.localCheckpoint()  # eager barrier
+            stale.append(ranks)
+            for s in stale:
+                s.unpersist()
+            stale = []
         else:
             new_ranks = new_ranks.persist()
-            new_ranks.count()
-        ranks.unpersist()
+            stale.append(ranks)
         ranks = new_ranks
+    ranks.count()  # materialize the tail rounds before releasing them
+    for s in stale:
+        s.unpersist()
     nodes.unpersist()
     ed.unpersist()
     return ranks

@@ -72,10 +72,11 @@ def frequent_segments(
 ) -> DataFrame:
     """(seg_md5, n_docs) for segments in ≥ min_docs distinct docs —
     the boilerplate blocklist. Shuffle carries hashes only."""
-    seg = docs.select(
-        "doc_id",
-        F.explode(segments_expr(F.col(text_col), seg_tokens)).alias("seg"),
-    ).select("doc_id", F.md5(F.col("seg")).alias("seg_md5"))
+    seg = (
+        _doc_segments(docs, seg_tokens, text_col)
+        .select("doc_id", F.explode("segs").alias("seg"))
+        .select("doc_id", F.md5(F.col("seg")).alias("seg_md5"))
+    )
     return (
         seg.groupBy("seg_md5")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -118,6 +119,49 @@ def scrub_duplicated_spans(
     return kept.select("doc_id", F.array_join(F.col("kept"), " ").alias(text_col))
 
 
+def _doc_segments(
+    docs: DataFrame, seg_tokens: int, text_col: str
+) -> DataFrame:
+    """(doc_id, segs array<string>) — segments_expr's windows built in
+    ONE mapInArrow stage (exact Java-\\s tokenizer clone, identical
+    window arithmetic). The Column form is an interpreted
+    higher-order-lambda chain (CodegenFallback) and this frame is
+    referenced by three plan consumers (frequency, drops, reassembly),
+    so the per-pass cost is paid up to 3× — native batches make each
+    pass cheap instead of materializing anything."""
+    base = docs.select("doc_id", F.col(text_col).alias("t"))
+
+    def seg_batches(batches):
+        import re
+
+        import pyarrow as pa
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("t").to_pylist()
+            out: list[list[str]] = []
+            for txt in texts:
+                toks = [t for t in ws.split(txt) if t]
+                out.append(
+                    [
+                        " ".join(toks[i : i + seg_tokens])
+                        for i in range(0, len(toks), seg_tokens)
+                    ]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(out, pa.list_(pa.string())),
+                ],
+                names=["doc_id", "segs"],
+            )
+
+    return base.mapInArrow(
+        seg_batches, schema="doc_id long, segs array<string>"
+    )
+
+
 def _kept_segments(
     docs: DataFrame,
     min_docs: int,
@@ -125,8 +169,7 @@ def _kept_segments(
     text_col: str,
     broadcast_drops: bool = True,
 ) -> DataFrame:
-    seg_arr = segments_expr(F.col(text_col), seg_tokens)
-    with_segs = docs.select("doc_id", seg_arr.alias("segs"))
+    with_segs = _doc_segments(docs, seg_tokens, text_col)
     exploded = with_segs.select(
         "doc_id",
         F.posexplode(F.col("segs")).alias("idx", "seg"),
