@@ -75,11 +75,15 @@ def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     return _spread_input(df) if spread else df
 
 
-def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_planted_dups(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """documents ∪ planted clones: every doc_id % 10 == 0 reappears as
     doc_id+1000000 with ' extra token' appended — guarantees the dedup
-    operators have true positives to find. DuckDB twin: _DUP_SQL."""
-    base = _docs(spark, sf_dir).select("doc_id", "text")
+    operators have true positives to find. DuckDB twin: _DUP_SQL.
+    spread=False for the consumers whose per-doc compute is one cheap
+    hash (the spread exchange costs more than it parallelizes)."""
+    base = _docs(spark, sf_dir, spread=spread).select("doc_id", "text")
     clones = (
         base.filter(F.col("doc_id") % 10 == 0)
         .select(
@@ -140,7 +144,7 @@ def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_docs_with_planted_dups(spark, sf_dir))
+    return exact_duplicates(_docs_with_planted_dups(spark, sf_dir, spread=False))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4132,7 +4136,7 @@ def q_bloom_url_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(
         F.lit("https://example.com/x/"), F.col("doc_id").cast("string")
     )
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     catalog = docs.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
     probes = docs.select("doc_id", url.alias("url"))
     bloom = build_bloom(catalog)

@@ -66,6 +66,7 @@ def _doc_shingle_hashes(
     base = df.select(
         "doc_id", F.col(source_col).alias("source"), F.col(text_col).alias("t")
     )
+    id_type = base.schema["doc_id"].dataType.simpleString()
 
     def hash_batches(batches):
         import re
@@ -78,8 +79,6 @@ def _doc_shingle_hashes(
         # matches tokens_expr exactly
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         for batch in batches:
-            ids = batch.column("doc_id").to_pylist()
-            srcs = batch.column("source").to_pylist()
             texts = batch.column("t").to_pylist()
             out: list[list[int]] = []
             for txt in texts:
@@ -100,15 +99,16 @@ def _doc_shingle_hashes(
                     out.append([])
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ids, pa.int64()),
-                    pa.array(srcs, pa.string()),
+                    batch.column("doc_id"),  # caller's id type, verbatim
+                    batch.column("source"),
                     pa.array(out, pa.list_(pa.int64())),
                 ],
                 names=["doc_id", "source", "hs"],
             )
 
     return base.mapInArrow(
-        hash_batches, schema="doc_id long, source string, hs array<long>"
+        hash_batches,
+        schema=f"doc_id {id_type}, source string, hs array<long>",
     )
 
 

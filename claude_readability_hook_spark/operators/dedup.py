@@ -12,8 +12,10 @@ Four tiers, each with a different cost/recall point at 100 TB:
 
 Scale notes (the design point is 10^12 docs):
   - every operator keys its shuffle on a short hash/shingle, never on
-    raw text; signatures are computed in-row with array expressions
-    (whole-stage codegen, zero Python)
+    raw text; signatures are computed where the text is read — as of
+    r9 via mapInArrow batch loops (hashlib md5 == Spark md5, exact
+    int64 arithmetic), which replaced the interpreted higher-order
+    Column forms (CodegenFallback) at identical results
   - minhash banding keeps the self-join key space sparse: expected
     bucket size is O(1) for non-duplicates, so the join output is
     ~linear in the number of true near-dup pairs
@@ -83,6 +85,7 @@ def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
     interpreted shingles_expr lambda chain (CodegenFallback); the
     tokenizer is the exact Java-\\s clone, so arrays are identical."""
     base = df.select("doc_id", F.col(text_col).alias("t"))
+    id_type = base.schema["doc_id"].dataType.simpleString()
 
     def sh_batches(batches):
         import re
@@ -91,7 +94,6 @@ def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
 
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         for batch in batches:
-            ids = batch.column("doc_id").to_pylist()
             texts = batch.column("t").to_pylist()
             out: list[list[str]] = []
             for txt in texts:
@@ -109,14 +111,14 @@ def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame
                 )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ids, pa.int64()),
+                    batch.column("doc_id"),  # caller's id type, verbatim
                     pa.array(out, pa.list_(pa.string())),
                 ],
                 names=["doc_id", "shingles"],
             )
 
     return base.mapInArrow(
-        sh_batches, schema="doc_id long, shingles array<string>"
+        sh_batches, schema=f"doc_id {id_type}, shingles array<string>"
     )
 
 
@@ -149,14 +151,17 @@ def _expand_pairs(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
     Column form it replaces is interpreted per element
     (CodegenFallback); the distinct stays a JVM hash agg."""
     buckets = grouped.select(F.col(ids_col).alias("ids"))
+    elem_type = buckets.schema["ids"].dataType.elementType.simpleString()
 
     def expand(batches):
         import pyarrow as pa
 
         for batch in batches:
-            a: list[int] = []
-            b: list[int] = []
-            for ids in batch.column("ids").to_pylist():
+            col = batch.column("ids")
+            et = col.type.value_type
+            a: list = []
+            b: list = []
+            for ids in col.to_pylist():
                 m = len(ids)
                 for i in range(m - 1):
                     x = ids[i]
@@ -164,12 +169,12 @@ def _expand_pairs(grouped: DataFrame, ids_col: str = "ids") -> DataFrame:
                         a.append(x)
                         b.append(ids[j])
             yield pa.RecordBatch.from_arrays(
-                [pa.array(a, pa.int64()), pa.array(b, pa.int64())],
+                [pa.array(a, et), pa.array(b, et)],
                 names=["doc_a", "doc_b"],
             )
 
     return buckets.mapInArrow(
-        expand, schema="doc_a long, doc_b long"
+        expand, schema=f"doc_a {elem_type}, doc_b {elem_type}"
     ).distinct()
 
 
@@ -191,6 +196,7 @@ def minhash_signature(
     A, B = minhash_params(num_hashes)
     prime = MINHASH_PRIME
     base = df.select("doc_id", F.col(text_col).alias("t"))
+    id_type = base.schema["doc_id"].dataType.simpleString()
 
     def sig_batches(batches):
         import re
@@ -205,11 +211,10 @@ def minhash_signature(
         Aa = np.array(A, dtype=np.int64)[:, None]
         Bb = np.array(B, dtype=np.int64)[:, None]
         for batch in batches:
-            ids = batch.column("doc_id").to_pylist()
             texts = batch.column("t").to_pylist()
-            out_ids: list[int] = []
+            keep: list[int] = []
             sigs: list[np.ndarray] = []
-            for did, txt in zip(ids, texts):
+            for row, txt in enumerate(texts):
                 toks = [t for t in ws.split(txt) if t]
                 if len(toks) < n:
                     continue
@@ -221,21 +226,23 @@ def minhash_signature(
                     [int(md5(s.encode()).hexdigest()[:8], 16) for s in sh],
                     dtype=np.int64,
                 )
-                out_ids.append(did)
+                keep.append(row)
                 sigs.append(((Aa * hs + Bb) % prime).min(axis=1))
             mat = (
                 np.stack(sigs)
                 if sigs
                 else np.empty((0, num_hashes), dtype=np.int64)
             )
+            # take() preserves the caller's doc_id type exactly —
+            # streaming/index callers use string ids, the corpus long
+            ids = batch.column("doc_id").take(pa.array(keep, pa.int32()))
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out_ids, pa.int64())]
-                + [pa.array(mat[:, i]) for i in range(num_hashes)],
+                [ids] + [pa.array(mat[:, i]) for i in range(num_hashes)],
                 names=["doc_id"] + [f"s{i}" for i in range(num_hashes)],
             )
 
     schema = ", ".join(
-        ["doc_id long"] + [f"s{i} long" for i in range(num_hashes)]
+        [f"doc_id {id_type}"] + [f"s{i} long" for i in range(num_hashes)]
     )
     return base.mapInArrow(sig_batches, schema=schema)
 
@@ -471,6 +478,7 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
     Exact integer votes, hashlib md5 == Spark md5 — signatures are
     bit-identical."""
     base = df.select("doc_id", F.col(text_col).alias("t"))
+    id_type = base.schema["doc_id"].dataType.simpleString()
     nhex = (bits + 3) // 4
 
     def sim_batches(batches):
@@ -482,7 +490,6 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
 
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         for batch in batches:
-            ids = batch.column("doc_id").to_pylist()
             texts = batch.column("t").to_pylist()
             out: list[int] = []
             for txt in texts:
@@ -503,11 +510,13 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
                         sig |= 1 << b
                 out.append(sig)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, pa.int64()), pa.array(out, pa.int64())],
+                [batch.column("doc_id"), pa.array(out, pa.int64())],
                 names=["doc_id", "simhash"],
             )
 
-    return base.mapInArrow(sim_batches, schema="doc_id long, simhash long")
+    return base.mapInArrow(
+        sim_batches, schema=f"doc_id {id_type}, simhash long"
+    )
 
 
 def ngram_jaccard_pairs(

@@ -130,6 +130,7 @@ def _doc_segments(
     so the per-pass cost is paid up to 3× — native batches make each
     pass cheap instead of materializing anything."""
     base = docs.select("doc_id", F.col(text_col).alias("t"))
+    id_type = base.schema["doc_id"].dataType.simpleString()
 
     def seg_batches(batches):
         import re
@@ -138,7 +139,6 @@ def _doc_segments(
 
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         for batch in batches:
-            ids = batch.column("doc_id").to_pylist()
             texts = batch.column("t").to_pylist()
             out: list[list[str]] = []
             for txt in texts:
@@ -151,14 +151,14 @@ def _doc_segments(
                 )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ids, pa.int64()),
+                    batch.column("doc_id"),  # caller's id type, verbatim
                     pa.array(out, pa.list_(pa.string())),
                 ],
                 names=["doc_id", "segs"],
             )
 
     return base.mapInArrow(
-        seg_batches, schema="doc_id long, segs array<string>"
+        seg_batches, schema=f"doc_id {id_type}, segs array<string>"
     )
 
 

@@ -1,10 +1,13 @@
 """Text analysis for training-data curation: token counts, quality
 scoring, language ID, fingerprinting.
 
-All pure Column expressions (whole-stage codegen; zero Python) with
-exact DuckDB twins — these run in the same scan as extraction output
-filtering, so at 100 TB they are free riders on a pass the pipeline
-already makes.
+Column expressions with exact DuckDB twins — these run in the same
+scan as extraction output filtering, so at 100 TB they are free
+riders on a pass the pipeline already makes. r9: token/stopword
+counting is expressed through codegen'd regex passes (regexp_count /
+regexp_replace length deltas) instead of interpreted higher-order
+lambdas over token arrays, and the winnowing fingerprinter is a
+vectorized mapInArrow stage — same results, several× less CPU.
 """
 
 from __future__ import annotations
@@ -600,6 +603,7 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     UTF-32 code units here == code points on both sides)."""
     norm = norm_text_expr(F.col(text_col))
     base = df.select("doc_id", norm.alias("nt")).filter(F.length("nt") >= WINNOW_K)
+    id_type = base.schema["doc_id"].dataType.simpleString()
     k, w, mod = WINNOW_K, WINNOW_WINDOW, WINNOW_MOD
     pows = list(_POWS)
 
@@ -609,8 +613,9 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
 
         for batch in batches:
             ids = batch.column("doc_id").to_pylist()
+            id_at = batch.column("doc_id").type
             texts = batch.column("nt").to_pylist()
-            out_ids: list[int] = []
+            out_ids: list = []
             out_fps: list["np.ndarray"] = []
             for did, nt in zip(ids, texts):
                 # UTF-32-LE units are exactly the code points Spark's
@@ -634,7 +639,7 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
                 out_fps.append(fps)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(out_ids, type=pa.int64()),
+                    pa.array(out_ids, type=id_at),  # caller's id type
                     pa.array(
                         np.concatenate(out_fps)
                         if out_fps
@@ -644,7 +649,9 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
                 names=["doc_id", "fp"],
             )
 
-    return base.mapInArrow(fps_batches, schema="doc_id long, fp long")
+    return base.mapInArrow(
+        fps_batches, schema=f"doc_id {id_type}, fp long"
+    )
 
 
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
