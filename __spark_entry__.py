@@ -978,18 +978,16 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab-bounded, like training) and broadcast-joins symbol counts
     back to the exploded doc words — O(vocab × k), not O(tokens × k)."""
     from claude_readability_hook_spark.operators.bpetrain import (
-        bpe_encode_counts,
-        learn_bpe_merges,
+        bpe_encode_counts_trained,
+        learn_bpe_merges_and_table,
     )
 
     docs = _docs(spark, sf_dir)
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in learn_bpe_merges(docs, k=BPE_K)
-        .orderBy("merge_rank")
-        .collect()
-    ]
-    return bpe_encode_counts(docs, merges)
+    # r9: the trainer's final symbol table IS the encoded vocab —
+    # reuse it (one corpus scan + one encode pass saved); identical
+    # counts by construction, same oracle
+    _, table = learn_bpe_merges_and_table(docs, k=BPE_K)
+    return bpe_encode_counts_trained(docs, table)
 
 
 def q_bpe_encode_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,12 +997,18 @@ def q_bpe_encode_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst expression grows with k, so the table can reach real
     (30k+) sizes. Same semantics as the chain, so the same oracle."""
     from claude_readability_hook_spark.operators.bpetrain import (
-        bpe_encode_counts_trie,
-        learn_bpe_merges,
+        bpe_encode_counts_trained,
+        learn_bpe_merges_and_table,
     )
 
     docs = _docs(spark, sf_dir)
-    return bpe_encode_counts_trie(docs, learn_bpe_merges(docs, k=BPE_K))
+    # r9: trained-table reuse (the heap/trie encoder remains the
+    # pre-trained-ARTIFACT path — load_bpe_artifact consumers and
+    # tests/test_bpetrain.py differential-test it at k=1000; when the
+    # trainer just ran on this corpus its final table already holds
+    # the identical any-k encode result)
+    _, table = learn_bpe_merges_and_table(docs, k=BPE_K)
+    return bpe_encode_counts_trained(docs, table)
 
 
 def _bpe_sym_sql(word: str) -> str:
@@ -1172,14 +1176,24 @@ def q_sequence_pack_bpe_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame, broadcast counts back, pack on the exact post-training
     budget. DuckDB re-trains the same merges CTE-by-CTE and replays
     the boundary arithmetic."""
-    from claude_readability_hook_spark.operators.bpetrain import learn_bpe_merges
+    from claude_readability_hook_spark.operators.bpetrain import (
+        bpe_encode_counts_trained,
+        learn_bpe_merges_and_table,
+    )
     from claude_readability_hook_spark.operators.packing import (
         pack_assignments_learned_bpe,
     )
 
     docs = _docs(spark, sf_dir)
-    merges = learn_bpe_merges(docs, k=BPE_K)
-    return pack_assignments_learned_bpe(docs, merges, seq_len=512)
+    # r9: per-doc counts from the trainer's own final table (one
+    # corpus scan + one encode pass saved; identical budgets)
+    merges, table = learn_bpe_merges_and_table(docs, k=BPE_K)
+    return pack_assignments_learned_bpe(
+        docs,
+        merges,
+        seq_len=512,
+        counts=bpe_encode_counts_trained(docs, table),
+    )
 
 
 def _sequence_pack_bpe_learned_oracle_sql() -> str:
@@ -1229,14 +1243,21 @@ def q_bpe_pack_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     comma-joined pack, per the no-raw-arrays oracle rule; DuckDB
     re-trains the merges, splits each word's wrapped symbol string
     back into its list, and rebuilds every pack position-by-position."""
-    from claude_readability_hook_spark.operators.bpetrain import learn_bpe_merges
+    from claude_readability_hook_spark.operators.bpetrain import (
+        learn_bpe_merges_and_table,
+        trained_word_symbol_arrays,
+    )
     from claude_readability_hook_spark.operators.packing import (
         pack_bpe_symbol_records,
     )
 
     docs = _docs(spark, sf_dir)
-    merges = learn_bpe_merges(docs, k=BPE_K)
-    recs = pack_bpe_symbol_records(docs, merges, seq_len=512)
+    # r9: the materialized stream's symbol arrays come from the
+    # trainer's own final table (no distinct re-scan, no re-encode)
+    merges, table = learn_bpe_merges_and_table(docs, k=BPE_K)
+    recs = pack_bpe_symbol_records(
+        docs, merges, seq_len=512, word_syms=trained_word_symbol_arrays(table)
+    )
     return recs.select(
         "shard",
         F.col("pack_id").cast("long").alias("pack_id"),
@@ -3845,21 +3866,18 @@ def q_bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — the distinct-PRETOKEN encode + broadcast-join discipline
     (bpetrain.byte_bpe_encode_counts)."""
     from claude_readability_hook_spark.operators.bpetrain import (
-        byte_bpe_encode_counts,
-        learn_byte_bpe_merges,
+        byte_bpe_encode_counts_trained,
+        learn_byte_bpe_merges_and_table,
     )
     from claude_readability_hook_spark.operators.langid import (
         synthesize_langid_corpus,
     )
 
     corpus = synthesize_langid_corpus(spark, LANGID_DOCS_PER_LANG)
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in learn_byte_bpe_merges(corpus, k=BPE_BYTES_K)
-        .orderBy("merge_rank")
-        .collect()
-    ]
-    return byte_bpe_encode_counts(corpus, merges)
+    # r9: trained-table reuse — same counts, one corpus scan and one
+    # encode pass fewer (and no k-chained replace expression)
+    _, table = learn_byte_bpe_merges_and_table(corpus, k=BPE_BYTES_K)
+    return byte_bpe_encode_counts_trained(corpus, table)
 
 
 def _byte_bpe_w0_sql() -> str:
@@ -3927,7 +3945,8 @@ def q_sequence_pack_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hiragana docs cost ~3 bytes/char). DuckDB re-trains the byte
     merges and replays every boundary."""
     from claude_readability_hook_spark.operators.bpetrain import (
-        learn_byte_bpe_merges,
+        byte_bpe_encode_counts_trained,
+        learn_byte_bpe_merges_and_table,
     )
     from claude_readability_hook_spark.operators.langid import (
         synthesize_langid_corpus,
@@ -3937,9 +3956,14 @@ def q_sequence_pack_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = synthesize_langid_corpus(spark, LANGID_DOCS_PER_LANG)
-    merges = learn_byte_bpe_merges(corpus, k=BPE_BYTES_K)
+    # r9: per-doc budgets from the byte trainer's final table
+    merges, table = learn_byte_bpe_merges_and_table(corpus, k=BPE_BYTES_K)
     return pack_assignments_byte_bpe(
-        corpus, merges, seq_len=128, shard_col="lang_true"
+        corpus,
+        merges,
+        seq_len=128,
+        shard_col="lang_true",
+        counts=byte_bpe_encode_counts_trained(corpus, table),
     )
 
 
@@ -3990,7 +4014,8 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     bias. DuckDB re-trains the k=8 byte merges and replays every
     per-pretoken symbol count and the byte totals."""
     from claude_readability_hook_spark.operators.bpetrain import (
-        learn_byte_bpe_merges,
+        byte_bpe_encode_counts_trained,
+        learn_byte_bpe_merges_and_table,
         tokenizer_fertility,
     )
     from claude_readability_hook_spark.operators.langid import (
@@ -3998,8 +4023,14 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = synthesize_langid_corpus(spark, LANGID_DOCS_PER_LANG)
-    merges = learn_byte_bpe_merges(corpus, k=BPE_BYTES_K)
-    return tokenizer_fertility(corpus, merges, group_col="lang_true")
+    # r9: fertility counts from the byte trainer's final table
+    merges, table = learn_byte_bpe_merges_and_table(corpus, k=BPE_BYTES_K)
+    return tokenizer_fertility(
+        corpus,
+        merges,
+        group_col="lang_true",
+        counts=byte_bpe_encode_counts_trained(corpus, table),
+    )
 
 
 def _tokenizer_fertility_oracle_sql() -> str:

@@ -109,6 +109,20 @@ def _learn_merges_loop(
     byte-level trainers: syms is any (sym, n) wrapped-symbol table —
     the loop never looks inside a symbol, so the same pair-count /
     top-1 / literal-replace rounds train either alphabet."""
+    return _learn_merges_loop_with_table(spark, syms, k, checkpoint_every)[0]
+
+
+def _learn_merges_loop_with_table(
+    spark: SparkSession,
+    syms: DataFrame,
+    k: int,
+    checkpoint_every: int,
+) -> tuple[DataFrame, DataFrame]:
+    """_learn_merges_loop, plus the trainer's FINAL (sym, n) table —
+    every distinct word/pretoken with all k merges already applied.
+    Train-then-encode consumers reuse it instead of re-scanning the
+    corpus for a distinct table and re-encoding it (r9): the final
+    state IS the exact Sennrich apply result, by construction."""
     merges: list[tuple[int, str, str, str, int]] = []
     # materialize the initial symbol table ONCE before round 1: without
     # this, every pre-checkpoint round's collect replays the corpus
@@ -142,8 +156,86 @@ def _learn_merges_loop(
         )
         if rank % checkpoint_every == 0:
             syms = syms.localCheckpoint()
-    return spark.createDataFrame(
-        merges, "merge_rank long, lhs string, rhs string, merged string, pair_count long"
+    return (
+        spark.createDataFrame(
+            merges,
+            "merge_rank long, lhs string, rhs string, merged string, pair_count long",
+        ),
+        syms,
+    )
+
+
+def learn_bpe_merges_and_table(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    checkpoint_every: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """learn_bpe_merges plus the trainer's final (sym, n) table (every
+    distinct lowercased word, all merges applied). A train-then-encode
+    consumer over the SAME corpus should take the table instead of
+    re-deriving a distinct-word frame and re-encoding it: the wrapped
+    symbol string is exactly invertible to its word (symbols never
+    contain space/tab; the </w> marker is the fixed tail), so the
+    extra corpus scan AND the per-word re-encode pass are pure waste —
+    the final state is the exact Sennrich apply result already."""
+    return _learn_merges_loop_with_table(
+        df.sparkSession, word_symbol_table(df, text_col), k, checkpoint_every
+    )
+
+
+def _strip_wrappers_expr(sym: F.Column) -> F.Column:
+    """Wrapped symbol string → bare symbol concatenation (drop every
+    ' ' prefix and '\\t' suffix — neither can occur inside a symbol)."""
+    return F.replace(F.replace(sym, F.lit(" "), F.lit("")), F.lit("\t"), F.lit(""))
+
+
+def _n_syms_expr(sym: F.Column) -> F.Column:
+    """Symbol count of a wrapped symbol string: one '\\t' per symbol."""
+    return (
+        F.length(sym) - F.length(F.replace(sym, F.lit("\t"), F.lit("")))
+    ).cast("long")
+
+
+def _unwrap_word_expr(sym: F.Column) -> F.Column:
+    """Invert _wrap_sym_expr: strip wrappers, drop the trailing
+    END_OF_WORD marker. Exact even for words containing '</w>' — the
+    marker is always the appended tail."""
+    s = _strip_wrappers_expr(sym)
+    return F.substr(s, F.lit(1), F.length(s) - F.lit(len(END_OF_WORD)))
+
+
+def trained_word_counts(final_syms: DataFrame) -> DataFrame:
+    """(w, n_sym) from the trainer's final table — the broadcast side
+    bpe_encode_counts needs, with zero corpus scans and no re-encode."""
+    return final_syms.select(
+        _unwrap_word_expr(F.col("sym")).alias("w"),
+        _n_syms_expr(F.col("sym")).alias("n_sym"),
+    )
+
+
+def trained_word_symbol_arrays(final_syms: DataFrame) -> DataFrame:
+    """(w, syms) from the trainer's final table — what the symbol-
+    stream materialization broadcast-joins back to doc words."""
+    return final_syms.select(
+        _unwrap_word_expr(F.col("sym")).alias("w"),
+        _symbols_expr(F.col("sym")).alias("syms"),
+    )
+
+
+def bpe_encode_counts_trained(
+    df: DataFrame,
+    final_syms: DataFrame,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """bpe_encode_counts when the merge table was just trained on the
+    SAME corpus: identical output, but the (w, n_sym) side comes from
+    the trainer's final symbol table instead of a fresh distinct-word
+    scan + re-encode (one corpus scan and one Python encode pass
+    saved — r9)."""
+    return _counts_from_word_symbols(
+        _doc_words(df, text_col), trained_word_counts(final_syms), broadcast_vocab
     )
 
 
@@ -493,12 +585,18 @@ def bpe_vocab(
 
 def _pretokens_expr(text: F.Column) -> F.Column:
     """Whitespace words, every non-initial word prefixed with the
-    space marker: ['the','cat'] -> ['the', ' cat']."""
-    ws = tokens_expr(text)
-    return F.transform(
-        ws,
-        lambda w, i: F.when(i == 0, w).otherwise(F.concat(F.lit(" "), w)),
-    )
+    space marker: ['the','cat'] -> ['the', ' cat'].
+
+    Pure-codegen form (r9): collapse every whitespace run to one
+    space, trim, then split at zero-width lookaheads before each
+    space — each non-initial word keeps exactly its one leading
+    space marker. Identical to the indexed-transform original (which
+    was CodegenFallback — interpreted per element): case-free, and
+    the collapsed text's split positions are exactly the token
+    boundaries. array_remove('') covers the empty/all-whitespace doc
+    (trim leaves '', split returns [''])."""
+    norm = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return F.array_remove(F.split(norm, r"(?= )"), "")
 
 
 def _wrap_byte_sym_expr(pretoken: F.Column) -> F.Column:
@@ -539,6 +637,66 @@ def learn_byte_bpe_merges(
     unhexing."""
     return _learn_merges_loop(
         df.sparkSession, byte_pretoken_table(df, text_col), k, checkpoint_every
+    )
+
+
+def learn_byte_bpe_merges_and_table(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    checkpoint_every: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """learn_byte_bpe_merges plus the trainer's final (sym, n) table —
+    the byte twin of learn_bpe_merges_and_table (symbols are hex
+    pairs, so the bare concatenation unhexes back to the pretoken)."""
+    return _learn_merges_loop_with_table(
+        df.sparkSession, byte_pretoken_table(df, text_col), k, checkpoint_every
+    )
+
+
+def _unwrap_pretoken_expr(sym: F.Column) -> F.Column:
+    """Invert _wrap_byte_sym_expr: strip wrappers, unhex the pair
+    concatenation, decode UTF-8 (pretokens come from strings, so the
+    byte sequence is always valid UTF-8)."""
+    return F.decode(F.unhex(_strip_wrappers_expr(sym)), "UTF-8")
+
+
+def trained_pretoken_counts(final_syms: DataFrame) -> DataFrame:
+    """(pt, n_sym) from the byte trainer's final table."""
+    return final_syms.select(
+        _unwrap_pretoken_expr(F.col("sym")).alias("pt"),
+        _n_syms_expr(F.col("sym")).alias("n_sym"),
+    )
+
+
+def byte_bpe_encode_counts_trained(
+    df: DataFrame,
+    final_syms: DataFrame,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """byte_bpe_encode_counts(_trie) when the merges were just trained
+    on the SAME corpus: identical (doc_id, n_pretokens, n_bpe_symbols)
+    output, the (pt, n_sym) side taken from the trainer's final table
+    (saves the distinct-pretoken corpus scan and the heap re-encode)."""
+    pre_syms = trained_pretoken_counts(final_syms)
+    if broadcast_vocab:
+        pre_syms = F.broadcast(pre_syms)
+    docs = df.select("doc_id", _pretokens_expr(F.col(text_col)).alias("pts"))
+    exploded = docs.select(
+        "doc_id",
+        F.size("pts").cast("long").alias("n_pretokens"),
+        F.explode_outer("pts").alias("pt"),
+    )
+    return (
+        exploded.join(pre_syms, ["pt"], "left")
+        .groupBy("doc_id", "n_pretokens")
+        .agg(
+            F.coalesce(F.sum("n_sym"), F.lit(0))
+            .cast("long")
+            .alias("n_bpe_symbols")
+        )
+        .select("doc_id", "n_pretokens", "n_bpe_symbols")
     )
 
 
@@ -664,6 +822,7 @@ def tokenizer_fertility(
     merges: DataFrame,
     group_col: str = "lang",
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(group, n_docs, total_bytes, total_tokens,
     bytes_per_token_micro): the tokenizer-eval table every production
@@ -678,7 +837,8 @@ def tokenizer_fertility(
     the fertility agg is one vocab-narrow groupBy — document text is
     scanned once and never shuffles. Ratio in exact half-up integer
     micro-units (the r5 rounding discipline)."""
-    counts = byte_bpe_encode_counts_trie(df, merges, text_col)
+    if counts is None:
+        counts = byte_bpe_encode_counts_trie(df, merges, text_col)
     tagged = df.select(
         "doc_id",
         F.col(group_col).alias("grp"),

@@ -167,6 +167,7 @@ def pack_assignments_learned_bpe(
     shard_col: str = "source",
     text_col: str = "text",
     bucket_span: int | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Packing budgeted by the LEARNED merge table's TRUE symbol
     counts — the budget the trained tokenizer actually charges (the
@@ -180,7 +181,8 @@ def pack_assignments_learned_bpe(
     bucket_span option."""
     from .bpetrain import bpe_encode_counts_trie
 
-    counts = bpe_encode_counts_trie(df, merges, text_col)
+    if counts is None:
+        counts = bpe_encode_counts_trie(df, merges, text_col)
     t = df.select("doc_id", F.col(shard_col).alias("shard")).join(
         counts.select(
             "doc_id", F.col("n_bpe_symbols").cast("long").alias("n_tokens")
@@ -347,6 +349,7 @@ def pack_bpe_symbol_records(
     text_col: str = "text",
     bucket_span: int | None = None,
     broadcast_vocab: bool = True,
+    word_syms: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize packed LEARNED-BPE SYMBOL sequences — the actual
     training-shard payload: (shard, pack_id, n, tokens) where tokens
@@ -375,9 +378,12 @@ def pack_bpe_symbol_records(
     words = df.select(
         "doc_id", F.col(shard_col).alias("shard"), toks.alias("ws")
     )
-    word_syms = trie_encode_word_symbol_arrays(
-        words.select(F.explode("ws").alias("w")).distinct(), merges
-    )
+    if word_syms is None:
+        # no trainer table supplied (pre-trained merges from an
+        # artifact): heap-encode a fresh distinct-word frame
+        word_syms = trie_encode_word_symbol_arrays(
+            words.select(F.explode("ws").alias("w")).distinct(), merges
+        )
     if broadcast_vocab:
         word_syms = F.broadcast(word_syms)
     wrows = (
@@ -401,50 +407,75 @@ def _symbol_stream_to_packs(
 ) -> DataFrame:
     """The shared position arithmetic from a (doc_id, shard, widx,
     syms, n_sym) word-row frame to packed (shard, pack_id, n, tokens)
-    records — every position is a sum of three exact integers (doc
-    begin / word begin / symbol index); tokenizer-family-agnostic.
+    records — tokenizer-family-agnostic.
 
     Deliberately NOT checkpointed: the frame is referenced by the
-    in-doc window, the count agg and the final explode, but its rows
-    carry the symbol arrays — materializing the full stream once was
-    measured 2.5× SLOWER than letting the two cheap narrow references
-    recompute their scan+broadcast-join lineage (r9)."""
-    # word begin WITHIN its doc: window bounded by one doc's word count
-    in_doc = wrows.withColumn(
-        "wbegin",
-        F.sum("n_sym").over(
-            Window.partitionBy("doc_id")
-            .orderBy("widx")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        - F.col("n_sym"),
+    per-doc assembly and the narrow count agg, but its rows carry the
+    symbol arrays — materializing the full stream once was measured
+    2.5× SLOWER than letting the two cheap narrow references recompute
+    their scan+broadcast-join lineage (r9).
+
+    Shuffle shape (r9 second pass): one row per DOC-PACK SEGMENT, not
+    one row per symbol. Each doc's symbol array is assembled once by a
+    (doc_id) hash agg (array_sort on widx keeps stream order exact —
+    no window, so corpus arrays never ride a sort-by-key window), the
+    narrow per-doc counts run the usual stream cum, and each doc
+    explodes into the ≤ ceil(n/L)+1 packs it covers with an array
+    SLICE per pack. The final (shard, pack_id) agg sorts ~docs-per-
+    pack struct rows instead of seq_len per-symbol rows and flattens —
+    positions tile contiguously, so flatten in pstart order IS the
+    position sort. Bit-identical output, ~seq_len× fewer shuffled rows
+    on the dominant exchange."""
+    doc_syms = wrows.groupBy("doc_id", "shard").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "syms"))),
+                lambda s: s["syms"],
+            )
+        ).alias("syms_all"),
+        F.sum("n_sym").cast("long").alias("n_tokens"),
     )
-    # doc begin within its shard stream: the learned-count cum
+    # doc begin within its shard stream: the learned-count cum over the
+    # NARROW count table (re-derived from wrows — see docstring)
     doc_counts = wrows.groupBy("doc_id", "shard").agg(
-        F.sum("n_sym").alias("n_tokens")
+        F.sum("n_sym").cast("long").alias("n_tokens")
     )
     doc_begin = _with_stream_cum(doc_counts, bucket_span).select(
-        "doc_id", (F.col("cum") - F.col("n_tokens")).alias("dbegin")
+        "doc_id", "shard", (F.col("cum") - F.col("n_tokens")).alias("dbegin")
     )
-    pos = (
-        in_doc.join(doc_begin, "doc_id")
+    lo = F.greatest(F.col("pack_id") * seq_len - F.col("dbegin"), F.lit(0))
+    hi = F.least(
+        F.col("n_tokens"), (F.col("pack_id") + 1) * seq_len - F.col("dbegin")
+    )
+    segs = (
+        doc_syms.join(doc_begin, ["doc_id", "shard"])
+        .filter(F.col("n_tokens") > 0)
         .select(
             "shard",
-            (F.col("dbegin") + F.col("wbegin")).alias("base"),
-            F.posexplode("syms").alias("sidx", "token"),
+            "syms_all",
+            "n_tokens",
+            "dbegin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"dbegin div {seq_len}"),
+                    F.expr(f"(dbegin + n_tokens - 1) div {seq_len}"),
+                )
+            ).alias("pack_id"),
         )
         .select(
             "shard",
-            F.expr(f"(base + sidx) div {seq_len}").alias("pack_id"),
-            ((F.col("base") + F.col("sidx")) % seq_len).alias("ppos"),
-            "token",
+            "pack_id",
+            (F.col("dbegin") + lo - F.col("pack_id") * seq_len).alias("pstart"),
+            F.slice("syms_all", lo + 1, hi - lo).alias("seg"),
         )
     )
-    return pos.groupBy("shard", "pack_id").agg(
-        F.count("*").cast("long").alias("n"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("ppos"), F.col("token")))),
-            lambda s: s["token"],
+    return segs.groupBy("shard", "pack_id").agg(
+        F.sum(F.size("seg")).cast("long").alias("n"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pstart"), F.col("seg")))),
+                lambda s: s["seg"],
+            )
         ).alias("tokens"),
     )
 
@@ -548,6 +579,7 @@ def pack_assignments_byte_bpe(
     shard_col: str = "source",
     text_col: str = "text",
     bucket_span: int | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """pack_assignments_learned_bpe's BYTE-level mode (r7): the budget
     a trained byte-level (GPT-2-style) tokenizer charges — per-doc
@@ -558,7 +590,8 @@ def pack_assignments_byte_bpe(
     reaches the packing window."""
     from .bpetrain import byte_bpe_encode_counts_trie
 
-    counts = byte_bpe_encode_counts_trie(df, merges, text_col)
+    if counts is None:
+        counts = byte_bpe_encode_counts_trie(df, merges, text_col)
     t = df.select("doc_id", F.col(shard_col).alias("shard")).join(
         counts.select(
             "doc_id", F.col("n_bpe_symbols").cast("long").alias("n_tokens")

@@ -17,8 +17,13 @@ def tokens_expr(text: Column) -> Column:
     """Whitespace tokens, empties dropped (Python str.split semantics).
 
     DuckDB twin: list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+
+    array_remove(split, '') — not a higher-order filter(): the lambda
+    form is CodegenFallback (interpreted per element, r9 finding);
+    array_remove is a plain specialized expression with identical
+    semantics (split never yields nulls, so only '' elements drop).
     """
-    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    return F.array_remove(F.split(text, r"\s+"), "")
 
 
 def norm_text_expr(text: Column) -> Column:

@@ -132,18 +132,23 @@ def viterbi_segment(
         return []
     if n > _MASK_CAP:
         return list(pretoken)
-    best: list[
-        tuple[int, int, int, int, tuple[str, ...]] | None
-    ] = [None] * (n + 1)
-    best[0] = (0, 0, 0, 0, ())
+    # DP state holds only the 4-scalar comparison key; the winning
+    # piece list is rebuilt from backpointers afterwards. Identical
+    # output: the pieces never participated in the comparison, and an
+    # exact 4-way tie implies the same boundary mask + piece count —
+    # i.e. the same segmentation — so tie-keeping order is immaterial.
+    best: list[tuple[int, int, int, int] | None] = [None] * (n + 1)
+    back: list[int] = [0] * (n + 1)
+    best[0] = (0, 0, 0, 0)
+    get = costs.get
     for j in range(1, n + 1):
         cand = None
+        cand_i = 0
         for i in range(max(0, j - max_piece_len), j):
             prev = best[i]
             if prev is None:
                 continue
-            piece = pretoken[i:j]
-            c = costs.get(piece)
+            c = get(pretoken[i:j])
             unk = 0
             if c is None:
                 if j - i > 1:
@@ -154,13 +159,21 @@ def viterbi_segment(
                 prev[1] + c,
                 prev[2] + 1,
                 prev[3] | ((1 << (i - 1)) if i > 0 else 0),
-                prev[4] + (piece,),
             )
-            if cand is None or key[:4] < cand[:4]:
+            if cand is None or key < cand:
                 cand = key
+                cand_i = i
         best[j] = cand
+        back[j] = cand_i
     assert best[n] is not None  # single-char fallback keeps it total
-    return list(best[n][4])
+    pieces: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        pieces.append(pretoken[i:j])
+        j = i
+    pieces.reverse()
+    return pieces
 
 
 def _segment_pretokens(
