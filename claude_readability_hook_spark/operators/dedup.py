@@ -439,7 +439,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         # checkpoint + count paid two). Lineage still truncates every
         # few rounds so the iterative plan stays bounded; superseded
         # caches release once the new generation is materialized.
-        if (round_idx + 1) % 4 == 0:
+        if (round_idx + 1) % 2 == 0:
             updated = updated.localCheckpoint(eager=True)
         else:
             updated = updated.persist()

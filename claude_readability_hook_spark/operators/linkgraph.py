@@ -39,7 +39,15 @@ from pyspark.sql import functions as F
 
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERATIONS = 10
-_CHECKPOINT_EVERY = 4
+# r9 second pass: cadence 2, not 4 — the cost of an off-checkpoint
+# round is NOT the skipped barrier but the DEEPER PLAN the next
+# materialization must optimize/AQE-replan (measured on the 9-node
+# fixture, warm JVM, same session: every=4 10.6s, every=2 4.1s,
+# every=1 4.6s for the micro twin; float twin 4.8/3.5/3.4). Depth-2
+# keeps the replan bounded while still skipping half the barriers;
+# at real graph sizes the extra narrow (node, rank) materialization
+# per 4 rounds is standard Pregel practice.
+_CHECKPOINT_EVERY = 2
 
 
 def domain_pagerank(
