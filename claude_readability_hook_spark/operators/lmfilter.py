@@ -74,19 +74,21 @@ LM_SAMPLE_MOD = 4  # train on ~1/4 of docs by default
 
 
 def _lower_tokens(text_col: str) -> F.Column:
-    return F.transform(tokens_expr(F.col(text_col)), F.lower)
+    # lower the WHOLE text, then split (r9): per-token transform(lower)
+    # is CodegenFallback — interpreted per element; case mapping never
+    # produces whitespace, so the split boundaries (and hence the
+    # token arrays) are identical
+    return tokens_expr(F.lower(F.col(text_col)))
 
 
 def _pairs_expr(ts: F.Column) -> F.Column:
     """Adjacent (w1, w2) structs, expanded in-row over the MATERIALIZED
-    token array (shifted slices + zip_with — the bigrams() pattern;
-    element_at over an inlined tokenizer re-evaluates the split per
-    element)."""
+    token array. arrays_zip + positional struct cast, not zip_with
+    (r9): the lambda form is CodegenFallback — interpreted per pair —
+    while arrays_zip and the struct-renaming cast are codegen'd."""
     n1 = F.greatest(F.size(ts) - 1, F.lit(0))
-    return F.zip_with(
-        F.slice(ts, 1, n1),
-        F.slice(ts, 2, n1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    return F.arrays_zip(F.slice(ts, 1, n1), F.slice(ts, 2, n1)).cast(
+        "array<struct<w1:string,w2:string>>"
     )
 
 
@@ -523,21 +525,23 @@ def dsir_resample_expr(weight_col: str = "dsir_weight", scale: int = 1) -> F.Col
 
 
 def _trigram_pairs_expr(ts: F.Column) -> F.Column:
-    """Adjacent (ctx='w1 w2', tri='w1 w2 w3') structs, in-row over the
-    materialized token array (shifted-slice zip_with three ways;
-    tokens never contain spaces, so the joined keys are unambiguous)."""
+    """Adjacent (w1, w2, w3) structs, in-row over the materialized
+    token array (tokens never contain spaces, so space-joined keys
+    built AFTER the explode are unambiguous). arrays_zip + positional
+    cast, not zip_with (r9 — see _pairs_expr); consumers derive
+    ctx='w1 w2' / tri='w1 w2 w3' in the row domain where concat is
+    codegen'd."""
     n2 = F.greatest(F.size(ts) - 2, F.lit(0))
-    a = F.slice(ts, 1, n2)
-    b = F.slice(ts, 2, n2)
-    c = F.slice(ts, 3, n2)
-    ab = F.zip_with(a, b, lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.zip_with(
-        ab,
-        c,
-        lambda xy, z: F.struct(
-            xy.alias("ctx"), F.concat(xy, F.lit(" "), z).alias("tri")
-        ),
-    )
+    return F.arrays_zip(
+        F.slice(ts, 1, n2), F.slice(ts, 2, n2), F.slice(ts, 3, n2)
+    ).cast("array<struct<w1:string,w2:string,w3:string>>")
+
+
+def _ctx_tri_cols(p: F.Column) -> tuple[F.Column, F.Column]:
+    """(ctx, tri) from an exploded _trigram_pairs_expr struct — null
+    rows (explode_outer) stay null because concat propagates nulls."""
+    ctx = F.concat(p["w1"], F.lit(" "), p["w2"])
+    return ctx, F.concat(ctx, F.lit(" "), p["w3"])
 
 
 def train_trigram_lm(
@@ -560,7 +564,10 @@ def train_trigram_lm(
     toks = sample.select(_lower_tokens(text_col).alias("ts"))
     tri = (
         toks.select(F.explode(_trigram_pairs_expr(F.col("ts"))).alias("p"))
-        .select(F.col("p.ctx").alias("ctx"), F.col("p.tri").alias("tri"))
+        .select(
+            _ctx_tri_cols(F.col("p"))[0].alias("ctx"),
+            _ctx_tri_cols(F.col("p"))[1].alias("tri"),
+        )
         .groupBy("ctx", "tri")
         .agg(F.count("*").alias("c3"))
     )
@@ -600,7 +607,11 @@ def lm_trigram_surprise_scores(
     grams = df.select(
         "doc_id",
         F.explode_outer(_trigram_pairs_expr(_lower_tokens(text_col))).alias("p"),
-    ).select("doc_id", F.col("p.ctx").alias("ctx"), F.col("p.tri").alias("tri"))
+    ).select(
+        "doc_id",
+        _ctx_tri_cols(F.col("p"))[0].alias("ctx"),
+        _ctx_tri_cols(F.col("p"))[1].alias("tri"),
+    )
     term_micro = F.expr("(2 * num * 1000000 + den) div (2 * den)")
     scored = (
         grams.join(tri.withColumnRenamed("c3", "_c3"), ["tri"], "left")
