@@ -85,16 +85,31 @@ class Node:
     def iter(self) -> Iterator["Node"]:
         """Depth-first pre-order over self and descendants."""
         stack = [self]
+        pop = stack.pop
+        extend = stack.extend
         while stack:
-            node = stack.pop()
+            node = pop()
             yield node
-            stack.extend(reversed(node.children))
+            children = node.children
+            if children:
+                extend(reversed(children))
 
     def iter_elements(self, *tags: str) -> Iterator["Node"]:
+        # one flat stack walk — not a generator over self.iter(): the
+        # nested-generator form pays two frame switches per NODE and
+        # this is the hottest loop of the extraction fast path
         want = frozenset(tags) if tags else None
-        for node in self.iter():
-            if node.tag is not None and (want is None or node.tag in want):
+        stack = [self]
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            node = pop()
+            tag = node.tag
+            if tag is not None and (want is None or tag in want):
                 yield node
+            children = node.children
+            if children:
+                extend(reversed(children))
 
     # -- attributes ----------------------------------------------------
     @property

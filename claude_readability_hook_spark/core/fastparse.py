@@ -155,7 +155,7 @@ def fast_parse_html(html: str) -> Node:
             _add_text(stack[-1], html[i:start])
         i = m.end()
 
-        end_name = m.group(1)
+        end_name, start_name, raw_attrs, slash = m.group(1, 2, 3, 4)
         if end_name is not None:
             name = end_name.lower()
             for k in range(len(stack) - 1, 0, -1):
@@ -164,7 +164,6 @@ def fast_parse_html(html: str) -> Node:
                     break
             continue
 
-        start_name = m.group(2)
         if start_name is None:
             continue  # comment / doctype / CDATA / PI — skipped
         name = start_name.lower()
@@ -177,14 +176,13 @@ def fast_parse_html(html: str) -> Node:
 
         node = Node.__new__(Node)
         node.tag = name
-        node.attrs = LazyAttrs(m.group(3))
+        node.attrs = LazyAttrs(raw_attrs)
         node.children = []
         node.parent = top
         node.text = ""
         top.children.append(node)
 
-        self_closing = m.group(4) == "/"
-        if self_closing or name in VOID_ELEMENTS:
+        if slash == "/" or name in VOID_ELEMENTS:
             continue
 
         raw_close = _RAWTEXT_CLOSE.get(name)

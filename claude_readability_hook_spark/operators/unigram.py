@@ -377,10 +377,7 @@ def unigram_encode_counts(
     words = df.select(
         "doc_id",
         F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: t != F.lit(""),
-            )
+            F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
         ).alias("pos", "w"),
     )
     return (
