@@ -194,22 +194,25 @@ def bigrams(
     pairs expand IN-ROW (sequence over the token array, no self-join);
     the shuffle is the same vocabulary-bounded hash agg as
     vocabulary()."""
-    toks = tokens_expr(F.col(text_col))
-    if lowercase:
-        toks = F.transform(toks, F.lower)
-    # materialize the token array as a column FIRST: element-wise
-    # access on the inlined tokenize expression re-evaluates the whole
-    # split per element (measured 9 s where this takes 0.6 s). Then
-    # one zip_with over shifted slices is a single O(n) pass.
+    # lowercase the TEXT (case mapping never makes whitespace, so the
+    # split is unchanged), materialize the token array as a column
+    # FIRST (element-wise access on the inlined tokenize expression
+    # re-evaluates the whole split per element — measured 9 s where
+    # this takes 0.6 s), then expand pairs with arrays_zip + a
+    # positional struct cast and join the words AFTER the explode —
+    # all codegen; the former zip_with(concat) lambda was
+    # CodegenFallback, interpreted per pair (r9).
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = tokens_expr(text)
     ts = F.col("ts")
-    pairs = F.zip_with(
-        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
-        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    n1 = F.greatest(F.size(ts) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(ts, 1, n1), F.slice(ts, 2, n1)).cast(
+        "array<struct<w1:string,w2:string>>"
     )
     return (
         df.select(toks.alias("ts"))
-        .select(F.explode(pairs).alias("bigram"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.concat("p.w1", F.lit(" "), "p.w2").alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
@@ -232,9 +235,15 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = df.select(
-        "doc_id", F.explode(F.transform(tokens_expr(F.col(text_col)), F.lower)).alias("token")
+        "doc_id",
+        F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token"),
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # dfreq deliberately re-scans toks rather than re-aggregating tf:
+    # its map-side distinct partials are vocabulary-bounded, while a
+    # second agg over tf would ship the corpus-sized (doc_id, token)
+    # exchange twice (no reuse across differing partial aggs) —
+    # measured ~20% slower (r9 negative result)
     dfreq = toks.distinct().groupBy("token").agg(F.count("*").alias("df"))
     n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("token"))
@@ -262,25 +271,28 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     (doc_id, bigram) hash agg + a per-doc max — the shuffle carries
     short hash-aggregated rows, never text. Docs with <2 tokens report
     0.0 top-bigram mass via the left join restore."""
-    toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
+    toks = tokens_expr(F.lower(F.col(text_col)))
     base = df.select("doc_id", toks.alias("ts")).select(
         "doc_id",
         "ts",
         F.size("ts").alias("n_tok"),
     )
     ts = F.col("ts")
-    pairs = F.zip_with(
-        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
-        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    n1 = F.greatest(F.size(ts) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(ts, 1, n1), F.slice(ts, 2, n1)).cast(
+        "array<struct<w1:string,w2:string>>"
     )
     # count on a 64-bit hash of the pair, not the string: the shuffle
     # then carries (long, long) rows instead of text (the packed-key
     # trick ngram_jaccard uses). An in-doc hash collision would need
     # ~2^32 distinct bigrams in ONE document — not a real corpus.
+    # arrays_zip + row-domain concat, not zip_with (codegen — r9).
     top_bigram = (
-        base.select("doc_id", F.explode(pairs).alias("bigram"))
-        .select("doc_id", F.xxhash64("bigram").alias("bg_h"))
+        base.select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.xxhash64(F.concat("p.w1", F.lit(" "), "p.w2")).alias("bg_h"),
+        )
         .groupBy("doc_id", "bg_h")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
