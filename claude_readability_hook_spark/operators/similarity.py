@@ -270,6 +270,58 @@ def ivf_centroids(
     return centroids
 
 
+def _assign_ids_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_col, centroid_id) via a NumPy argmin that replays
+    _argmin_centroid_expr BIT-EXACTLY (r9, differential-tested):
+    (x-c)² elementwise in float64 is the same IEEE op sequence as the
+    Column form's per-element math, np.cumsum is SEQUENTIAL
+    accumulation so its last column equals the 0.0-seeded left fold
+    (0.0+t0 == t0), and np.argmin returns the FIRST minimum — the
+    array_position tie rule. The higher-order Column form is
+    CodegenFallback (interpreted per element per centroid); this runs
+    the same arithmetic as native batch loops."""
+    import numpy as np  # noqa: F401 — validated import for the closure
+
+    base = df.select(id_col, F.col(vec_col).alias("v"))
+    id_type = base.schema[id_col].dataType.simpleString()
+    cents = [list(map(float, cv)) for cv in centroids]
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cents, dtype=np.float64)  # k × dims
+        for batch in batches:
+            vecs = batch.column("v").to_pylist()
+            if not vecs:
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), pa.array([], pa.int32())],
+                    names=[id_col, "centroid_id"],
+                )
+                continue
+            V = np.array(vecs, dtype=np.float64)  # n × dims
+            # per centroid: elementwise (x-c)², then sequential cumsum
+            # — the exact left-fold sum; stack and first-min argmin
+            dists = np.stack(
+                [np.cumsum((V - C[j]) ** 2, axis=1)[:, -1] for j in range(len(cents))],
+                axis=1,
+            )
+            ids = np.argmin(dists, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(ids)],
+                names=[id_col, "centroid_id"],
+            )
+
+    return base.mapInArrow(
+        assign, schema=f"{id_col} {id_type}, centroid_id int"
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     k: int = 8,
@@ -282,13 +334,11 @@ def ivf_assign(
     """IVF coarse quantizer: (vec_id, centroid_id). The inverted lists
     this induces are the IVF ANN index; ann_index.build_ivf_index
     materializes them partitioned by centroid_id so probes prune at
-    scan."""
+    scan. The full-corpus assignment runs the Arrow argmin twin
+    (_assign_ids_arrow — bit-equal to the Column form, r9)."""
     if centroids is None:
         centroids = ivf_centroids(df, k, iterations, dims, vec_col, sample_mod)
-    return df.select(
-        "vec_id",
-        _argmin_centroid_expr(F.col(vec_col), centroids).cast("int").alias("centroid_id"),
-    )
+    return _assign_ids_arrow(df, centroids, vec_col, "vec_id")
 
 
 def ivf_ann_topk(

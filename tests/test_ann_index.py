@@ -332,3 +332,30 @@ def test_ann_recall_eval_full_probe_is_perfect(spark, tmp_path):
         for r in ann_recall_eval(spark, root, queries, emb, kk=5, n_probe=1).collect()
     }
     assert all(0.0 <= v <= 1.0 for v in one.values())
+
+
+def test_arrow_assign_bit_equals_expression_argmin(spark):
+    """r9: _assign_ids_arrow must replay _argmin_centroid_expr
+    BIT-EXACTLY — float64 elementwise ops + sequential cumsum equal
+    the 0.0-seeded left fold, np.argmin keeps the first-min tie rule.
+    Full-table comparison, zero mismatches allowed."""
+    from claude_readability_hook_spark.operators.similarity import (
+        _argmin_centroid_expr,
+        _assign_ids_arrow,
+        ivf_centroids,
+    )
+
+    emb = _emb(spark)
+    cents = ivf_centroids(emb, k=4, iterations=2, dims=64)
+    old = emb.select(
+        "vec_id",
+        _argmin_centroid_expr(F.col("embedding"), cents)
+        .cast("int")
+        .alias("centroid_id"),
+    )
+    new = _assign_ids_arrow(emb, cents, "embedding", "vec_id")
+    joined = old.join(
+        new.withColumnRenamed("centroid_id", "cid_arrow"), "vec_id"
+    )
+    assert joined.filter(F.col("centroid_id") != F.col("cid_arrow")).count() == 0
+    assert joined.count() == emb.count()

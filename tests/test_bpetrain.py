@@ -285,3 +285,40 @@ def test_bpe_artifact_roundtrip_and_versioning(spark, tmp_path):
         map(tuple, m1.select(*key).collect())
     )
     assert cur.count() == 3
+
+
+def test_trained_table_matches_trie_encode(spark):
+    """r9: the trainer's final symbol table, unwrapped, must agree
+    with the heap/trie encoder applied to a fresh distinct-word scan
+    — same (w, n_sym) pairs and the same symbol arrays."""
+    from pyspark.sql import functions as F
+
+    from claude_readability_hook_spark.operators.bpetrain import (
+        learn_bpe_merges_and_table,
+        trained_word_counts,
+        trained_word_symbol_arrays,
+        trie_encode_word_counts,
+        trie_encode_word_symbol_arrays,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges, table = learn_bpe_merges_and_table(docs, k=6)
+    toks = F.array_remove(F.split(F.lower("text"), r"\s+"), "")
+    distinct = docs.select(F.explode(toks).alias("w")).distinct()
+    via_trie = {
+        r["w"]: r["n_sym"]
+        for r in trie_encode_word_counts(distinct, merges).collect()
+    }
+    via_table = {
+        r["w"]: r["n_sym"] for r in trained_word_counts(table).collect()
+    }
+    assert via_table == via_trie
+    arr_trie = {
+        r["w"]: r["syms"]
+        for r in trie_encode_word_symbol_arrays(distinct, merges).collect()
+    }
+    arr_table = {
+        r["w"]: r["syms"]
+        for r in trained_word_symbol_arrays(table).collect()
+    }
+    assert arr_table == arr_trie
