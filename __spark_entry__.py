@@ -64,6 +64,35 @@ def _spread_input(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-(session, path) memo of the scan frame and of the spread
+# decision. DataFrames are immutable logical plans, so handing the
+# same object to every caller is safe; the memo avoids re-running
+# file listing + schema resolution per query (~76 ms) and the
+# df.rdd.getNumPartitions() plan compile the spread guard needs
+# (~95 ms) — ~150 calls per bench sweep, pure driver latency. This
+# caches PLAN decisions only, never data or results.
+_READ_MEMO: dict[tuple[int, str], DataFrame] = {}
+_SPREAD_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path)
+    df = _READ_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _READ_MEMO[key] = df
+    return df
+
+
+def _read_spread(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path)
+    df = _SPREAD_MEMO.get(key)
+    if df is None:
+        df = _spread_input(_read(spark, path))
+        _SPREAD_MEMO[key] = df
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """spread=True (default) routes through the input-layout guard —
     right for every query whose scan stage does per-doc compute
@@ -71,8 +100,9 @@ def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     window- or shuffle-bound consumers that only project narrow
     columns before their exchange: for those the round-robin (and its
     sort-before-repartition pass) is pure cost."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return _spread_input(df) if spread else df
+    if spread:
+        return _read_spread(spark, f"{sf_dir}/documents.parquet")
+    return _read(spark, f"{sf_dir}/documents.parquet")
 
 
 def _docs_with_planted_dups(
@@ -800,7 +830,7 @@ def q_dsir_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+    return _read_spread(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
 
@@ -1686,7 +1716,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak on event_id)."""
     from pyspark.sql import Window
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
     return (
         events.withColumn("rn", F.row_number().over(w))
@@ -1703,7 +1733,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style rollup; decimal-exact sums cast to double so the
     result is independent of accumulation order."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read(spark, f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -1725,8 +1755,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-style: orders ⋈ broadcast(customer) rollup by market segment."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet")
+    customer = _read(spark, f"{sf_dir}/customer.parquet")
     return (
         orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .groupBy("c_mktsegment")
@@ -1752,7 +1782,7 @@ def q_per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_filter_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6-style: pure filter + aggregate — the shape whose entire
     predicate set pushes into the parquet scan (verified in test_plans)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read(spark, f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1995-01-01"))
@@ -1777,11 +1807,11 @@ def q_filter_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style: 3-way join (broadcast dims) + agg + global top-k."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+    cust = _read(spark, f"{sf_dir}/customer.parquet").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet")
+    li = _read(spark, f"{sf_dir}/lineitem.parquet")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
@@ -1808,9 +1838,9 @@ def q_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS-shaped semi join: customers with ≥1 urgent order, rolled
     up by segment. left_semi ships only the join key from the orders
     side; no row multiplication."""
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    customer = _read(spark, f"{sf_dir}/customer.parquet")
     urgent = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _read(spark, f"{sf_dir}/orders.parquet")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
@@ -1826,7 +1856,7 @@ def q_rollup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (status, priority) with subtotals and grand total; grouping_id
     disambiguates NULL-as-subtotal. Catalyst expands the sets in one
     Expand+partial-agg pass — no per-level rescans."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _read(spark, f"{sf_dir}/orders.parquet")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
@@ -1850,7 +1880,7 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface bounded."""
     from pyspark.sql import Window
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    orders = _read(spark, f"{sf_dir}/orders.parquet").filter(
         F.col("o_custkey") % 100 == 0
     )
     w = (
@@ -1872,8 +1902,8 @@ def q_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join with zero-preserving aggregation: every nation's
     customer count, INCLUDING nations with none (the null-side
     coalesce that an inner join silently drops). Dim side broadcast."""
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = _read(spark, f"{sf_dir}/nation.parquet")
+    customer = _read(spark, f"{sf_dir}/customer.parquet")
     counts = customer.groupBy("c_nationkey").agg(F.count("*").alias("n"))
     return (
         nation.join(
@@ -1893,7 +1923,7 @@ def q_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one join — the plan Catalyst rewrites a correlated subquery into;
     decimal-exact average cast after, so the comparison is
     order-independent."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _read(spark, f"{sf_dir}/part.parquet")
     avg_by_type = part.groupBy(F.col("p_type").alias("t")).agg(
         F.avg(F.col("p_retailprice").cast("decimal(18,4)")).cast("double").alias("avg_price")
     )
@@ -1910,7 +1940,7 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, decile) counts + decile mean."""
     from pyspark.sql import Window
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
     return (
         events.withColumn("decile", F.ntile(10).over(w))
@@ -1942,7 +1972,7 @@ def q_source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import cosine_topk
 
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     return cosine_topk(emb, query_vec_id=0, k=ANN_K)
 
 
@@ -1951,7 +1981,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed_projection_lsh_buckets,
     )
 
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     return signed_projection_lsh_buckets(emb, num_planes=LSH_PLANES, dims=EMBED_DIMS)
 
 
@@ -1999,7 +2029,7 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> str:
     _publish_index(
         path,
         lambda tmp: build_lsh_index(
-            _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
+            _read_spread(spark, f"{sf_dir}/embeddings.parquet"),
             tmp,
             num_planes=LSH_PLANES,
             dims=EMBED_DIMS,
@@ -2009,7 +2039,7 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _query_embedding(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     return [
         float(v)
         for v in emb.filter(F.col("vec_id") == vec_id).collect()[0]["embedding"]
@@ -2024,7 +2054,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import lsh_bucket_expr
 
     path = _lsh_index(spark, sf_dir)
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     qb = (
         emb.filter(F.col("vec_id") == 0)
         .select(lsh_bucket_expr(F.col("embedding"), LSH_PLANES, EMBED_DIMS).alias("b"))
@@ -2040,7 +2070,7 @@ ANN_N_PROBE = 2
 def q_ann_lsh_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import lsh_query_probes
 
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     return lsh_query_probes(
         emb, query_vec_id=0, n_probe=ANN_N_PROBE, num_planes=LSH_PLANES, dims=EMBED_DIMS
     )
@@ -2054,7 +2084,7 @@ def q_ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import lsh_query_probes
 
     path = _lsh_index(spark, sf_dir)
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     probes = [
         r["probe_bucket"]
         for r in lsh_query_probes(
@@ -2078,7 +2108,7 @@ IVF_SAMPLE_MOD = 4
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.similarity import quantize_embeddings
 
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     # compare the digest, not the raw int array (array formatting is
     # engine-specific in the driver's value hash)
     return quantize_embeddings(emb).select("vec_id", "q_md5", "scale")
@@ -2089,7 +2119,7 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG) — assignment still covers every vector."""
     from claude_readability_hook_spark.operators.similarity import ivf_assign
 
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     return ivf_assign(
         emb, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
         sample_mod=IVF_SAMPLE_MOD,
@@ -2115,7 +2145,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish_index(
         path,
         lambda tmp: build_ivf_index(
-            _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
+            _read_spread(spark, f"{sf_dir}/embeddings.parquet"),
             tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
             sample_mod=IVF_SAMPLE_MOD,
         ),
@@ -2147,7 +2177,7 @@ def q_ivf_ann_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish_index(
         path,
         lambda tmp: build_ivf_index_q8(
-            _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
+            _read_spread(spark, f"{sf_dir}/embeddings.parquet"),
             tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
             sample_mod=IVF_SAMPLE_MOD,
         ),
@@ -2238,7 +2268,7 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish_index(
         path,
         lambda tmp: build_ivf_pq_index(
-            _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
+            _read_spread(spark, f"{sf_dir}/embeddings.parquet"),
             tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
             sample_mod=IVF_SAMPLE_MOD,
         ),
@@ -2395,12 +2425,12 @@ def q_ann_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish_index(
         path,
         lambda tmp: build_ivf_pq_index(
-            _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")),
+            _read_spread(spark, f"{sf_dir}/embeddings.parquet"),
             tmp, k=IVF_K, iterations=IVF_ITERATIONS, dims=EMBED_DIMS,
             sample_mod=IVF_SAMPLE_MOD,
         ),
     )
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2499,7 +2529,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, "ivf",
         f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
     )
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     _publish_index(
         path,
         lambda tmp: build_ivf_index(
@@ -2564,7 +2594,7 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, "ivf",
         f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
     )
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     _publish_index(
         path,
         lambda tmp: build_ivf_index(
@@ -2595,7 +2625,7 @@ def q_ann_knn_join_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, "ivfq8",
         f"{IVF_K}-{IVF_ITERATIONS}-{EMBED_DIMS}-{IVF_SAMPLE_MOD}",
     )
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     _publish_index(
         path,
         lambda tmp: build_ivf_index_q8(
@@ -2678,7 +2708,7 @@ def q_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.ann_index import lsh_knn_join
 
     path = _lsh_index(spark, sf_dir)
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2694,7 +2724,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded, not pair-expanded)."""
     from claude_readability_hook_spark.operators.similarity import semantic_dedup_pairs
 
-    emb = _spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = _read_spread(spark, f"{sf_dir}/embeddings.parquet")
     return semantic_dedup_pairs(
         emb,
         threshold=0.35,
@@ -2837,7 +2867,7 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from claude_readability_hook_spark.operators.sessions import sessionize
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet")
     return sessionize(events, gap_seconds=1800)
 
 
@@ -2846,7 +2876,7 @@ def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on (user_id, day bucket) with exact boundary merge."""
     from claude_readability_hook_spark.operators.sessions import sessionize_salted
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet")
     return sessionize_salted(events, gap_seconds=1800)
 
 
@@ -2857,7 +2887,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds so the comparison is timezone-free."""
     from claude_readability_hook_spark.streaming.windowed import windowed_counts
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read(spark, f"{sf_dir}/events.parquet")
     wc = windowed_counts(events, time_col="ts", key_col="event_type")
     # ts is TIMESTAMP_NTZ: format the naive wall-clock value directly
     # (no epoch cast — that would route through the session timezone)
@@ -2876,7 +2906,7 @@ def q_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     span boundaries are part of document identity — is exercised."""
     from claude_readability_hook_spark.streaming.dedup_stream import content_hash_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, f"{sf_dir}/documents.parquet")
     spans = F.array(
         F.struct(F.col("text").alias("text")),
         F.struct(F.col("source").alias("text")),
