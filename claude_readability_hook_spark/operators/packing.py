@@ -241,32 +241,45 @@ def pack_token_sequences(
     t = _with_stream_cum(base, bucket_span).withColumn(
         "begin", F.col("cum") - F.col("n_tokens")
     )
-    pos = t.select(
-        "shard",
-        F.col("begin"),
-        F.posexplode("ts").alias("i", "token"),
-    ).select(
-        "shard",
-        "token",
-        (F.col("begin") + F.col("i")).alias("gpos"),
+    # per-doc pack SEGMENTS, not one row per token (r9 — the
+    # _symbol_stream_to_packs shape): each doc slices its token array
+    # once per pack it covers; segments tile a pack contiguously, so
+    # flatten in pstart order IS the position sort. Bit-identical,
+    # ~seq_len× fewer rows on the dominant exchange — and these rows
+    # carry the text, so it matters more here than on the symbol path.
+    lo = F.greatest(F.col("pack_id") * seq_len - F.col("begin"), F.lit(0))
+    hi = F.least(
+        F.col("n_tokens"), (F.col("pack_id") + 1) * seq_len - F.col("begin")
     )
-    return (
-        pos.select(
+    segs = (
+        t.filter(F.col("n_tokens") > 0)
+        .select(
             "shard",
-            F.expr(f"gpos div {seq_len}").alias("pack_id"),
-            (F.col("gpos") % seq_len).alias("ppos"),
-            "token",
+            "ts",
+            "n_tokens",
+            "begin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"begin div {seq_len}"),
+                    F.expr(f"(begin + n_tokens - 1) div {seq_len}"),
+                )
+            ).alias("pack_id"),
         )
-        .groupBy("shard", "pack_id")
-        .agg(
-            F.count("*").cast("long").alias("n"),
+        .select(
+            "shard",
+            "pack_id",
+            (F.col("begin") + lo - F.col("pack_id") * seq_len).alias("pstart"),
+            F.slice("ts", lo + 1, hi - lo).alias("seg"),
+        )
+    )
+    return segs.groupBy("shard", "pack_id").agg(
+        F.sum(F.size("seg")).cast("long").alias("n"),
+        F.flatten(
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("ppos"), F.col("token")))
-                ),
-                lambda s: s["token"],
-            ).alias("tokens"),
-        )
+                F.array_sort(F.collect_list(F.struct(F.col("pstart"), F.col("seg")))),
+                lambda s: s["seg"],
+            )
+        ).alias("tokens"),
     )
 
 
