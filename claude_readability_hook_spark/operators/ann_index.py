@@ -85,6 +85,7 @@ from .similarity import (
     cosine_expr,
     ivf_centroids,
     lsh_bucket_expr,
+    with_centroid_ids_arrow,
 )
 
 _MANIFEST_RE = re.compile(r"^manifest-v(\d+)\.json$")
@@ -277,11 +278,11 @@ def build_ivf_index(
     if centroids is None:
         centroids = ivf_centroids(df, k, iterations, dims, vec_col, sample_mod)
     ddir = _new_data_dir()
-    df.withColumn(
-        "centroid_id", _argmin_centroid_expr(F.col(vec_col), centroids)
-    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
-        posixpath.join(root, ddir)
-    )
+    # bit-exact Arrow argmin (r9) — the interpreted Column fold is
+    # CodegenFallback; differential-tested in test_ann_index
+    with_centroid_ids_arrow(df, centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(posixpath.join(root, ddir))
     published = dict(kind="ivf", dirs=[ddir], centroids=centroids)
     published["version"] = _publish_manifest(root, published)
     _gc_previous_snapshots(root, published, retain=retain_snapshots)
@@ -316,11 +317,9 @@ def append_to_ivf_index(
     if centroids is None:
         centroids = m["centroids"]
     ddir = _new_data_dir()
-    df_new.withColumn(
-        "centroid_id", _argmin_centroid_expr(F.col(vec_col), centroids)
-    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
-        posixpath.join(root, ddir)
-    )
+    with_centroid_ids_arrow(df_new, centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(posixpath.join(root, ddir))
     # merging commit: rebuild over the CURRENT snapshot's dirs on each
     # attempt so a lost race merges the winner's appended dirs
     _publish_manifest(

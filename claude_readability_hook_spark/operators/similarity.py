@@ -322,6 +322,48 @@ def _assign_ids_arrow(
     )
 
 
+def with_centroid_ids_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """df + centroid_id, all input columns passed through verbatim —
+    the withColumn-shaped twin of _assign_ids_arrow for the index
+    BUILD paths (same bit-exact argmin; one Arrow stage instead of an
+    interpreted per-element fold per row per centroid)."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    vec_idx = df.columns.index(vec_col)
+    cents = [list(map(float, cv)) for cv in centroids]
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cents, dtype=np.float64)
+        for batch in batches:
+            vecs = batch.column(vec_idx).to_pylist()
+            if vecs:
+                V = np.array(vecs, dtype=np.float64)
+                dists = np.stack(
+                    [
+                        np.cumsum((V - C[j]) ** 2, axis=1)[:, -1]
+                        for j in range(len(cents))
+                    ],
+                    axis=1,
+                )
+                ids = pa.array(np.argmin(dists, axis=1).astype(np.int32))
+            else:
+                ids = pa.array([], pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [ids],
+                names=list(batch.schema.names) + ["centroid_id"],
+            )
+
+    return df.mapInArrow(assign, schema=f"{schema}, centroid_id int")
+
+
 def ivf_assign(
     df: DataFrame,
     k: int = 8,
